@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark: ShapeNet-scale pretrain throughput (clouds/sec/chip) on the
+flagship transformer DAE (PointCAE_transformer_fc_global_folding_local,
+bs-per-chip 128, 1024 points, G64xS32, the rerun2.sh recipe shapes).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+No reference throughput number exists (BASELINE.md: published = {}), so
+vs_baseline is reported as null.
+"""
+import json
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import FLAGSHIP_CONFIG
+    from point_dae_tpu.engine.pretrain import init_model, make_train_step
+    from point_dae_tpu.engine.train_state import TrainState, build_optimizer
+    from point_dae_tpu.models import build_model_from_cfg
+    from point_dae_tpu.utils.config import ConfigDict
+
+    config = ConfigDict(FLAGSHIP_CONFIG)
+    config["total_bs"] = 128
+    model = build_model_from_cfg(config["model"])
+
+    B, Nraw = 128, 8192
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.normal(size=(B, Nraw, 6)).astype(np.float32))
+
+    params, batch_stats = init_model(model, config, raw)
+    tx, _ = build_optimizer(config, params, steps_per_epoch=100,
+                            grad_norm_clip=None)
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+    step = make_train_step(model, config, mesh=None)
+
+    key = jax.random.key(0)
+    gw = jnp.float32(0.5)
+    # warmup / compile
+    state, m = step(state, raw, key, gw)
+    jax.block_until_ready(m)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        state, m = step(state, raw, sub, gw)
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    cps = B / dt
+
+    print(json.dumps({
+        "metric": "pretrain_throughput_flagship_transformer",
+        "value": round(cps, 2),
+        "unit": "clouds/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""CLI argument parsing + dispatch (reference: utils/parser.py:5-145 flags,
+main.py:16-115 dispatch).
+
+Flag set and experiment-directory conventions mirror the reference so shell
+recipes translate 1:1:
+``experiments/<cfg_name><model_name>/<cfgs_parent>/<exp_name>``;
+``--model_name`` overrides ``config.model.NAME`` (how released runs select
+Point_CAE_DGCNN_FCOnly / PointCAE_transformer_fc_global_folding_local,
+rerun.sh:37-40, rerun2.sh:38-41); ``--total_bs`` overrides the batch size;
+``model.corrupt_type`` inherits the train dataset's corrupt_type when unset
+(main.py:51-55).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+from .utils.config import cfg_from_yaml_file, save_config
+from .utils.logger import get_logger, print_log
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser("point_dae_tpu")
+    p.add_argument("--config", type=str, required=True, help="yaml config file")
+    p.add_argument("--model_name", type=str, default=None,
+                   help="override config.model.NAME")
+    p.add_argument("--launcher", choices=["none", "spmd"], default="none",
+                   help="kept for CLI parity; TPU SPMD needs no launcher")
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--sync_bn", action="store_true",
+                   help="parity flag; BN stats are global-batch by default on TPU")
+    p.add_argument("--exp_name", type=str, default="default")
+    p.add_argument("--loss", type=str, default="cd2")
+    p.add_argument("--start_ckpts", type=str, default=None)
+    p.add_argument("--ckpts", type=str, default=None)
+    p.add_argument("--val_freq", type=int, default=1)
+    p.add_argument("--vote", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--test_corruption", action="store_true")
+    p.add_argument("--so3_rotation", action="store_true")
+    p.add_argument("--finetune_model", action="store_true")
+    p.add_argument("--svm_classification", action="store_true")
+    p.add_argument("--vis_saliency", action="store_true")
+    p.add_argument("--task_affinity", action="store_true")
+    p.add_argument("--scratch_model", action="store_true")
+    p.add_argument("--mode", choices=["easy", "median", "hard", None], default=None)
+    p.add_argument("--total_bs", type=int, default=None)
+    p.add_argument("--way", type=int, default=-1)
+    p.add_argument("--shot", type=int, default=-1)
+    p.add_argument("--fold", type=int, default=-1)
+    args = p.parse_args(argv)
+
+    if args.test and args.resume:
+        raise ValueError("--test and --resume are exclusive")
+    create_experiment_dir(args)
+    return args
+
+
+def create_experiment_dir(args) -> None:
+    """experiments/<cfg stem + model_name>/<cfg parent>/<exp_name> tree
+    (utils/parser.py:139-145)."""
+    stem = os.path.splitext(os.path.basename(args.config))[0]
+    if args.model_name:
+        stem = stem + args.model_name
+    parent = os.path.basename(os.path.dirname(args.config)) or "cfgs"
+    args.experiment_path = os.path.join("./experiments", stem, parent,
+                                        args.exp_name)
+    args.tfboard_path = os.path.join("./experiments", stem, parent,
+                                     "TFBoard", args.exp_name)
+    args.log_name = stem
+    os.makedirs(args.experiment_path, exist_ok=True)
+    os.makedirs(args.tfboard_path, exist_ok=True)
+
+
+def load_config(args):
+    cfg = cfg_from_yaml_file(args.config)
+    if args.model_name:
+        cfg["model"]["NAME"] = args.model_name
+    if args.total_bs:
+        cfg["total_bs"] = args.total_bs
+    # corrupt_type propagation (main.py:51-55)
+    model_ct = cfg.get("model", {}).get("corrupt_type", None)
+    train = cfg.get("dataset", {}).get("train", {})
+    ds_ct = train.get("others", {}).get("corrupt_type", None)
+    if (not model_ct) and ds_ct:
+        cfg["model"]["corrupt_type"] = ds_ct
+    # few-shot overrides
+    if args.way != -1:
+        for split in cfg.get("dataset", {}).values():
+            if isinstance(split, dict) and "others" in split:
+                split["others"]["way"] = args.way
+                split["others"]["shot"] = args.shot
+                split["others"]["fold"] = args.fold
+    save_config(cfg, os.path.join(args.experiment_path, "config.yaml"))
+    return cfg
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logger = get_logger(args.log_name,
+                        os.path.join(args.experiment_path,
+                                     f"{time.strftime('%Y%m%d_%H%M%S')}.log"))
+    config = load_config(args)
+    print_log(f"config: {args.config} model: {config['model']['NAME']}",
+              logger=logger)
+
+    if args.test:
+        from .engine.finetune import test_net
+
+        return test_net(config, args, logger_name=args.log_name)
+    if args.svm_classification:
+        from .engine.probe import svm_classification
+
+        return svm_classification(config, args, logger_name=args.log_name)
+    if args.task_affinity:
+        from .engine.probe import task_affinity
+
+        return task_affinity(config, args, logger_name=args.log_name)
+    if args.finetune_model or args.scratch_model:
+        from .engine.finetune import run_finetune
+
+        return run_finetune(config, args, logger_name=args.log_name)
+    from .engine.pretrain import run_pretrain
+
+    return run_pretrain(config, args, logger_name=args.log_name)
+
+
+if __name__ == "__main__":
+    main()

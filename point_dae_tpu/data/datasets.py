@@ -1,0 +1,294 @@
+"""Dataset readers (reference: datasets/*.py).
+
+TPU-first split of responsibilities: datasets only read raw clouds from disk
+(npy/h5/txt/pkl/dat) and return numpy arrays + labels; augmentation,
+corruption and resampling run *on device* inside the jitted train step
+(data/corruptions.py), unlike the reference where per-sample numpy corruption
+in dataloader workers is the pipeline hot loop (SURVEY.md §3.1).
+
+Each dataset registers in DATASETS and is built from the same YAML config
+shape as the reference (``_base_`` dataset file + ``others`` overrides,
+datasets/build.py:7-15). A synthetic dataset provides deterministic clouds
+for tests/benches when no real data is mounted.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.logger import print_log
+from ..utils.registry import DATASETS
+
+
+def _cfg_get(cfg, key, default=None):
+    if hasattr(cfg, key):
+        return getattr(cfg, key)
+    if isinstance(cfg, dict):
+        return cfg.get(key, default)
+    return default
+
+
+class PointDataset:
+    """Minimal dataset protocol: __len__ + __getitem__ -> dict with
+    'points' (N, C) float32 and optional 'label' int / 'seg' (N,) / ids."""
+
+    def __len__(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def __getitem__(self, idx):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@DATASETS.register_module()
+class ShapeNet(PointDataset):
+    """ShapeNet-55 pretraining set (datasets/ShapeNet55Dataset.py:26-122):
+    npy clouds of N_POINTS (8192) x 3 or 6 (with normals); ``whole=True``
+    concatenates train+test lists. Returns the raw cloud; the device pipeline
+    reproduces augment -> corrupt -> independent resample of corrupted/clean.
+    """
+
+    def __init__(self, config):
+        self.data_root = _cfg_get(config, "DATA_PATH")
+        self.pc_path = _cfg_get(config, "PC_PATH")
+        self.subset = _cfg_get(config, "subset", "train")
+        self.npoints = int(_cfg_get(config, "npoints", 1024))
+        self.whole = bool(_cfg_get(config, "whole", False))
+        lines: List[str] = []
+        list_file = os.path.join(self.data_root, f"{self.subset}.txt")
+        with open(list_file) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        if self.whole:
+            other = "test" if self.subset == "train" else "train"
+            with open(os.path.join(self.data_root, f"{other}.txt")) as f:
+                lines += [ln.strip() for ln in f if ln.strip()]
+        self.file_list = []
+        for line in lines:
+            taxonomy_id = line.split("-")[0]
+            model_id = line.split("-")[1].split(".")[0]
+            self.file_list.append(dict(taxonomy_id=taxonomy_id,
+                                       model_id=model_id, file_path=line))
+        print_log(f"[ShapeNet] {len(self.file_list)} instances "
+                  f"({self.subset}{'+whole' if self.whole else ''})",
+                  logger="ShapeNet-55")
+
+    def __len__(self):
+        return len(self.file_list)
+
+    def __getitem__(self, idx):
+        s = self.file_list[idx]
+        data = np.load(os.path.join(self.pc_path, s["file_path"])).astype(np.float32)
+        return dict(points=data, taxonomy_id=s["taxonomy_id"],
+                    model_id=s["model_id"])
+
+
+@DATASETS.register_module()
+class ModelNet(PointDataset):
+    """ModelNet40 with the offline-FPS cache layout
+    (datasets/ModelNetDataset.py:57-158): ``modelnet40_{split}_8192pts_fps.dat``
+    pickle of (points list, labels list)."""
+
+    def __init__(self, config):
+        self.root = _cfg_get(config, "DATA_PATH")
+        self.npoints = int(_cfg_get(config, "N_POINTS", 8192))
+        self.use_normals = bool(_cfg_get(config, "USE_NORMALS", False))
+        self.subset = _cfg_get(config, "subset", "train")
+        cache = os.path.join(self.root,
+                             f"modelnet40_{self.subset}_{self.npoints}pts_fps.dat")
+        with open(cache, "rb") as f:
+            self.points, self.labels = pickle.load(f)
+        print_log(f"[ModelNet] {len(self.points)} clouds ({self.subset})",
+                  logger="ModelNet")
+
+    def __len__(self):
+        return len(self.points)
+
+    def __getitem__(self, idx):
+        pts = np.asarray(self.points[idx], np.float32)
+        if not self.use_normals:
+            pts = pts[:, :3]
+        label = int(np.asarray(self.labels[idx]).reshape(-1)[0])
+        return dict(points=pts, label=label)
+
+
+@DATASETS.register_module()
+class ModelNet_Official(ModelNet):
+    """Alias with the official 2048-pt h5 layout if present, else the cache."""
+
+
+@DATASETS.register_module()
+class ScanObjectNN(PointDataset):
+    """ScanObjectNN OBJ_BG (datasets/ScanObjectNNDataset.py:57-94):
+    h5 'data' (B, 2048, 3) + 'label'."""
+
+    h5_name = {"train": "training_objectdataset.h5",
+               "test": "test_objectdataset.h5"}
+
+    def __init__(self, config):
+        import h5py
+
+        self.root = _cfg_get(config, "ROOT", _cfg_get(config, "DATA_PATH"))
+        self.subset = _cfg_get(config, "subset", "train")
+        with h5py.File(os.path.join(self.root, self.h5_name[self.subset]), "r") as f:
+            self.points = np.asarray(f["data"], np.float32)
+            self.labels = np.asarray(f["label"], np.int64)
+        print_log(f"[ScanObjectNN] {len(self.points)} clouds ({self.subset})",
+                  logger="ScanObjectNN")
+
+    def __len__(self):
+        return len(self.points)
+
+    def __getitem__(self, idx):
+        return dict(points=self.points[idx], label=int(self.labels[idx]))
+
+
+@DATASETS.register_module()
+class ScanObjectNN_hardest(ScanObjectNN):
+    """PB_T50_RS split (datasets/ScanObjectNNDataset.py:98-167)."""
+
+    h5_name = {"train": "training_objectdataset_augmentedrot_scale75.h5",
+               "test": "test_objectdataset_augmentedrot_scale75.h5"}
+
+
+@DATASETS.register_module()
+class ModelNetFewShot(PointDataset):
+    """Few-shot folds (datasets/ModelNetDatasetFewShot.py:28-71):
+    ``{way}way_{shot}shot/{fold}.pkl`` -> dict with 'train'/'test' lists of
+    (points, label)."""
+
+    def __init__(self, config):
+        root = _cfg_get(config, "DATA_PATH")
+        way = int(_cfg_get(config, "way", 5))
+        shot = int(_cfg_get(config, "shot", 10))
+        fold = int(_cfg_get(config, "fold", 0))
+        self.subset = _cfg_get(config, "subset", "train")
+        path = os.path.join(root, f"{way}way_{shot}shot", f"{fold}.pkl")
+        with open(path, "rb") as f:
+            data = pickle.load(f)[self.subset]
+        self.points = [np.asarray(p, np.float32) for p, _ in data]
+        self.labels = [int(l) for _, l in data]
+
+    def __len__(self):
+        return len(self.points)
+
+    def __getitem__(self, idx):
+        return dict(points=self.points[idx], label=self.labels[idx])
+
+
+@DATASETS.register_module()
+class ShapeNetPart(PointDataset):
+    """ShapeNetPart segmentation set (segmentation/dataset.py:65-167):
+    per-category txt files of x y z nx ny nz seg_label."""
+
+    seg_classes = {
+        "Earphone": [16, 17, 18], "Motorbike": [30, 31, 32, 33, 34, 35],
+        "Rocket": [41, 42, 43], "Car": [8, 9, 10, 11], "Laptop": [28, 29],
+        "Cap": [6, 7], "Skateboard": [44, 45, 46], "Mug": [36, 37],
+        "Guitar": [19, 20, 21], "Bag": [4, 5], "Lamp": [24, 25, 26, 27],
+        "Table": [47, 48, 49], "Airplane": [0, 1, 2, 3],
+        "Pistol": [38, 39, 40], "Chair": [12, 13, 14, 15],
+        "Knife": [22, 23]}
+
+    def __init__(self, config):
+        import json
+
+        self.root = _cfg_get(config, "DATA_PATH")
+        self.npoints = int(_cfg_get(config, "npoints", 2048))
+        self.subset = _cfg_get(config, "subset", "train")
+        self.use_normals = bool(_cfg_get(config, "normal_channel", False))
+        cat_file = os.path.join(self.root, "synsetoffset2category.txt")
+        self.cat = {}
+        with open(cat_file) as f:
+            for ln in f:
+                name, synset = ln.strip().split()
+                self.cat[name] = synset
+        splits = {"train": ["train", "val"], "trainval": ["train", "val"],
+                  "test": ["test"]}[self.subset]
+        ids = set()
+        for sp in splits:
+            with open(os.path.join(
+                    self.root, "train_test_split",
+                    f"shuffled_{sp}_file_list.json")) as f:
+                ids |= {os.path.basename(x) for x in json.load(f)}
+        self.files: List[Tuple[str, str]] = []
+        for name, synset in self.cat.items():
+            d = os.path.join(self.root, synset)
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.split(".")[0] in ids:
+                    self.files.append((name, os.path.join(d, fn)))
+        self.classes = {name: i for i, name in enumerate(sorted(self.cat))}
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        name, path = self.files[idx]
+        data = np.loadtxt(path).astype(np.float32)
+        pts = data[:, :6] if self.use_normals else data[:, :3]
+        seg = data[:, -1].astype(np.int32)
+        # pad/subsample to npoints
+        n = pts.shape[0]
+        if n >= self.npoints:
+            choice = np.random.choice(n, self.npoints, replace=False)
+        else:
+            choice = np.concatenate(
+                [np.arange(n), np.random.choice(n, self.npoints - n, replace=True)])
+        return dict(points=pts[choice], seg=seg[choice],
+                    label=self.classes[name])
+
+
+@DATASETS.register_module()
+class Synthetic(PointDataset):
+    """Deterministic procedural clouds for tests and benchmarking without
+    mounted data: unions of random ellipsoid surface patches, unit-sphere
+    normalised, with surface normals. Labelled by generation seed bucket so
+    classification paths are exercisable."""
+
+    def __init__(self, config):
+        self.n = int(_cfg_get(config, "size", 512))
+        self.npoints = int(_cfg_get(config, "N_POINTS", 2048))
+        self.num_classes = int(_cfg_get(config, "num_classes", 15))
+        self.with_normals = bool(_cfg_get(config, "with_normal", True))
+        self.seed = int(_cfg_get(config, "seed", 0))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        label = idx % self.num_classes
+        # class-dependent ellipsoid mixture
+        k = 2 + label % 3
+        centers = rng.normal(0, 0.4, (k, 3))
+        radii = 0.2 + 0.5 * rng.random((k, 3)) * (1 + 0.1 * label)
+        counts = np.full(k, self.npoints // k)
+        counts[0] += self.npoints - counts.sum()
+        pts, nrm = [], []
+        for c, r, m in zip(centers, radii, counts):
+            u = rng.normal(size=(m, 3))
+            u /= np.linalg.norm(u, axis=1, keepdims=True)
+            pts.append(c + u * r)
+            nn = u / r
+            nrm.append(nn / np.linalg.norm(nn, axis=1, keepdims=True))
+        pts = np.concatenate(pts).astype(np.float32)
+        nrm = np.concatenate(nrm).astype(np.float32)
+        centroid = pts.mean(0)
+        pts -= centroid
+        pts /= np.abs(np.linalg.norm(pts, axis=1)).max()
+        out = np.concatenate([pts, nrm], 1) if self.with_normals else pts
+        return dict(points=out, label=label,
+                    taxonomy_id=f"syn{label:02d}", model_id=f"{idx:06d}")
+
+
+def build_dataset_from_cfg(base_cfg, others=None):
+    """datasets/build.py:7-15 equivalent: merge ``others`` into the base
+    dataset config and build by NAME."""
+    merged = dict(base_cfg)
+    if others:
+        merged.update(dict(others))
+    name = merged["NAME"]
+    return DATASETS.get(name)(merged)

@@ -1,0 +1,89 @@
+"""Host-side batching dataloader with background prefetch.
+
+Role of tools/builder.py:15-32 (DataLoader + DistributedSampler) — but much
+thinner, because augmentation/corruption moved on-device: the loader only
+shuffles indices, stacks numpy arrays, and prefetches a couple of batches on
+a worker thread. Per-host sharding for multi-host SPMD is index-striding
+(the NamedSharding on the batch axis does the device placement).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    keys = samples[0].keys()
+    for k in keys:
+        v0 = samples[0][k]
+        if isinstance(v0, np.ndarray):
+            out[k] = np.stack([s[k] for s in samples])
+        elif isinstance(v0, (int, np.integer)):
+            out[k] = np.asarray([s[k] for s in samples], np.int32)
+        else:
+            out[k] = np.asarray([s[k] for s in samples])
+    return out
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 num_hosts: int = 1, host_id: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (DistributedSampler.set_epoch role)."""
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.num_hosts
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed * 9973 + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        return idx[self.host_id::self.num_hosts]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._indices()
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for b in range(nb):
+                if stop.is_set():
+                    return
+                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                q.put(_collate([self.dataset[int(i)] for i in sel]))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

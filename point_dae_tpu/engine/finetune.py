@@ -1,0 +1,313 @@
+"""Classification fine-tune / test / voting loops
+(reference: tools/runner_finetune.py:83-899).
+
+Per-batch on-device FPS oversample->subsample (runner_finetune.py:161-177):
+FPS to ``point_all`` (1200/2400/4800/8192 for npoints 1024/2048/4096/8192),
+then a random choice of ``npoints`` of them, fused into the jitted step.
+Smooth cross-entropy (eps=0.3) mirrors the reference's smooth loss option;
+voting eval averages logits over 10 FPS subsample + scale/translate draws
+(validate_vote :568-632).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import furthest_point_sample, gather_points
+from ..parallel import data_sharding, get_mesh, replicate, shard_batch
+from ..utils.logger import ScalarWriter, print_log
+from ..utils.meters import AverageMeter
+from .train_state import TrainState, build_optimizer
+
+Array = jax.Array
+
+POINT_ALL = {1024: 1200, 2048: 2400, 4096: 4800, 8192: 8192}
+
+
+def fps_resample(key: jax.Array, pts: Array, npoints: int) -> Array:
+    """train-time resample (runner_finetune.py:161-177): FPS to point_all then
+    random-subset npoints. If the cloud is smaller than point_all, FPS
+    directly to npoints."""
+    n = pts.shape[1]
+    point_all = POINT_ALL.get(npoints, npoints)
+    point_all = min(point_all, n)
+    idx = furthest_point_sample(pts[..., :3], point_all)
+    sampled = gather_points(pts, idx)
+    if point_all > npoints:
+        B = pts.shape[0]
+        keys = jax.random.split(key, B)
+        sel = jax.vmap(lambda k: jax.random.choice(
+            k, point_all, (npoints,), replace=False))(keys)
+        sampled = gather_points(sampled, sel)
+    return sampled
+
+
+def scale_translate(key: jax.Array, pts: Array,
+                    lo: float = 2. / 3., hi: float = 3. / 2.,
+                    trans: float = 0.2) -> Array:
+    """PointcloudScaleAndTranslate (datasets/data_transforms.py:6-20)."""
+    k1, k2 = jax.random.split(key)
+    B = pts.shape[0]
+    s = jax.random.uniform(k1, (B, 1, 3), minval=lo, maxval=hi)
+    t = jax.random.uniform(k2, (B, 1, 3), minval=-trans, maxval=trans)
+    return pts * s + t
+
+
+def smooth_cross_entropy(logits: Array, labels: Array, eps: float = 0.3) -> Array:
+    """Label-smoothed CE (the reference's smooth loss, eps 0.3)."""
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits)
+    onehot = jax.nn.one_hot(labels, n)
+    target = onehot * (1 - eps) + eps / n
+    return -jnp.mean(jnp.sum(target * logp, axis=-1))
+
+
+def cross_entropy(logits: Array, labels: Array) -> Array:
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def make_finetune_step(model, config, mesh=None, smooth: bool = False,
+                       aug: bool = True) -> Callable:
+    npoints = int(config.get("npoints", 1024))
+    loss_fn = functools.partial(smooth_cross_entropy, eps=0.3) if smooth \
+        else cross_entropy
+
+    def step(state: TrainState, pts: Array, labels: Array, key: jax.Array):
+        k_fps, k_aug, k_drop = jax.random.split(key, 3)
+        pts = fps_resample(k_fps, pts, npoints)
+        if aug:
+            pts = scale_translate(k_aug, pts)
+
+        def lossf(params):
+            logits, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                pts, train=True,
+                rngs={"dropout": k_drop, "droppath": k_drop},
+                mutable=["batch_stats"])
+            loss = loss_fn(logits, labels)
+            acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+            return loss, (acc, mut["batch_stats"])
+
+        grads, (acc, new_bs) = jax.grad(lossf, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        return state, {"loss": jnp.zeros(()), "acc": acc * 100.0}
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    bsh = data_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(step, donate_argnums=0,
+                   in_shardings=(None, bsh, bsh, rep))
+
+
+def make_eval_step(model, config, mesh=None) -> Callable:
+    npoints = int(config.get("npoints", 1024))
+
+    def step(state: TrainState, pts: Array):
+        pts = gather_points(
+            pts, furthest_point_sample(pts[..., :3], npoints))
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pts, train=False)
+        return logits
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, data_sharding(mesh)))
+
+
+def make_vote_step(model, config, mesh=None, times: int = 10) -> Callable:
+    """10-draw voting eval (validate_vote, runner_finetune.py:568-632):
+    mean softmax logits over FPS subsample + scale/translate draws."""
+    npoints = int(config.get("npoints", 1024))
+
+    def step(state: TrainState, pts: Array, key: jax.Array):
+        def one(k):
+            k1, k2 = jax.random.split(k)
+            p = fps_resample(k1, pts, npoints)
+            p = scale_translate(k2, p)
+            return state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                p, train=False)
+
+        keys = jax.random.split(key, times)
+        logits = jax.lax.map(one, keys)          # (times, B, C)
+        return jnp.mean(jax.nn.softmax(logits, -1), axis=0)
+
+    if mesh is None:
+        return jax.jit(step)
+    bsh = data_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(step, in_shardings=(None, bsh, NamedSharding(mesh, P())))
+
+
+def evaluate(eval_step, state, loader, mesh, batch_size: int) -> float:
+    """Plain accuracy eval with tail-batch padding."""
+    correct = total = 0
+    for batch in loader:
+        pts = np.asarray(batch["points"], np.float32)
+        labels = np.asarray(batch["label"])
+        n = pts.shape[0]
+        if n < batch_size:
+            pts = np.concatenate(
+                [pts, np.zeros((batch_size - n,) + pts.shape[1:], np.float32)])
+        logits = jax.device_get(eval_step(state, shard_batch(mesh, jnp.asarray(pts))))
+        pred = np.argmax(logits[:n], -1)
+        correct += int((pred == labels).sum())
+        total += n
+    return 100.0 * correct / max(total, 1)
+
+
+def run_finetune(config, args, logger_name: str = "PointDAE"):
+    """Fine-tune loop (runner_finetune.run_net :83-270): FPS resample,
+    (smooth) CE via the model head, grad clip, per-epoch validation, optional
+    voting when acc crosses the reference's trigger (acc > 92.1 or best>91,
+    :254-262), ckpt-best/last."""
+    from ..data.datasets import build_dataset_from_cfg
+    from ..data.loader import DataLoader
+    from ..models import build_model_from_cfg
+    from ..utils.checkpoint import (load_params, merge_pretrained,
+                                    save_checkpoint, flatten_keys,
+                                    resume_checkpoint)
+
+    mesh = get_mesh()
+    writer = ScalarWriter(getattr(args, "tfboard_path", None))
+    dcfg = config["dataset"]
+    train_set = build_dataset_from_cfg(dcfg["train"]["_base_"], dcfg["train"]["others"])
+    val_set = build_dataset_from_cfg(dcfg["val"]["_base_"], dcfg["val"]["others"])
+
+    total_bs = int(config.get("total_bs", 32))
+    loader = DataLoader(train_set, total_bs, shuffle=True,
+                        seed=getattr(args, "seed", 0))
+    val_loader_fn = lambda: DataLoader(val_set, total_bs, shuffle=False,
+                                       drop_last=False)
+    steps_per_epoch = max(len(loader), 1)
+    max_epoch = int(config.get("max_epoch", 300))
+    npoints = int(config.get("npoints", 1024))
+
+    model = build_model_from_cfg(config["model"])
+    rngs = {"params": jax.random.key(getattr(args, "seed", 0)),
+            "dropout": jax.random.key(1), "droppath": jax.random.key(2)}
+    dummy = jnp.zeros((2, npoints, 3), jnp.float32)
+    variables = jax.jit(functools.partial(model.init, train=True))(rngs, dummy)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    if getattr(args, "ckpts", None):
+        pretrained = load_params(args.ckpts, args.ckpts)
+        params = merge_pretrained(params, flatten_keys(pretrained["params"]),
+                                  logger=logger_name)
+
+    tx, sched = build_optimizer(config, params, steps_per_epoch,
+                                config.get("grad_norm_clip"))
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+    state = replicate(mesh, state)
+
+    smooth = bool(config.get("smooth", False))
+    train_step = make_finetune_step(model, config, mesh, smooth=smooth)
+    eval_step = make_eval_step(model, config, mesh)
+    vote_step = make_vote_step(model, config, mesh)
+    key = jax.random.key(getattr(args, "seed", 0) + 7)
+
+    best_acc, best_vote = 0.0, 0.0
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        state, start_epoch, best_acc = resume_checkpoint(args.experiment_path, state)
+
+    for epoch in range(start_epoch, max_epoch + 1):
+        loader.set_epoch(epoch)
+        meters = AverageMeter(["acc"])
+        t0 = time.time()
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            pts = shard_batch(mesh, jnp.asarray(batch["points"], jnp.float32))
+            labels = shard_batch(mesh, jnp.asarray(batch["label"]))
+            state, metrics = train_step(state, pts, labels, sub)
+        acc = evaluate(eval_step, state, val_loader_fn(), mesh, total_bs)
+        writer.add_scalar("Metric/ACC", acc, epoch)
+        print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f} "
+                  f"time = {time.time() - t0:.1f}s", logger=logger_name)
+        if acc > best_acc:
+            best_acc = acc
+            save_checkpoint(args.experiment_path, "ckpt-best", state, epoch, best_acc)
+        # voting trigger thresholds from runner_finetune.py:254-262
+        if getattr(args, "vote", False) and (acc > 92.1 or (best_acc > 91 and acc > 91)):
+            key, sub = jax.random.split(key)
+            vacc = _vote_eval(vote_step, state, val_loader_fn(), mesh, total_bs, sub)
+            best_vote = max(best_vote, vacc)
+            print_log(f"[Validation_vote] EPOCH: {epoch}  vote_acc = {vacc:.4f}",
+                      logger=logger_name)
+        save_checkpoint(args.experiment_path, "ckpt-last", state, epoch, best_acc)
+    return {"best_acc": best_acc, "best_vote": best_vote, "state": state}
+
+
+def _vote_eval(vote_step, state, loader, mesh, batch_size, key) -> float:
+    correct = total = 0
+    for batch in loader:
+        pts = np.asarray(batch["points"], np.float32)
+        labels = np.asarray(batch["label"])
+        n = pts.shape[0]
+        if n < batch_size:
+            pts = np.concatenate(
+                [pts, np.zeros((batch_size - n,) + pts.shape[1:], np.float32)])
+        key, sub = jax.random.split(key)
+        probs = jax.device_get(vote_step(state, shard_batch(mesh, jnp.asarray(pts)), sub))
+        pred = np.argmax(probs[:n], -1)
+        correct += int((pred == labels).sum())
+        total += n
+    return 100.0 * correct / max(total, 1)
+
+
+def test_net(config, args, logger_name: str = "PointDAE"):
+    """Test protocol (runner_finetune.py:686-748): plain accuracy, then
+    repeated voting keeping the max."""
+    from ..data.datasets import build_dataset_from_cfg
+    from ..data.loader import DataLoader
+    from ..models import build_model_from_cfg
+    from ..utils.checkpoint import load_params, merge_pretrained, flatten_keys
+
+    mesh = get_mesh()
+    dcfg = config["dataset"]
+    test_set = build_dataset_from_cfg(dcfg["test"]["_base_"], dcfg["test"]["others"])
+    total_bs = int(config.get("total_bs", 32))
+    model = build_model_from_cfg(config["model"])
+    npoints = int(config.get("npoints", 1024))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        rngs, jnp.zeros((2, npoints, 3)))
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    pretrained = load_params(args.ckpts, args.ckpts)
+    params = merge_pretrained(params, flatten_keys(pretrained["params"]))
+    if pretrained.get("batch_stats"):
+        batch_stats = merge_pretrained(batch_stats,
+                                       flatten_keys(pretrained["batch_stats"]))
+    import optax
+
+    state = TrainState.create(model.apply, params, batch_stats,
+                              optax.identity())
+    state = replicate(mesh, state)
+    eval_step = make_eval_step(model, config, mesh)
+    loader_fn = lambda: DataLoader(test_set, total_bs, shuffle=False, drop_last=False)
+    acc = evaluate(eval_step, state, loader_fn(), mesh, total_bs)
+    print_log(f"[TEST] acc = {acc:.4f}", logger=logger_name)
+    if getattr(args, "vote", False):
+        vote_step = make_vote_step(model, config, mesh)
+        key = jax.random.key(getattr(args, "seed", 0))
+        best = 0.0
+        for it in range(int(getattr(args, "vote_repeats", 30))):
+            key, sub = jax.random.split(key)
+            v = _vote_eval(vote_step, state, loader_fn(), mesh, total_bs, sub)
+            best = max(best, v)
+            print_log(f"[TEST_VOTE] iter {it}: acc = {v:.4f} best = {best:.4f}",
+                      logger=logger_name)
+    return acc

@@ -1,0 +1,282 @@
+"""DAE pretraining loop (reference: tools/runner_pretrain.py:50-349).
+
+TPU-first structure:
+- ONE jitted ``train_step`` contains the whole per-step pipeline:
+  on-device augmentation -> per-cloud corruption -> independent resample of
+  (corrupted, clean) -> model fwd/bwd -> optimizer update. The reference did
+  corruption in numpy dataloader workers (its hot loop, SURVEY.md §3.1);
+  fusing it into the step removes the host bottleneck and an H2D copy of
+  pre-corrupted data.
+- The batch is sharded over the mesh's 'data' axis; XLA inserts the gradient
+  all-reduce and cross-replica BatchNorm statistics (SyncBN semantics — the
+  reference default was per-GPU BN with --sync_bn optional; we document sync
+  as the TPU default since global-batch statistics are what jit+sharding give
+  natively).
+- loss_type schedule ('xyz' / 'normal' / 'xyznormal' / 'xyznormal_gradual' /
+  'xyznormal_warm', runner_pretrain.py:113-123,161-186) is a static switch +
+  a traced ``gradual_weight`` scalar so the step compiles once.
+- Per-epoch SVM validation (runner_pretrain.py:290-349) extracts frozen
+  features with ``model.encode`` and fits sklearn LinearSVC on host.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import corruptions as C
+from ..ops import resample_to
+from ..parallel import get_mesh, data_sharding, replicate, shard_batch
+from ..utils.logger import ScalarWriter, print_log
+from ..utils.meters import AverageMeter
+from .train_state import TrainState, build_optimizer
+
+Array = jax.Array
+
+
+def device_pipeline(key: jax.Array, raw: Array, aug_type, corrupt_type,
+                    npoints: int) -> Tuple[Array, Array]:
+    """(B, Nraw, C) raw clouds -> (corrupted (B, npoints, 3),
+    clean (B, npoints, C)); replicates ShapeNet55Dataset.__getitem__:90-119:
+    augment xyz, corrupt the FULL cloud, then independently resample both.
+    Normals (columns 3:) ride along with the clean sample."""
+    B = raw.shape[0]
+    k_aug, k_cor, k_s1, k_s2 = jax.random.split(key, 4)
+
+    def per_cloud(k_a, k_c, k1, k2, cloud):
+        xyz = C.augment_cloud(k_a, cloud[:, :3], tuple(aug_type))
+        full = jnp.concatenate([xyz, cloud[:, 3:]], axis=-1)
+        clean = resample_to(k1, full, jnp.ones(full.shape[0], bool), npoints)
+        corrupted = C.corrupt_and_sample(k_c, xyz, tuple(corrupt_type), npoints)
+        return corrupted, clean
+
+    keys = [jax.random.split(k, B) for k in (k_aug, k_cor, k_s1, k_s2)]
+    return jax.vmap(per_cloud)(keys[0], keys[1], keys[2], keys[3], raw)
+
+
+def compute_loss(loss_type: str, loss_xyz: Array, loss_normal: Array,
+                 normal_weight: float, gradual_weight: Array) -> Array:
+    """runner_pretrain.py:161-186 switch."""
+    if loss_type == "xyz":
+        return loss_xyz
+    if loss_type == "normal":
+        return normal_weight * loss_normal
+    if loss_type == "xyznormal":
+        return loss_xyz + normal_weight * loss_normal
+    if loss_type in ("xyznormal_gradual", "xyznormal_warm"):
+        return loss_xyz + normal_weight * loss_normal * gradual_weight
+    raise NotImplementedError(loss_type)
+
+
+def gradual_weight_for(loss_type: str, epoch: int, max_epoch: int) -> float:
+    """runner_pretrain.py:113-123."""
+    if loss_type == "xyznormal_gradual":
+        return float(epoch) / float(max_epoch)
+    if loss_type == "xyznormal_warm":
+        f = float(epoch) / float(max_epoch)
+        return min(f * 3.0, 1.0)
+    return 0.0
+
+
+def make_train_step(model, config, mesh=None) -> Callable:
+    """Build the jitted pretrain step. Signature:
+    (state, raw_batch (B, Nraw, C), key, gradual_weight) -> (state, metrics).
+    """
+    d = config["dataset"]["train"]["others"]
+    aug_type = tuple(d.get("aug_type", ("norm",)))
+    corrupt_type = tuple(d.get("corrupt_type", ("clean",)))
+    npoints = int(d.get("npoints", 1024))
+    loss_type = config.get("loss_type", "xyz")
+    normal_weight = float(config.get("normal_weight", 1.0))
+
+    def step(state: TrainState, raw: Array, key: jax.Array,
+             gradual_weight: Array):
+        k_pipe, k_corrupt, k_mask, k_dp, k_drop = jax.random.split(key, 5)
+        corrupted, clean = device_pipeline(k_pipe, raw, aug_type,
+                                           corrupt_type, npoints)
+
+        def loss_fn(params):
+            (loss_xyz, loss_normal), mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                corrupted, clean, train=True,
+                rngs={"corrupt": k_corrupt, "mask": k_mask,
+                      "droppath": k_dp, "dropout": k_drop},
+                mutable=["batch_stats"])
+            loss = compute_loss(loss_type, loss_xyz, loss_normal,
+                                normal_weight, gradual_weight)
+            return loss, (loss_xyz, loss_normal, mut["batch_stats"])
+
+        grads, (loss_xyz, loss_normal, new_bs) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = {"loss_xyz": loss_xyz, "loss_normal": loss_normal}
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    bsh = data_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.jit(step, donate_argnums=0,
+                   in_shardings=(None, bsh, rep, rep),
+                   out_shardings=(None, None))
+
+
+def make_feature_fn(model, mesh=None) -> Callable:
+    """Jitted frozen-feature extractor for the SVM probe."""
+
+    def feats(state: TrainState, pts: Array):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pts, train=False, method="encode")
+
+    if mesh is None:
+        return jax.jit(feats)
+    bsh = data_sharding(mesh)
+    return jax.jit(feats, in_shardings=(None, bsh))
+
+
+def evaluate_svm(train_features, train_labels, test_features, test_labels,
+                 c: float = 0.01) -> float:
+    """LinearSVC probe (runner_pretrain.py:44-48). Host-side sklearn."""
+    from sklearn.svm import LinearSVC
+
+    clf = LinearSVC(C=c)
+    clf.fit(np.asarray(train_features), np.asarray(train_labels))
+    pred = clf.predict(np.asarray(test_features))
+    return float((pred == np.asarray(test_labels)).mean())
+
+
+def init_model(model, config, example_batch, seed: int = 0):
+    """Initialize params/batch_stats with jit so init compiles once."""
+    d = config["dataset"]["train"]["others"]
+    npoints = int(d.get("npoints", 1024))
+    c_dim = example_batch.shape[-1]
+    B = example_batch.shape[0]
+    corrupted = jnp.zeros((B, npoints, 3), jnp.float32)
+    clean = jnp.zeros((B, npoints, c_dim), jnp.float32)
+    rngs = {"params": jax.random.key(seed),
+            "corrupt": jax.random.key(seed + 1),
+            "mask": jax.random.key(seed + 2),
+            "droppath": jax.random.key(seed + 3),
+            "dropout": jax.random.key(seed + 4)}
+    variables = jax.jit(functools.partial(model.init, train=True)
+                        )(rngs, corrupted, clean)
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
+    """Full pretraining loop. Mirrors runner_pretrain.run_net: epoch loop,
+    loss-type schedule, periodic SVM validation, best/last checkpoints, and
+    the exact '[Validation] EPOCH: ...' log-line format that
+    parse_test_res.py-style tooling scrapes."""
+    from ..data.datasets import build_dataset_from_cfg
+    from ..data.loader import DataLoader
+    from ..models import build_model_from_cfg
+    from ..utils.checkpoint import save_checkpoint, resume_checkpoint
+
+    mesh = get_mesh()
+    writer = ScalarWriter(getattr(args, "tfboard_path", None))
+
+    dcfg = config["dataset"]
+    train_set = build_dataset_from_cfg(dcfg["train"]["_base_"],
+                                       dcfg["train"]["others"])
+    val_set = build_dataset_from_cfg(dcfg["val"]["_base_"],
+                                     dcfg["val"]["others"]) \
+        if "val" in dcfg else None
+    extra_set = build_dataset_from_cfg(dcfg["extra_train"]["_base_"],
+                                       dcfg["extra_train"]["others"]) \
+        if "extra_train" in dcfg else None
+
+    total_bs = int(config.get("total_bs", 32))
+    loader = DataLoader(train_set, total_bs, shuffle=True,
+                        seed=getattr(args, "seed", 0))
+    steps_per_epoch = max(len(loader), 1)
+    max_epoch = int(config.get("max_epoch", 300))
+    loss_type = config.get("loss_type", "xyz")
+
+    model = build_model_from_cfg(config["model"])
+    first = next(iter(loader))
+    params, batch_stats = init_model(model, config, first["points"],
+                                     seed=getattr(args, "seed", 0))
+    tx, sched = build_optimizer(config, params, steps_per_epoch,
+                                config.get("grad_norm_clip"))
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+    state = replicate(mesh, state)
+
+    start_epoch, best_acc = 0, 0.0
+    if getattr(args, "resume", False):
+        state, start_epoch, best_acc = resume_checkpoint(
+            args.experiment_path, state)
+
+    train_step = make_train_step(model, config, mesh)
+    feature_fn = make_feature_fn(model, mesh)
+    key = jax.random.key(getattr(args, "seed", 0))
+
+    n_step = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, max_epoch + 1):
+        loader.set_epoch(epoch)
+        gw = jnp.float32(gradual_weight_for(loss_type, epoch, max_epoch))
+        losses = AverageMeter(["xyz", "normal"])
+        t_epoch = time.time()
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            raw = shard_batch(mesh, jnp.asarray(batch["points"]))
+            state, metrics = train_step(state, raw, sub, gw)
+            n_step += 1
+            # pull metrics to host sparsely to keep the device queue full
+            if n_step % 50 == 0 or n_step % steps_per_epoch == 0:
+                m = jax.device_get(metrics)
+                losses.update([m["loss_xyz"] * 1000, m["loss_normal"] * 1000])
+                writer.add_scalar("Loss/Batch/Loss_xyz", float(m["loss_xyz"]), n_step)
+                writer.add_scalar("Loss/Batch/LR", float(sched(n_step)), n_step)
+        print_log(
+            f"[Training] EPOCH: {epoch} EpochTime = {time.time() - t_epoch:.3f} (s) "
+            f"Losses = {[f'{v:.4f}' for v in losses.avg()]}", logger=logger_name)
+
+        val_freq = int(getattr(args, "val_freq", 1))
+        if val_set is not None and extra_set is not None and epoch % val_freq == 0:
+            acc = _svm_validate(feature_fn, state, extra_set, val_set,
+                                config, mesh)
+            writer.add_scalar("Metric/ACC", acc, epoch)
+            print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}",
+                      logger=logger_name)
+            if acc > best_acc:
+                best_acc = acc
+                save_checkpoint(args.experiment_path, "ckpt-best", state,
+                                epoch, best_acc)
+        save_checkpoint(args.experiment_path, "ckpt-last", state, epoch, best_acc)
+    return {"best_acc": best_acc, "state": state}
+
+
+def _svm_validate(feature_fn, state, train_set, test_set, config, mesh,
+                  batch_size: int = 64) -> float:
+    """Extract frozen features for probe train/test sets, fit LinearSVC
+    (runner_pretrain.validate :290-349). Feature gathering across devices is
+    implicit: jit outputs are replicated/addressable on host."""
+    from ..data.loader import DataLoader
+
+    def extract(ds):
+        feats, labels = [], []
+        npoints = int(config["dataset"]["val"]["others"].get("npoints", 1024))
+        loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False)
+        for batch in loader:
+            pts = jnp.asarray(batch["points"][:, :npoints, :3])
+            if pts.shape[0] < batch_size:   # pad tail batch for static shapes
+                pad = batch_size - pts.shape[0]
+                pts = jnp.concatenate([pts, jnp.zeros((pad,) + pts.shape[1:])])
+                f = jax.device_get(feature_fn(state, pts))[:batch_size - pad]
+            else:
+                f = jax.device_get(feature_fn(state, pts))
+            feats.append(f)
+            labels.append(batch["label"])
+        return np.concatenate(feats), np.concatenate(labels)
+
+    tr_f, tr_l = extract(train_set)
+    te_f, te_l = extract(test_set)
+    return evaluate_svm(tr_f, tr_l, te_f, te_l)

@@ -1,0 +1,203 @@
+"""DGCNN-backbone DAE pretraining models + downstream heads.
+
+Registered equivalents of models/PointCAE_DGCNN.py in the reference:
+Point_CAE_DGCNN (PCN coarse+fine), Point_CAE_DGCNN_FCOnly (the released
+non-transformer checkpoint model, rerun.sh:37), Point_CAE_DGCNN_FoldOnly,
+Point_AE_Corruption_DGCNN (reconstructs the corrupted cloud), and the
+DGCNN / DGCNN_Linear / DGCNN_feat downstream heads (PointCAE_DGCNN.py:572-848).
+
+Pretrain-model calling convention: ``(corrupted, clean, train) ->
+(loss_xyz, loss_normal)``; ``method="encode"`` returns the global feature for
+the SVM probe (the ``return_feat=True`` path of the reference forward).
+RNG streams: 'corrupt' (input dropout), 'dropout' (head dropout).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..losses import build_loss_func
+from ..utils.registry import MODELS
+from .common import apply_input_dropout, folding_grid
+from .dgcnn import DGCNNEncoder
+from .layers import MLP, leaky_relu02
+
+Array = jax.Array
+
+
+class _DGCNNDAEBase(nn.Module):
+    """Shared skeleton: input dropout -> DGCNN encoder -> decode -> chamfer."""
+    config: dict
+
+    @property
+    def corrupt_type(self) -> Tuple[str, ...]:
+        return tuple(self.config.get("corrupt_type", ()))
+
+    @property
+    def loss_func(self):
+        return build_loss_func(self.config.get("loss", "cdl2"))
+
+    def _encode_corrupted(self, corrupted: Array, train: bool) -> Array:
+        corrupted = corrupted[..., :3]
+        if train and self.corrupt_type:
+            key = self.make_rng("corrupt")
+            corrupted = apply_input_dropout(key, corrupted, self.corrupt_type)
+        feat, _ = self.encoder(corrupted, train=train)
+        return feat
+
+    def encode(self, pts: Array, train: bool = False) -> Array:
+        """Frozen-feature path for SVM probes (return_feat=True branch)."""
+        feat, _ = self.encoder(pts[..., :3], train=train)
+        return feat
+
+
+@MODELS.register_module()
+class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
+    """FC decoder to 1024 x 3 (PointCAE_DGCNN.py:145-230). Flagship
+    non-transformer model (released checkpoint, rerun.sh:37)."""
+    num_coarse: int = 1024
+
+    def setup(self):
+        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
+
+    def reconstruct(self, corrupted: Array, train: bool = False) -> Array:
+        feat = self._encode_corrupted(corrupted, train)
+        return self.recfc(feat).reshape(-1, self.num_coarse, 3)
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        coarse = self.reconstruct(corrupted, train)
+        loss = self.loss_func(coarse, clean[..., :3])
+        return loss, jnp.zeros(())
+
+
+@MODELS.register_module()
+class Point_CAE_DGCNN(_DGCNNDAEBase):
+    """PCN-style coarse FC + grid-folding fine decoder
+    (PointCAE_DGCNN.py:26-143): coarse (B, 1024, 3); fine = folding over a
+    4x4 grid around each coarse point -> (B, 16384, 3). Returns
+    (loss_coarse, loss_fine)."""
+    num_coarse: int = 1024
+    grid_size: int = 4
+    grid_scale: float = 0.05
+
+    def setup(self):
+        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
+        self.folding2 = MLP((512, 512, 3), name="folding2")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        clean = clean[..., :3]
+        feat = self._encode_corrupted(corrupted, train)     # (B, 1024)
+        B = feat.shape[0]
+        coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
+
+        g2 = self.grid_size ** 2
+        num_fine = g2 * self.num_coarse
+        grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
+                                        (-self.grid_scale, self.grid_scale)))
+        grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))   # (B, F, 2)
+        point_feat = jnp.repeat(coarse, g2, axis=1)                  # (B, F, 3)
+        global_feat = jnp.broadcast_to(feat[:, None, :], (B, num_fine, feat.shape[-1]))
+        h = jnp.concatenate([grid_feat, point_feat, global_feat], axis=-1)
+        fine = self.folding2(h) + point_feat
+        return self.loss_func(coarse, clean), self.loss_func(fine, clean)
+
+
+@MODELS.register_module()
+class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
+    """Pure two-stage folding decoder over a 32x32 grid
+    (PointCAE_DGCNN.py:233-332)."""
+
+    def setup(self):
+        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.folding1 = MLP((1024, 1024, 3), name="folding1")
+        self.folding2 = MLP((1024, 1024, 3), name="folding2")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        clean = clean[..., :3]
+        feat = self._encode_corrupted(corrupted, train)     # (B, 1024)
+        B, C = feat.shape
+        grid = jnp.asarray(folding_grid((32, 32), (-0.3, 0.3)))      # (1024, 2)
+        n = grid.shape[0]
+        featn = jnp.broadcast_to(feat[:, None, :], (B, n, C))
+        f1 = self.folding1(jnp.concatenate(
+            [featn, jnp.tile(grid[None], (B, 1, 1))], -1))
+        f2 = self.folding2(jnp.concatenate([featn, f1], -1))
+        loss = self.loss_func(f2, clean)
+        return loss, jnp.zeros(())
+
+
+@MODELS.register_module()
+class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
+    """Ablation: reconstruct the *corrupted* cloud instead of the clean one
+    (PointCAE_DGCNN.py:335-451)."""
+    num_coarse: int = 1024
+
+    def setup(self):
+        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        target = corrupted[..., :3]
+        feat = self._encode_corrupted(corrupted, train)
+        coarse = self.recfc(feat).reshape(-1, self.num_coarse, 3)
+        loss = self.loss_func(coarse, target)
+        return loss, jnp.zeros(())
+
+
+class _ClsHead(nn.Module):
+    """DGCNN classification head (PointCAE_DGCNN.py:572-664): two
+    Dense+BN+LeakyReLU+Dropout stages then a linear classifier."""
+    cls_dim: int
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        x = nn.Dense(512, use_bias=False, name="fc1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(x)
+        x = leaky_relu02(x)
+        x = nn.Dropout(self.dropout, name="dp1")(x, deterministic=not train)
+        x = nn.Dense(256, name="fc2")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn2")(x)
+        x = leaky_relu02(x)
+        x = nn.Dropout(self.dropout, name="dp2")(x, deterministic=not train)
+        return nn.Dense(self.cls_dim, name="cls")(x)
+
+
+@MODELS.register_module()
+class DGCNN(nn.Module):
+    """Classification fine-tune model (PointCAE_DGCNN.py:572-664)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        return _ClsHead(self.config.get("cls_dim", 40), name="cls_head")(feat, train)
+
+
+@MODELS.register_module()
+class DGCNN_Linear(nn.Module):
+    """Linear probe head on the frozen-ish encoder (PointCAE_DGCNN.py:666-752)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        return nn.Dense(self.config.get("cls_dim", 40), name="cls")(feat)
+
+
+@MODELS.register_module()
+class DGCNN_feat(nn.Module):
+    """SVM feature extractor (PointCAE_DGCNN.py:754-848)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = False) -> Array:
+        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        return feat

@@ -1,0 +1,97 @@
+"""DGCNN encoder + Point-DAE heads (reference: models/dgcnn_util.py,
+models/PointCAE_DGCNN.py).
+
+TPU design notes:
+- EdgeConv's kNN runs as one MXU matmul + top_k per layer (the reference's
+  ``knn`` at dgcnn_util.py:7-12 is the same math on CUDA); graph features are
+  built with ``take_along_axis`` gathers instead of flattened index ops.
+- Channel-last layout throughout; max-pools over the neighbour axis.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import knn
+from .layers import leaky_relu02
+
+Array = jax.Array
+
+
+def get_graph_feature(x: Array, k: int = 20, idx: Optional[Array] = None) -> Array:
+    """Edge features (dgcnn_util.py:15-36). x: (B, N, C) ->
+    (B, N, k, 2C) = concat(neighbor - self, self)."""
+    if idx is None:
+        _, idx = knn(x, x, k)                              # (B, N, k)
+    B, N, C = x.shape
+    feature = jnp.take_along_axis(
+        x, idx.reshape(B, N * k, 1), axis=1).reshape(B, N, k, C)
+    center = jnp.broadcast_to(x[:, :, None, :], (B, N, k, C))
+    return jnp.concatenate([feature - center, center], axis=-1)
+
+
+class EdgeConv(nn.Module):
+    """One EdgeConv: graph feature -> pointwise Dense+BN+LeakyReLU -> max_k."""
+    out_dim: int
+    k: int = 20
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        h = get_graph_feature(x, self.k)                    # (B, N, k, 2C)
+        h = nn.Dense(self.out_dim, use_bias=False, name="conv")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn")(h)
+        h = leaky_relu02(h)
+        return jnp.max(h, axis=2)                           # (B, N, out_dim)
+
+
+class DGCNNEncoder(nn.Module):
+    """4 EdgeConvs + 1024-d fuse + global max-pool (dgcnn_util.py:87-136).
+
+    Returns (global_feature (B, 1024), pointwise (B, N, 1024)); the
+    'nopooling' variant of the reference is the second output.
+    """
+    k: int = 20
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
+        x1 = EdgeConv(64, self.k, name="ec1")(x, train)
+        x2 = EdgeConv(64, self.k, name="ec2")(x1, train)
+        x3 = EdgeConv(128, self.k, name="ec3")(x2, train)
+        x4 = EdgeConv(256, self.k, name="ec4")(x3, train)
+        h = jnp.concatenate([x1, x2, x3, x4], axis=-1)      # (B, N, 512)
+        h = nn.Dense(1024, use_bias=False, name="conv5")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn5")(h)
+        h = leaky_relu02(h)
+        return jnp.max(h, axis=1), h
+
+
+class DGCNNPartSegEncoder(nn.Module):
+    """Segmentation-style DGCNN (dgcnn_util.py:193-246): 3 EdgeConv stages
+    (first two with double conv), 64-d each, 1024-d fuse."""
+    k: int = 20
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
+        def stage(x, dims, name):
+            h = get_graph_feature(x, self.k)
+            for j, d in enumerate(dims):
+                h = nn.Dense(d, use_bias=False, name=f"{name}_conv{j}")(h)
+                h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, name=f"{name}_bn{j}")(h)
+                h = leaky_relu02(h)
+            return jnp.max(h, axis=2)
+
+        x1 = stage(x, (64, 64), "s1")
+        x2 = stage(x1, (64, 64), "s2")
+        x3 = stage(x2, (64,), "s3")
+        h = jnp.concatenate([x1, x2, x3], axis=-1)          # (B, N, 192)
+        h = nn.Dense(1024, use_bias=False, name="conv6")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn6")(h)
+        h = leaky_relu02(h)
+        return jnp.max(h, axis=1), h

@@ -1,0 +1,262 @@
+"""Shared flax.linen building blocks for the model zoo.
+
+Torch-to-TPU layout note: the reference uses channel-first ``Conv1d/Conv2d``
+with kernel size 1 everywhere — these are pointwise MLPs. Here everything is
+channel-last ``Dense`` over the trailing axis, which is the TPU-friendly
+layout (lane dimension = features).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jax.Array
+
+
+def leaky_relu02(x: Array) -> Array:
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class PointwiseMLP(nn.Module):
+    """Stack of Dense(+BatchNorm)(+activation) applied pointwise.
+
+    Equivalent of the reference's Conv1d/Conv2d(kernel=1) + BatchNorm + act
+    sequences. BatchNorm statistics reduce over all leading axes (batch and
+    points), matching torch BatchNorm1d/2d over (B, C, N)/(B, C, N, K).
+    """
+    features: Sequence[int]
+    act: Callable = nn.relu
+    use_bn: bool = True
+    bn_last: bool = True          # apply BN+act after the last layer too?
+    act_last: bool = True
+    use_bias: Optional[bool] = None  # default: no bias when BN follows
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            last = i == n - 1
+            with_bn = self.use_bn and (self.bn_last or not last)
+            bias = self.use_bias if self.use_bias is not None else not with_bn
+            x = nn.Dense(f, use_bias=bias, name=f"dense{i}")(x)
+            if with_bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5, name=f"bn{i}")(x)
+            if self.act_last or not last:
+                x = self.act(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Plain MLP (Linear + act), no norm — e.g. decoder FC heads."""
+    features: Sequence[int]
+    act: Callable = nn.relu
+    act_last: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, name=f"dense{i}")(x)
+            if i < n - 1 or self.act_last:
+                x = self.act(x)
+        return x
+
+
+def drop_path(key: jax.Array, x: Array, rate: float, deterministic: bool) -> Array:
+    """Stochastic depth per sample (timm DropPath used by ViT blocks)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+class DropPath(nn.Module):
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng("droppath")
+        return drop_path(key, x, self.rate, deterministic)
+
+
+class Attention(nn.Module):
+    """ViT multi-head self-attention (PointCAE_transformer.py:113-137).
+
+    Supports an optional key-validity mask for the static-shape MAE design:
+    masked tokens are excluded as attention *keys* (equivalent to the
+    reference running the encoder only on visible tokens).
+    """
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, key_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        B, N, C = x.shape
+        H = self.num_heads
+        head = C // H
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, head).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]                    # (B, H, N, head)
+        scale = head ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        if key_mask is not None:
+            bias = jnp.where(key_mask[:, None, None, :], 0.0, -1e9)
+            attn = attn + bias
+        attn = jax.nn.softmax(attn, axis=-1)
+        if self.attn_drop > 0 and not deterministic:
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=False)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        out = nn.Dense(C, name="proj")(out)
+        if self.proj_drop > 0 and not deterministic:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=False)
+        return out
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm ViT block (PointCAE_transformer.py:140-158)."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, key_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        h = nn.LayerNorm(name="norm1")(x)
+        h = Attention(self.dim, self.num_heads, self.qkv_bias,
+                      self.attn_drop, self.drop, name="attn")(
+            h, key_mask=key_mask, deterministic=deterministic)
+        x = x + DropPath(self.drop_path_rate, name="dp1")(h, deterministic)
+        h = nn.LayerNorm(name="norm2")(x)
+        hidden = int(self.dim * self.mlp_ratio)
+        h = nn.Dense(hidden, name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        if self.drop > 0 and not deterministic:
+            h = nn.Dropout(self.drop)(h, deterministic=False)
+        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        if self.drop > 0 and not deterministic:
+            h = nn.Dropout(self.drop)(h, deterministic=False)
+        x = x + DropPath(self.drop_path_rate, name="dp2")(h, deterministic)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack with positional embedding re-added at every block
+    (TransformerEncoder, PointCAE_transformer.py:161-177)."""
+    embed_dim: int
+    depth: int
+    num_heads: int
+    drop_path_rate: float = 0.0
+    one_pe: bool = False  # TransformerEncoderOnePE variant (:180-197)
+
+    @nn.compact
+    def __call__(self, x: Array, pos: Array, key_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
+               for i in range(self.depth)]
+        if self.one_pe:
+            x = x + pos
+        for i in range(self.depth):
+            if not self.one_pe:
+                x = x + pos
+            x = TransformerBlock(self.embed_dim, self.num_heads,
+                                 drop_path_rate=dpr[i], name=f"block{i}")(
+                x, key_mask=key_mask, deterministic=deterministic)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """Decoder stack + final LayerNorm (TransformerDecoder,
+    PointCAE_transformer.py:200-232). Pos re-added each block; the
+    ``return_token_num`` slicing of the reference is replaced by the caller
+    selecting tokens via masks (static shapes)."""
+    embed_dim: int
+    depth: int
+    num_heads: int
+    drop_path_rate: float = 0.0
+    one_pe: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, pos: Array, key_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
+               for i in range(self.depth)]
+        if self.one_pe:
+            x = x + pos
+        for i in range(self.depth):
+            if not self.one_pe:
+                x = x + pos
+            x = TransformerBlock(self.embed_dim, self.num_heads,
+                                 drop_path_rate=dpr[i], name=f"block{i}")(
+                x, key_mask=key_mask, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm")(x)
+        return x
+
+
+class PosEmbedMLP(nn.Module):
+    """3 -> 128 -> dim GELU MLP positional embedding
+    (PointCAE_transformer.py:329-333)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, xyz: Array) -> Array:
+        h = nn.Dense(128, name="fc1")(xyz)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.dim, name="fc2")(h)
+
+
+class PatchEncoder(nn.Module):
+    """Mini-PointNet patch embedding (Encoder, PointCAE_transformer.py:20-51).
+
+    (B, G, S, C_in) -> (B, G, encoder_channel). Max-pools are mask-aware so
+    padded/dropped in-patch points are ignored when ``point_mask`` is given.
+    """
+    encoder_channel: int
+
+    @nn.compact
+    def __call__(self, groups: Array, point_mask: Optional[Array] = None,
+                 train: bool = True) -> Array:
+        B, G, S, C = groups.shape
+        x = groups.reshape(B * G, S, C)
+        if point_mask is not None:
+            pm = point_mask.reshape(B * G, S, 1)
+        else:
+            pm = None
+
+        def masked_max(feat, keepdims):
+            if pm is None:
+                return jnp.max(feat, axis=1, keepdims=keepdims)
+            neg = jnp.where(pm, feat, -1e9)
+            return jnp.max(neg, axis=1, keepdims=keepdims)
+
+        h = nn.Dense(128, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(256, name="conv2")(h)
+        g = masked_max(h, keepdims=True)                       # (BG, 1, 256)
+        h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
+        h = nn.Dense(512, name="conv3")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.encoder_channel, name="conv4")(h)
+        out = masked_max(h, keepdims=False)                    # (BG, C)
+        return out.reshape(B, G, self.encoder_channel)

@@ -1,0 +1,109 @@
+"""Point-MAE baseline pretraining models (reference: models/Point_MAE.py:351-577).
+
+Point_MAE masks patches of the *clean* cloud (no affine corruption) and
+reconstructs masked normalized patches; ``Point_MAE_folding`` swaps the FC
+head for a folding head. Uses the same static-shape masking machinery as the
+PointCAE transformer family.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..losses import build_loss_func
+from ..ops import group_neighborhood
+from ..utils.registry import MODELS
+from .layers import MLP, PosEmbedMLP, TransformerDecoder
+from .transformer import (MaskTransformerEncoder, _CAETransformerBase,
+                          _FoldingLocalHead, _masked_loss_fn)
+
+Array = jax.Array
+
+
+@MODELS.register_module()
+class Point_MAE(_CAETransformerBase):
+    """Masked autoencoder baseline (Point_MAE.py:351-447). Forward: group the
+    clean cloud (no affine), mask, decode, FC head to S*3 per masked token."""
+
+    def setup(self):
+        t = self.tcfg
+        self.MAE_encoder = MaskTransformerEncoder(
+            trans_dim=t["trans_dim"], depth=t["depth"],
+            num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
+            drop_path_rate=t.get("drop_path_rate", 0.1),
+            mask_ratio=t.get("mask_ratio", 0.6),
+            rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+            name="MAE_encoder")
+        self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = TransformerDecoder(
+            embed_dim=t["trans_dim"], depth=t["decoder_depth"],
+            num_heads=t["decoder_num_heads"],
+            drop_path_rate=t.get("drop_path_rate", 0.1), name="MAE_decoder")
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(3 * self.config["group_size"],
+                                     name="increase_dim")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+
+    @property
+    def masked_mode(self) -> bool:
+        return True
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        G, S = self.config["num_group"], self.config["group_size"]
+        neigh, center = group_neighborhood(pts, G, S)
+        x_vis, mask = self.MAE_encoder(neigh, center, train=train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        B = x_rec.shape[0]
+        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, mask.astype(jnp.float32).reshape(-1))
+        return loss1, jnp.zeros(())
+
+    def encode(self, pts: Array, train: bool = False) -> Array:
+        G, S = self.config["num_group"], self.config["group_size"]
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        x, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)
+        return jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+
+
+@MODELS.register_module()
+class Point_MAE_folding(_CAETransformerBase):
+    """Point_MAE with a folding reconstruction head (Point_MAE.py:449-577)."""
+
+    def setup(self):
+        t = self.tcfg
+        self.MAE_encoder = MaskTransformerEncoder(
+            trans_dim=t["trans_dim"], depth=t["depth"],
+            num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
+            drop_path_rate=t.get("drop_path_rate", 0.1),
+            mask_ratio=t.get("mask_ratio", 0.6),
+            rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+            name="MAE_encoder")
+        self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = TransformerDecoder(
+            embed_dim=t["trans_dim"], depth=t["decoder_depth"],
+            num_heads=t["decoder_num_heads"],
+            drop_path_rate=t.get("drop_path_rate", 0.1), name="MAE_decoder")
+        self.mask_token = self._make_mask_token()
+        self.fold = _FoldingLocalHead(t["trans_dim"], name="fold")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+
+    @property
+    def masked_mode(self) -> bool:
+        return True
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        G, S = self.config["num_group"], self.config["group_size"]
+        neigh, center = group_neighborhood(pts, G, S)
+        x_vis, mask = self.MAE_encoder(neigh, center, train=train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        B = x_rec.shape[0]
+        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, mask.astype(jnp.float32).reshape(-1))
+        return loss1, jnp.zeros(())

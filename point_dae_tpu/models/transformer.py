@@ -1,0 +1,593 @@
+"""Transformer-backbone Point-DAE models (reference: models/PointCAE_transformer.py)
+and the Point-MAE-style fine-tune heads (models/Point_MAE.py:578-1092).
+
+Static-shape MAE design (the key TPU departure from the reference): instead of
+gathering visible tokens into a shorter sequence (dynamic shapes under a
+random mask ratio ~ U(0.5, 0.8)), all G tokens stay in place and masked tokens
+are excluded as attention *keys* in the encoder. Visible-token activations are
+mathematically identical to the reference's gathered run (attention is
+permutation-equivariant; LayerNorm/MLP are per-token); the decoder then swaps
+masked positions for the learned mask token and attends over everything, which
+matches the reference decoder over [visible ++ mask] tokens. Reconstruction
+losses are weighted by the mask instead of sliced. The result compiles once
+for any mask ratio.
+
+RNG streams: 'corrupt' (patch affine), 'mask' (patch masking), 'droppath',
+'dropout'.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..data.corruptions_patch import corrupt_patches
+from ..losses import build_loss_func, masked_chamfer_l1, masked_chamfer_l2
+from ..ops import group_neighborhood
+from ..utils.registry import MODELS
+from .common import folding_grid
+from .layers import (MLP, PatchEncoder, PosEmbedMLP, TransformerDecoder,
+                     TransformerEncoder)
+
+Array = jax.Array
+
+
+def _masked_loss_fn(loss_type: str):
+    if loss_type == "cdl1":
+        return masked_chamfer_l1
+    if loss_type == "cdl2":
+        return masked_chamfer_l2
+    raise NotImplementedError(loss_type)
+
+
+def sample_patch_mask(key: jax.Array, batch: int, num_group: int,
+                      mask_ratio: float, rand_ratio: bool) -> Array:
+    """Random patch mask (MaskTransformer._mask_center_rand,
+    PointCAE_transformer.py:395-422): if ``rand_ratio``, ratio ~ U(0.5, 0.8)
+    drawn once per call; exactly int(ratio*G) patches masked per sample."""
+    k_ratio, k_perm = jax.random.split(key)
+    if rand_ratio:
+        ratio = jax.random.uniform(k_ratio, (), minval=0.5, maxval=0.8)
+    else:
+        ratio = jnp.float32(mask_ratio)
+    num_mask = jnp.floor(ratio * num_group).astype(jnp.int32)
+    r = jax.random.uniform(k_perm, (batch, num_group))
+    order = jnp.argsort(r, axis=-1)
+    rank = jnp.zeros((batch, num_group), jnp.int32).at[
+        jnp.arange(batch)[:, None], order].set(
+        jnp.arange(num_group, dtype=jnp.int32)[None])
+    return rank < num_mask          # True = masked
+
+
+class MaskTransformerEncoder(nn.Module):
+    """Patch embed + random masking + ViT encoder (MaskTransformer,
+    PointCAE_transformer.py:304-469, PointViT arch)."""
+    trans_dim: int
+    depth: int
+    num_heads: int
+    encoder_dims: int
+    drop_path_rate: float = 0.1
+    mask_ratio: float = 0.6
+    rand_ratio: bool = True
+
+    def setup(self):
+        self.patch_embed = PatchEncoder(self.encoder_dims, name="encoder")
+        self.pos_embed = PosEmbedMLP(self.trans_dim, name="pos_embed")
+        self.blocks = TransformerEncoder(self.trans_dim, self.depth,
+                                         self.num_heads,
+                                         drop_path_rate=self.drop_path_rate,
+                                         name="blocks")
+        self.norm = nn.LayerNorm(name="norm")
+
+    def __call__(self, neighborhood: Array, center: Array,
+                 noaug: bool = False, train: bool = True
+                 ) -> Tuple[Array, Array]:
+        B, G = neighborhood.shape[:2]
+        tokens = self.patch_embed(neighborhood, train=train)     # (B, G, C)
+        if noaug:
+            mask = jnp.zeros((B, G), bool)
+        else:
+            mask = sample_patch_mask(self.make_rng("mask"), B, G,
+                                     self.mask_ratio, self.rand_ratio)
+        pos = self.pos_embed(center)
+        vis = jnp.logical_not(mask)
+        x = self.blocks(tokens, pos, key_mask=vis, deterministic=not train)
+        x = self.norm(x)
+        return x, mask
+
+
+class NormalTransformerEncoder(nn.Module):
+    """No-masking variant (NormalTransformer, PointCAE_transformer.py:473-612)."""
+    trans_dim: int
+    depth: int
+    num_heads: int
+    encoder_dims: int
+    drop_path_rate: float = 0.1
+
+    def setup(self):
+        self.patch_embed = PatchEncoder(self.encoder_dims, name="encoder")
+        self.pos_embed = PosEmbedMLP(self.trans_dim, name="pos_embed")
+        self.blocks = TransformerEncoder(self.trans_dim, self.depth,
+                                         self.num_heads,
+                                         drop_path_rate=self.drop_path_rate,
+                                         name="blocks")
+        self.norm = nn.LayerNorm(name="norm")
+
+    def __call__(self, neighborhood: Array, center: Array,
+                 train: bool = True) -> Array:
+        tokens = self.patch_embed(neighborhood, train=train)
+        pos = self.pos_embed(center)
+        x = self.blocks(tokens, pos, deterministic=not train)
+        return self.norm(x)
+
+
+class _CAETransformerBase(nn.Module):
+    """Shared flow of the PointCAE_transformer family (forward at
+    PointCAE_transformer.py:675-742): re-group the clean cloud, apply the same
+    batch-tensor affine to patches+centers, mask, decode with GT-center
+    positional embeddings, reconstruct normalized local patches."""
+    config: dict
+
+    @property
+    def tcfg(self):
+        return self.config["transformer_config"]
+
+    @property
+    def corrupt_type(self) -> Tuple[str, ...]:
+        return tuple(self.config.get("corrupt_type", ()))
+
+    @property
+    def masked_mode(self) -> bool:
+        return "Drop-Patch" in self.corrupt_type
+
+    @property
+    def all_patch(self) -> bool:
+        return str(self.config.get("all_patch", "False")) == "True"
+
+    def _make_encoder(self):
+        t = self.tcfg
+        if self.masked_mode:
+            return MaskTransformerEncoder(
+                trans_dim=t["trans_dim"], depth=t["depth"],
+                num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
+                drop_path_rate=t.get("drop_path_rate", 0.1),
+                mask_ratio=t.get("mask_ratio", 0.6),
+                rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+                name="MAE_encoder")
+        return NormalTransformerEncoder(
+            trans_dim=t["trans_dim"], depth=t["depth"],
+            num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
+            drop_path_rate=t.get("drop_path_rate", 0.1), name="MAE_encoder")
+
+    def _make_decoder(self):
+        t = self.tcfg
+        return TransformerDecoder(
+            embed_dim=t["trans_dim"], depth=t["decoder_depth"],
+            num_heads=t["decoder_num_heads"],
+            drop_path_rate=t.get("drop_path_rate", 0.1), name="MAE_decoder")
+
+    def _group_and_corrupt(self, pts: Array, train: bool):
+        """Returns (gt_neighborhood centered, center, transformed centered
+        neighborhood, transformed center)."""
+        G = self.config["num_group"]
+        S = self.config["group_size"]
+        neigh, center = group_neighborhood(pts, G, S)       # centered
+        abs_neigh = neigh + center[:, :, None, :]
+        if train:
+            key = self.make_rng("corrupt")
+            t_neigh, t_center = corrupt_patches(key, abs_neigh, center,
+                                                self.corrupt_type)
+        else:
+            t_neigh, t_center = abs_neigh, center
+        t_neigh = t_neigh - t_center[:, :, None, :]
+        return neigh, center, t_neigh, t_center
+
+    def _encode(self, t_neigh, t_center, train):
+        if self.masked_mode:
+            return self.MAE_encoder(t_neigh, t_center, train=train)
+        x = self.MAE_encoder(t_neigh, t_center, train=train)
+        return x, jnp.zeros(x.shape[:2], bool)
+
+    def _make_mask_token(self):
+        """Learned mask token (call from setup when masked_mode)."""
+        return self.param("mask_token", nn.initializers.truncated_normal(0.02),
+                          (1, 1, self.tcfg["trans_dim"]))
+
+    def _decode(self, x_vis: Array, mask: Array, center: Array, train: bool) -> Array:
+        """Swap masked slots for the mask token, add GT-center decoder pos
+        embedding, run the decoder over all G tokens."""
+        if self.masked_mode:
+            x_full = jnp.where(mask[..., None], self.mask_token, x_vis)
+        else:
+            x_full = x_vis
+        pos_full = self.decoder_pos_embed(center)
+        return self.MAE_decoder(x_full, pos_full, deterministic=not train)
+
+    def _loss_weights(self, mask: Array) -> Array:
+        """Which patches enter the reconstruction loss: masked only, or all
+        (all_patch=='True'), or all in the no-mask variant."""
+        if not self.masked_mode or self.all_patch:
+            return jnp.ones(mask.shape, jnp.float32).reshape(-1)
+        return mask.astype(jnp.float32).reshape(-1)
+
+    def encode(self, pts: Array, train: bool = False) -> Array:
+        """Global feature for SVM probes: masked-max + mean over tokens with
+        no masking (return_feat path, PointCAE_transformer.py:1024-1026)."""
+        G = self.config["num_group"]
+        S = self.config["group_size"]
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        if self.masked_mode:
+            x, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)
+        else:
+            x = self.MAE_encoder(neigh, center, train=train)
+        return jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+
+
+@MODELS.register_module()
+class PointCAE_transformer(_CAETransformerBase):
+    """FC local-patch reconstruction (PointCAE_transformer.py:617-742):
+    per-token Dense to S*3 points, chamfer on normalized patches."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(3 * self.config["group_size"],
+                                     name="increase_dim")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        return loss1, jnp.zeros(())
+
+
+class _FoldingLocalHead(nn.Module):
+    """Two-stage folding over a 6x6 grid per token
+    (PointCAE_transformer.py:789-803,859-878)."""
+    trans_dim: int
+
+    @nn.compact
+    def __call__(self, x_rec: Array) -> Array:
+        B, G, C = x_rec.shape
+        grid = jnp.asarray(folding_grid((6, 6), (-0.3, 0.3)))   # (36, 2)
+        n = grid.shape[0]
+        feat = jnp.broadcast_to(x_rec[:, :, None, :], (B, G, n, C))
+        gridb = jnp.broadcast_to(grid[None, None], (B, G, n, 2))
+        f1 = MLP((self.trans_dim, self.trans_dim, 3), name="folding1")(
+            jnp.concatenate([feat, gridb], -1))
+        f2 = MLP((self.trans_dim, self.trans_dim, 3), name="folding2")(
+            jnp.concatenate([feat, f1], -1))
+        return f2                                                # (B, G, 36, 3)
+
+
+@MODELS.register_module()
+class PointCAE_transformer_folding(_CAETransformerBase):
+    """Folding local-patch reconstruction (PointCAE_transformer.py:747-915)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"], name="fold")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        return loss1, jnp.zeros(())
+
+
+@MODELS.register_module()
+class PointCAE_transformer_fc_global_folding_local(_CAETransformerBase):
+    """Flagship transformer model (released checkpoint, rerun2.sh:38; forward
+    PointCAE_transformer.py:1008-1145): FC global-shape head on the pooled
+    visible feature (chamfer vs patch centers) + folding local head on decoded
+    tokens (chamfer vs normalized masked patches)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.coarse_pred = MLP((1024, 1024, 3 * 64), name="coarse_pred")
+        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"], name="fold")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def _global_feature(self, x: Array, mask: Array) -> Array:
+        """max + mean over *visible* tokens (PointCAE_transformer.py:1024).
+
+        With the static-shape design masked slots hold garbage, so both
+        reductions are mask-aware."""
+        vis = jnp.logical_not(mask)[..., None]
+        neg = jnp.where(vis, x, -1e9)
+        cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
+        mean = jnp.sum(jnp.where(vis, x, 0.0), axis=1) / cnt
+        return jnp.max(neg, axis=1) + mean
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        gfeat = self._global_feature(x_vis, mask)
+        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        loss2 = self.global_loss_fn(coarse, center)
+
+        x_rec = self._decode(x_vis, mask, center, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        return loss1, loss2
+
+    def reconstruct(self, clean: Array, train: bool = False):
+        """Visualization path: (coarse global cloud, local patch rebuilds)."""
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        gfeat = self._global_feature(x_vis, mask)
+        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        x_rec = self._decode(x_vis, mask, center, train)
+        rebuild = self.fold(x_rec) + center[:, :, None, :]
+        return coarse, rebuild, mask
+
+
+@MODELS.register_module()
+class PointCAE_transformer_fc_global_fc_local(_CAETransformerBase):
+    """FC global + FC local heads (PointCAE_transformer.py:1620-1785)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.coarse_pred = MLP((1024, 1024, 3 * 64), name="coarse_pred")
+        self.increase_dim = nn.Dense(3 * self.config["group_size"],
+                                     name="increase_dim")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        vis = jnp.logical_not(mask)[..., None]
+        neg = jnp.where(vis, x_vis, -1e9)
+        cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
+        gfeat = jnp.max(neg, 1) + jnp.sum(jnp.where(vis, x_vis, 0.0), 1) / cnt
+        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        loss2 = self.global_loss_fn(coarse, center)
+
+        x_rec = self._decode(x_vis, mask, center, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        return loss1, loss2
+
+
+@MODELS.register_module()
+class PointCAE_transformer_folding_global_folding_local(_CAETransformerBase):
+    """Folding global + folding local (PointCAE_transformer.py:1150-1380)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.global_fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+                                             name="global_fold")
+        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"], name="fold")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        vis = jnp.logical_not(mask)[..., None]
+        neg = jnp.where(vis, x_vis, -1e9)
+        cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
+        gfeat = jnp.max(neg, 1) + jnp.sum(jnp.where(vis, x_vis, 0.0), 1) / cnt
+        coarse = self.global_fold(gfeat[:, None, :])[:, 0]      # (B, 36, 3)
+        loss2 = self.global_loss_fn(coarse, center)
+
+        x_rec = self._decode(x_vis, mask, center, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        return loss1, loss2
+
+
+@MODELS.register_module()
+class PointCAE_transformer_patch_center_only(_CAETransformerBase):
+    """Predict only the patch-center cloud from the pooled feature
+    (PointCAE_transformer.py:2200-2340)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.coarse_pred = MLP((1024, 1024, 3 * 64), name="coarse_pred")
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        vis = jnp.logical_not(mask)[..., None]
+        neg = jnp.where(vis, x_vis, -1e9)
+        cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
+        gfeat = jnp.max(neg, 1) + jnp.sum(jnp.where(vis, x_vis, 0.0), 1) / cnt
+        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        loss2 = self.global_loss_fn(coarse, center)
+        return loss2, jnp.zeros(())
+
+
+# ----------------------------------------------------------- finetune heads
+
+class _FinetuneHead(nn.Module):
+    """Dense+BN+ReLU+Dropout x2 -> classifier (Point_MAE.py:617-627)."""
+    dims: Sequence[int]
+    cls_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, name=f"fc{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.5, name=f"dp{i}")(x, deterministic=not train)
+        return nn.Dense(self.cls_dim, name="cls")(x)
+
+
+@MODELS.register_module()
+class PointTransformer(nn.Module):
+    """Classification fine-tune with cls+pos token (Point_MAE.py:578-708):
+    concat [cls token out, max over patch tokens] -> MLP head."""
+    config: dict
+
+    def setup(self):
+        c = self.config
+        self.group_divider_args = (c["num_group"], c["group_size"])
+        self.patch_embed = PatchEncoder(c["encoder_dims"], name="encoder")
+        self.pos_embed = PosEmbedMLP(c["trans_dim"], name="pos_embed")
+        self.cls_token = self.param("cls_token",
+                                    nn.initializers.truncated_normal(0.02),
+                                    (1, 1, c["trans_dim"]))
+        self.cls_pos = self.param("cls_pos",
+                                  nn.initializers.truncated_normal(0.02),
+                                  (1, 1, c["trans_dim"]))
+        self.blocks = TransformerEncoder(c["trans_dim"], c["depth"],
+                                         c["num_heads"],
+                                         drop_path_rate=c.get("drop_path_rate", 0.1),
+                                         name="blocks")
+        self.norm = nn.LayerNorm(name="norm")
+        self.head = _FinetuneHead((512, 256), c["cls_dim"],
+                                  name="cls_head_finetune")
+
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        G, S = self.group_divider_args
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        tokens = self.patch_embed(neigh, train=train)
+        B = tokens.shape[0]
+        cls_tok = jnp.broadcast_to(self.cls_token, (B, 1, tokens.shape[-1]))
+        cls_pos = jnp.broadcast_to(self.cls_pos, (B, 1, tokens.shape[-1]))
+        pos = jnp.concatenate([cls_pos, self.pos_embed(center)], axis=1)
+        x = jnp.concatenate([cls_tok, tokens], axis=1)
+        x = self.blocks(x, pos, deterministic=not train)
+        x = self.norm(x)
+        feat = jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)], axis=-1)
+        return self.head(feat, train)
+
+
+@MODELS.register_module()
+class PointTransformerNoClassToken(nn.Module):
+    """Fine-tune head without class token (Point_MAE.py:709-845):
+    max+mean pooling -> 256/256 head."""
+    config: dict
+
+    def setup(self):
+        c = self.config
+        self.group_divider_args = (c["num_group"], c["group_size"])
+        self.patch_embed = PatchEncoder(c["encoder_dims"], name="encoder")
+        self.pos_embed = PosEmbedMLP(c["trans_dim"], name="pos_embed")
+        self.blocks = TransformerEncoder(c["trans_dim"], c["depth"],
+                                         c["num_heads"],
+                                         drop_path_rate=c.get("drop_path_rate", 0.1),
+                                         name="blocks")
+        self.norm = nn.LayerNorm(name="norm")
+        self.head = _FinetuneHead((256, 256), c["cls_dim"],
+                                  name="cls_head_finetune")
+
+    def _backbone(self, pts: Array, train: bool) -> Array:
+        G, S = self.group_divider_args
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        tokens = self.patch_embed(neigh, train=train)
+        x = self.blocks(tokens, self.pos_embed(center), deterministic=not train)
+        x = self.norm(x)
+        return jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        return self.head(self._backbone(pts, train), train)
+
+    def encode(self, pts: Array, train: bool = False) -> Array:
+        return self._backbone(pts, train)
+
+
+@MODELS.register_module()
+class PointTransformer_LinearClassification(nn.Module):
+    """Linear probe on the no-cls-token backbone (Point_MAE.py:846-969)."""
+    config: dict
+
+    def setup(self):
+        c = self.config
+        self.group_divider_args = (c["num_group"], c["group_size"])
+        self.patch_embed = PatchEncoder(c["encoder_dims"], name="encoder")
+        self.pos_embed = PosEmbedMLP(c["trans_dim"], name="pos_embed")
+        self.blocks = TransformerEncoder(c["trans_dim"], c["depth"],
+                                         c["num_heads"],
+                                         drop_path_rate=c.get("drop_path_rate", 0.1),
+                                         name="blocks")
+        self.norm = nn.LayerNorm(name="norm")
+        self.cls = nn.Dense(c["cls_dim"], name="cls")
+
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        G, S = self.group_divider_args
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        tokens = self.patch_embed(neigh, train=train)
+        x = self.blocks(tokens, self.pos_embed(center), deterministic=not train)
+        x = self.norm(x)
+        return self.cls(jnp.max(x, axis=1) + jnp.mean(x, axis=1))
+
+
+@MODELS.register_module()
+class PointTransformerNoClassTokenSVMFeature(PointTransformerNoClassToken):
+    """SVM feature extractor for transformer checkpoints (Point_MAE.py:970-1092,
+    used by rerun2.sh:42): returns max+mean pooled features."""
+
+    def setup(self):
+        c = self.config
+        self.group_divider_args = (c["num_group"], c["group_size"])
+        self.patch_embed = PatchEncoder(c["encoder_dims"], name="encoder")
+        self.pos_embed = PosEmbedMLP(c["trans_dim"], name="pos_embed")
+        self.blocks = TransformerEncoder(c["trans_dim"], c["depth"],
+                                         c["num_heads"],
+                                         drop_path_rate=c.get("drop_path_rate", 0.1),
+                                         name="blocks")
+        self.norm = nn.LayerNorm(name="norm")
+
+    def __call__(self, pts: Array, train: bool = False) -> Array:
+        return self._backbone(pts, train)

@@ -1,0 +1,212 @@
+"""Fixed-shape point-cloud geometry primitives for TPU.
+
+One module replaces the reference's four separate CUDA stacks:
+
+- ``furthest_point_sample``  <- pointnet2 ``sampling_gpu.cu:73-229`` and
+  pointops ``sampling_cuda_kernel.cu:15-171``
+- ``knn``                    <- KNN_CUDA wheel and pointops heap kNN
+  (``knnquery_cuda_kernel.cu:65-116``)
+- ``ball_query``             <- pointnet2 ``ball_query_gpu.cu:12-57``
+- ``gather_points`` / ``group_points`` <- pointnet2 ``sampling_gpu.cu:11-71``,
+  ``group_points_gpu.cu:11-78``
+- ``three_nn`` / ``three_interpolate`` <- pointnet2 ``interpolate_gpu.cu:12-157``
+
+Everything operates on fixed-shape ``(B, N, 3)``/``(B, N, C)`` arrays, is
+jit/vmap-compatible, and routes the heavy pairwise-distance work through
+MXU matmuls. Validity masks stand in for ragged point counts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_BIG = jnp.float32(1e10)
+
+
+def pairwise_sqdist(x: Array, y: Array) -> Array:
+    """Squared Euclidean distances. x: (..., N, D), y: (..., M, D) -> (..., N, M).
+
+    Computed as ||x||^2 - 2 x.y^T + ||y||^2 so the O(N*M*D) term runs on the
+    MXU. Accumulates in float32.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)          # (..., N, 1)
+    yy = jnp.sum(y * y, axis=-1, keepdims=True)          # (..., M, 1)
+    inner = jnp.matmul(x, jnp.swapaxes(y, -1, -2), preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    d = xx - 2.0 * inner + jnp.swapaxes(yy, -1, -2)
+    return jnp.maximum(d, 0.0)
+
+
+def knn(query: Array, database: Array, k: int,
+        db_mask: Optional[Array] = None) -> Tuple[Array, Array]:
+    """k nearest neighbours of each query point within database.
+
+    query: (B, M, D), database: (B, N, D) -> (dists (B, M, k), idx (B, M, k)),
+    sorted ascending by distance (same convention as KNN_CUDA with
+    ``transpose_mode=True``). ``db_mask`` (B, N) marks valid database points;
+    invalid ones are never selected (distance pushed to +inf).
+    """
+    d = pairwise_sqdist(query, database)                  # (B, M, N)
+    if db_mask is not None:
+        d = jnp.where(db_mask[..., None, :], d, _BIG)
+    neg_d, idx = jax.lax.top_k(-d, k)
+    return -neg_d, idx.astype(jnp.int32)
+
+
+def knn_self(x: Array, k: int) -> Array:
+    """Indices of the k nearest neighbours of each point within its own cloud,
+    including self (DGCNN convention, ``models/dgcnn_util.py:7-12``).
+
+    x: (B, N, D) -> idx (B, N, k).
+    """
+    _, idx = knn(x, x, k)
+    return idx
+
+
+def furthest_point_sample(points: Array, n_samples: int,
+                          mask: Optional[Array] = None) -> Array:
+    """Furthest point sampling. points: (B, N, 3) -> idx (B, n_samples) int32.
+
+    Matches the reference CUDA conventions (SURVEY.md §7 "hard parts"):
+    the first selected index is 0 (``sampling_gpu.cu:88-89``), and points with
+    squared magnitude <= 1e-3 are never selected (``sampling_gpu.cu:104``), so
+    zero-padded points stay out. ``mask`` additionally excludes invalid points.
+
+    Implemented as a batched ``lax.fori_loop`` carrying the running
+    min-distance-to-selected-set; each iteration is one fused
+    distance-update + masked argmax, which XLA vectorises across the batch.
+    """
+    points = points.astype(jnp.float32)
+    B, N, _ = points.shape
+    mag = jnp.sum(points * points, axis=-1)               # (B, N)
+    selectable = mag > 1e-3
+    if mask is not None:
+        selectable = jnp.logical_and(selectable, mask)
+
+    out = jnp.zeros((B, n_samples), dtype=jnp.int32)
+    min_d = jnp.full((B, N), _BIG, dtype=jnp.float32)
+    last = jnp.zeros((B,), dtype=jnp.int32)               # first pick = index 0
+
+    def body(i, carry):
+        out, min_d, last = carry
+        out = out.at[:, i].set(last)
+        p_last = jnp.take_along_axis(points, last[:, None, None], axis=1)  # (B,1,3)
+        d = jnp.sum((points - p_last) ** 2, axis=-1)      # (B, N)
+        min_d = jnp.minimum(min_d, d)
+        cand = jnp.where(selectable, min_d, -1.0)
+        last = jnp.argmax(cand, axis=-1).astype(jnp.int32)
+        return out, min_d, last
+
+    out, _, _ = jax.lax.fori_loop(0, n_samples, body, (out, min_d, last))
+    return out
+
+
+def gather_points(points: Array, idx: Array) -> Array:
+    """points: (B, N, C), idx: (B, M) -> (B, M, C).
+
+    Role of pointnet2 ``gather_operation`` (channel-last layout here; the
+    channel-first torch layout was a CUDA-coalescing artifact)."""
+    return jnp.take_along_axis(points, idx[..., None], axis=1)
+
+
+def group_points(points: Array, idx: Array) -> Array:
+    """points: (B, N, C), idx: (B, M, K) -> (B, M, K, C) (pointnet2 grouping)."""
+    B, N, C = points.shape
+    M, K = idx.shape[1], idx.shape[2]
+    flat = jnp.take_along_axis(points, idx.reshape(B, M * K, 1), axis=1)
+    return flat.reshape(B, M, K, C)
+
+
+def ball_query(radius: float, k: int, xyz: Array, new_xyz: Array,
+               mask: Optional[Array] = None) -> Array:
+    """For each query center, indices of up to k points within ``radius``.
+
+    Matches pointnet2 ``query_ball_point_kernel`` semantics
+    (``ball_query_gpu.cu:12-57``): points are taken in original index order;
+    when fewer than k qualify, remaining slots repeat the first in-range
+    index; when none qualify, slots are 0.
+
+    xyz: (B, N, 3), new_xyz: (B, M, 3) -> idx (B, M, k) int32.
+    """
+    d = pairwise_sqdist(new_xyz, xyz)                      # (B, M, N)
+    in_range = d < radius * radius
+    if mask is not None:
+        in_range = jnp.logical_and(in_range, mask[:, None, :])
+    N = xyz.shape[1]
+    order = jax.lax.broadcasted_iota(jnp.int32, in_range.shape, 2)
+    # sort key: in-range points keep their index, out-of-range pushed past N
+    key = jnp.where(in_range, order, order + N)
+    sorted_key = jax.lax.sort(key, dimension=-1)[..., :k]  # (B, M, k)
+    cnt = jnp.sum(in_range, axis=-1, dtype=jnp.int32)      # (B, M)
+    first = jnp.where(cnt > 0, sorted_key[..., 0] % N, 0)  # first in-range idx
+    slot = jax.lax.broadcasted_iota(jnp.int32, sorted_key.shape, 2)
+    idx = jnp.where(slot < cnt[..., None], sorted_key % N, first[..., None])
+    return idx.astype(jnp.int32)
+
+
+def three_nn(unknown: Array, known: Array,
+             known_mask: Optional[Array] = None) -> Tuple[Array, Array]:
+    """3 nearest known points for each unknown point.
+
+    unknown: (B, N, 3), known: (B, M, 3) -> (dist (B, N, 3), idx (B, N, 3)).
+    dist is squared distance as in ``interpolate_gpu.cu:12-55``.
+    """
+    return knn(unknown, known, 3, db_mask=known_mask)
+
+
+def three_interpolate(features: Array, idx: Array, dist: Array,
+                      eps: float = 1e-8) -> Array:
+    """Inverse-distance-weighted interpolation (``interpolate_gpu.cu:77-157``).
+
+    features: (B, M, C), idx: (B, N, 3), dist: (B, N, 3) squared distances
+    -> (B, N, C).
+    """
+    w = 1.0 / (dist + eps)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)             # (B, N, 3)
+    neigh = group_points(features, idx)                    # (B, N, 3, C)
+    return jnp.sum(neigh * w[..., None], axis=2)
+
+
+def group_neighborhood(xyz: Array, num_group: int, group_size: int,
+                       features: Optional[Array] = None,
+                       ) -> Tuple[Array, Array]:
+    """FPS + kNN patchify (role of ``Group`` in PointCAE_transformer.py:54-86).
+
+    xyz: (B, N, 3) -> (neighborhood (B, G, S, 3) centered on its patch center,
+    center (B, G, 3)). If ``features`` (B, N, C) is given, returns
+    (neighborhood_with_features (B, G, S, 3+C), center) where only the xyz part
+    is centered.
+    """
+    fps_idx = furthest_point_sample(xyz, num_group)
+    center = gather_points(xyz, fps_idx)                   # (B, G, 3)
+    _, idx = knn(center, xyz, group_size)                  # (B, G, S)
+    neighborhood = group_points(xyz, idx)                  # (B, G, S, 3)
+    neighborhood = neighborhood - center[:, :, None, :]
+    if features is not None:
+        extra = group_points(features, idx)
+        neighborhood = jnp.concatenate([neighborhood, extra], axis=-1)
+    return neighborhood, center
+
+
+def resample_to(key: jax.Array, points: Array, mask: Array, num: int) -> Array:
+    """Sample ``num`` points uniformly (with replacement) from the valid subset.
+
+    TPU-native stand-in for the reference's ragged-output corruptions followed
+    by ``random_sample`` back to a fixed count (``ShapeNet55Dataset.py:76-88``):
+    we keep static shapes and resample from the masked set directly.
+
+    points: (N, C), mask: (N,) bool -> (num, C).
+    """
+    N = points.shape[0]
+    cnt = jnp.maximum(jnp.sum(mask, dtype=jnp.int32), 1)
+    # positions of valid points packed to the front, invalid pushed to the end
+    order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
+    draw = jax.random.randint(key, (num,), 0, cnt)
+    return points[order[draw]]

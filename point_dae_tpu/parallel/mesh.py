@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers — the distributed layer.
+
+TPU-native replacement for the reference's torch.distributed/NCCL stack
+(utils/dist_utils.py:9-59, DDP wrap at tools/runner_pretrain.py:79-88,
+DistributedSampler at tools/builder.py:19, per-rank batch split main.py:57-71):
+
+- one 1-D ``Mesh(('data',))`` over all chips; the batch axis is sharded with
+  ``NamedSharding`` and everything else is replicated;
+- gradient all-reduce, metric averaging (the reference's explicit
+  ``all_reduce``), SyncBN statistics, and probe-feature pooling (the
+  reference's ``all_gather``) all become XLA collectives inserted
+  automatically by jit over the sharded batch — riding ICI within a slice and
+  DCN across slices;
+- the same code runs unchanged on 1 chip, a pod, or multi-slice.
+
+TP/PP/SP/EP are not required for parity (models are <=30 M params, token
+counts <=129 — SURVEY.md §2.6); the mesh helper accepts extra axes so a 2-D
+(data, model) layout remains available for future scaling.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(devices: Optional[Sequence[jax.Device]] = None,
+             axis_names: Sequence[str] = ("data",),
+             shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Build a mesh over all (or given) devices. Default: 1-D data mesh."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for batch-leading arrays: first dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a pytree of host arrays with the batch dim sharded over the mesh."""
+    sh = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, opt state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

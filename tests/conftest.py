@@ -1,0 +1,22 @@
+"""Test config: force an 8-virtual-device CPU backend before JAX import.
+
+This is the JAX analogue of a fake distributed backend — multi-chip sharding
+tests run on any host (SURVEY.md §4(d))."""
+import os
+
+# Force-override: the environment exports JAX_PLATFORMS=axon and a
+# sitecustomize that registers the TPU tunnel when PALLAS_AXON_POOL_IPS is
+# set; tests must run on the virtual-8-device CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

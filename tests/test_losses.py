@@ -1,0 +1,122 @@
+"""Chamfer / EMD golden tests vs numpy brute force (SURVEY.md §7 step 2)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from point_dae_tpu import losses
+
+
+def np_nn(x, y):
+    d = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+    return d.min(1), d.argmin(1)
+
+
+class TestNNDistance:
+    def test_matches_bruteforce(self, rng):
+        x = rng.normal(size=(3, 40, 3)).astype(np.float32)
+        y = rng.normal(size=(3, 50, 3)).astype(np.float32)
+        d1, d2, i1, i2 = losses.nn_distance(jnp.array(x), jnp.array(y))
+        for b in range(3):
+            wd1, wi1 = np_nn(x[b], y[b])
+            wd2, wi2 = np_nn(y[b], x[b])
+            np.testing.assert_allclose(np.asarray(d1[b]), wd1, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(d2[b]), wd2, rtol=1e-4, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(i1[b]), wi1)
+            np.testing.assert_array_equal(np.asarray(i2[b]), wi2)
+
+    def test_grad_matches_finite_diff(self, rng):
+        x = jnp.array(rng.normal(size=(1, 6, 3)).astype(np.float32))
+        y = jnp.array(rng.normal(size=(1, 7, 3)).astype(np.float32))
+
+        def f(x, y):
+            return losses.chamfer_l2(x, y)
+
+        gx, gy = jax.grad(f, argnums=(0, 1))(x, y)
+        eps = 1e-3
+        for (arr, g, arg) in [(x, gx, 0), (y, gy, 1)]:
+            flat = np.asarray(arr).ravel()
+            for k in [0, 5, 11]:
+                d = np.zeros_like(flat)
+                d[k] = eps
+                pert = jnp.array((flat + d).reshape(arr.shape))
+                args = [x, y]
+                args[arg] = pert
+                f_plus = float(f(*args))
+                pert = jnp.array((flat - d).reshape(arr.shape))
+                args = [x, y]
+                args[arg] = pert
+                f_minus = float(f(*args))
+                fd = (f_plus - f_minus) / (2 * eps)
+                np.testing.assert_allclose(np.asarray(g).ravel()[k], fd,
+                                           rtol=5e-2, atol=5e-3)
+
+
+class TestLossVariants:
+    def test_l2_zero_on_identical(self, rng):
+        x = jnp.array(rng.normal(size=(2, 32, 3)).astype(np.float32))
+        assert float(losses.chamfer_l2(x, x)) < 1e-6
+        assert float(losses.chamfer_l1(x, x)) < 1e-3
+
+    def test_split_sums_to_l2(self, rng):
+        x = jnp.array(rng.normal(size=(2, 16, 3)).astype(np.float32))
+        y = jnp.array(rng.normal(size=(2, 24, 3)).astype(np.float32))
+        a, b = losses.chamfer_l2_split(x, y)
+        np.testing.assert_allclose(float(a + b), float(losses.chamfer_l2(x, y)),
+                                   rtol=1e-5)
+
+    def test_masked_equals_gathered(self, rng):
+        """Weighted in-place chamfer == chamfer over the gathered subset."""
+        pred = rng.normal(size=(8, 16, 3)).astype(np.float32)
+        gt = rng.normal(size=(8, 16, 3)).astype(np.float32)
+        w = np.array([1, 0, 1, 1, 0, 0, 1, 0], np.float32)
+        got = float(losses.masked_chamfer_l2(jnp.array(pred), jnp.array(gt),
+                                             jnp.array(w)))
+        sel = w.astype(bool)
+        want = float(losses.chamfer_l2(jnp.array(pred[sel]), jnp.array(gt[sel])))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_withnormal_orientation_invariance(self, rng):
+        x = jnp.array(rng.normal(size=(1, 10, 3)).astype(np.float32))
+        n = jnp.array(rng.normal(size=(1, 10, 3)).astype(np.float32))
+        _, nd_same = losses.chamfer_l2_withnormal(x, x, n, n)
+        _, nd_flip = losses.chamfer_l2_withnormal(x, x, n, -n)
+        assert float(nd_same) < 1e-5
+        assert float(nd_flip) < 1e-5  # unoriented distance
+
+    def test_withnormal_strict_detects_flip(self, rng):
+        x = jnp.array(rng.normal(size=(1, 10, 3)).astype(np.float32))
+        n = jnp.array(rng.normal(size=(1, 10, 3)).astype(np.float32))
+        _, nd_flip = losses.chamfer_l2_withnormal_strict(x, x, n, -n)
+        assert float(nd_flip) > 1.0  # strict: flipped normals are far
+
+    def test_coarse2fine_shapes(self, rng):
+        c1 = jnp.array(rng.normal(size=(2, 8, 3)).astype(np.float32))
+        c2 = jnp.array(rng.normal(size=(2, 8, 3)).astype(np.float32))
+        f1 = jnp.array(rng.normal(size=(2, 8, 6, 3)).astype(np.float32))
+        f2 = jnp.array(rng.normal(size=(2, 8, 6, 3)).astype(np.float32))
+        coarse, fine = losses.chamfer_l2_coarse2fine(c1, c2, f1, f2)
+        assert np.isfinite(float(coarse)) and np.isfinite(float(fine))
+        # identical inputs -> both zero
+        coarse0, fine0 = losses.chamfer_l2_coarse2fine(c1, c1, f1, f1)
+        assert float(coarse0) < 1e-6 and float(fine0) < 1e-6
+
+
+class TestEMD:
+    def test_zero_on_identical(self, rng):
+        x = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
+        val = float(losses.emd_loss(x, x))
+        assert val < 1e-2
+
+    def test_detects_offset(self, rng):
+        x = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
+        y = x + 1.0
+        # EMD of shifted cloud ~ n * shift^2 = 64 * 3
+        val = float(losses.emd_loss(x, y))
+        assert val > 50.0
+
+    def test_match_is_doubly_stochasticish(self, rng):
+        x = jnp.array(rng.normal(size=(1, 32, 3)).astype(np.float32))
+        y = jnp.array(rng.normal(size=(1, 32, 3)).astype(np.float32))
+        m = np.asarray(losses.emd_approx(x, y))
+        np.testing.assert_allclose(m.sum(2), 1.0, atol=0.05)
+        np.testing.assert_allclose(m.sum(1), 1.0, atol=0.2)

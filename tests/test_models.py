@@ -1,0 +1,241 @@
+"""Model zoo smoke + semantics tests (tiny shapes, one jit per test class).
+
+These mirror the reference's missing test pyramid (SURVEY.md §4): shapes,
+loss finiteness, gradient flow, and the static-shape masking equivalence.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_dae_tpu.models import build_model_from_cfg
+from point_dae_tpu.utils.config import ConfigDict
+
+TINY_TF = {
+    "corrupt_type": ["affine_r3", "Drop-Patch"],
+    "all_patch": "False", "group_size": 8, "num_group": 16, "loss": "cdl2",
+    "transformer_config": {
+        "rand_ratio": "True", "mask_ratio": 0.6, "mask_type": "rand",
+        "trans_dim": 32, "encoder_dims": 32, "depth": 2,
+        "drop_path_rate": 0.1, "cls_dim": 15, "num_heads": 2,
+        "decoder_depth": 1, "decoder_num_heads": 2}}
+
+
+def init_and_apply(cfg, B=2, N=64, C=3, seed=0):
+    model = build_model_from_cfg(ConfigDict(cfg))
+    rng = np.random.default_rng(seed)
+    corrupted = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    clean = jnp.asarray(rng.normal(size=(B, N, C)).astype(np.float32))
+    rngs = {"params": jax.random.key(0), "corrupt": jax.random.key(1),
+            "mask": jax.random.key(2), "droppath": jax.random.key(3),
+            "dropout": jax.random.key(4)}
+
+    @jax.jit
+    def run():
+        v = model.init(rngs, corrupted, clean, train=True)
+        out, _ = model.apply(v, corrupted, clean, train=True,
+                             rngs={k: jax.random.key(9) for k in
+                                   ("corrupt", "mask", "droppath", "dropout")},
+                             mutable=["batch_stats"])
+        return v, out
+
+    v, out = run()
+    return model, v, out, (corrupted, clean)
+
+
+class TestDGCNNFamily:
+    def test_fconly_losses_finite(self):
+        _, _, out, _ = init_and_apply({"NAME": "Point_CAE_DGCNN_FCOnly",
+                                       "corrupt_type": [], "loss": "cdl2"})
+        assert np.isfinite(float(out[0])) and float(out[1]) == 0.0
+
+    def test_pcn_two_losses(self):
+        _, _, out, _ = init_and_apply({"NAME": "Point_CAE_DGCNN",
+                                       "corrupt_type": [], "loss": "cdl2"})
+        assert np.isfinite(float(out[0])) and np.isfinite(float(out[1]))
+        assert float(out[1]) > 0.0  # fine loss is real
+
+    def test_grad_flows(self):
+        model, v, _, (corrupted, clean) = init_and_apply(
+            {"NAME": "Point_CAE_DGCNN_FCOnly", "corrupt_type": [],
+             "loss": "cdl2"})
+
+        @jax.jit
+        def g(params):
+            (l, _), _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                corrupted, clean, train=True,
+                rngs={"corrupt": jax.random.key(0)},
+                mutable=["batch_stats"])
+            return l
+
+        grads = jax.grad(g)(v["params"])
+        norms = [float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads)]
+        assert sum(n > 0 for n in norms) > len(norms) * 0.5
+
+
+class TestTransformerFamily:
+    def test_flagship(self):
+        cfg = dict(TINY_TF, NAME="PointCAE_transformer_fc_global_folding_local")
+        model, v, out, (corrupted, clean) = init_and_apply(cfg, N=128)
+        assert np.isfinite(float(out[0])) and np.isfinite(float(out[1]))
+        # encode path (SVM features)
+        feat = jax.jit(functools.partial(
+            model.apply, train=False, method="encode"))(v, clean)
+        assert feat.shape == (2, 32)
+
+    def test_fc_local(self):
+        cfg = dict(TINY_TF, NAME="PointCAE_transformer")
+        _, _, out, _ = init_and_apply(cfg, N=128)
+        assert np.isfinite(float(out[0]))
+
+    def test_no_mask_variant(self):
+        cfg = dict(TINY_TF, NAME="PointCAE_transformer",
+                   corrupt_type=["affine_r3"])  # no Drop-Patch
+        _, _, out, _ = init_and_apply(cfg, N=128)
+        assert np.isfinite(float(out[0]))
+
+    def test_point_mae(self):
+        cfg = dict(TINY_TF, NAME="Point_MAE", corrupt_type=["Drop-Patch"])
+        _, _, out, _ = init_and_apply(cfg, N=128)
+        assert np.isfinite(float(out[0]))
+
+
+class TestMaskingEquivalence:
+    """The static-shape design claim: visible-token encoder outputs must be
+    independent of masked-token *contents* (masked tokens excluded as keys)."""
+
+    def test_visible_independent_of_masked(self):
+        from point_dae_tpu.models.transformer import MaskTransformerEncoder
+
+        enc = MaskTransformerEncoder(trans_dim=32, depth=2, num_heads=2,
+                                     encoder_dims=32, drop_path_rate=0.0,
+                                     mask_ratio=0.5, rand_ratio=False)
+        rng = np.random.default_rng(0)
+        neigh = jnp.asarray(rng.normal(size=(1, 8, 4, 3)).astype(np.float32))
+        center = jnp.asarray(rng.normal(size=(1, 8, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "mask": jax.random.key(1)}
+
+        @jax.jit
+        def run(neigh):
+            v = enc.init(rngs, neigh, center, train=False)
+            # fixed mask key -> same mask both runs
+            x, mask = enc.apply(v, neigh, center, train=False,
+                                rngs={"mask": jax.random.key(7)})
+            return x, mask
+
+        x1, mask = run(neigh)
+        # perturb ONLY masked patches' contents
+        m = np.asarray(mask)[0]
+        neigh2 = np.asarray(neigh).copy()
+        neigh2[0, m] += 100.0
+        x2, mask2 = run(jnp.asarray(neigh2))
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask2))
+        vis = ~m
+        np.testing.assert_allclose(np.asarray(x1)[0, vis],
+                                   np.asarray(x2)[0, vis], atol=2e-4)
+
+    def test_mask_count(self):
+        from point_dae_tpu.models.transformer import sample_patch_mask
+
+        mask = sample_patch_mask(jax.random.key(0), 4, 64, 0.6, False)
+        counts = np.asarray(jnp.sum(mask, -1))
+        np.testing.assert_array_equal(counts, 38)  # floor(0.6*64)
+
+    def test_rand_ratio_range(self):
+        from point_dae_tpu.models.transformer import sample_patch_mask
+
+        ratios = []
+        for i in range(20):
+            mask = sample_patch_mask(jax.random.key(i), 2, 64, 0.6, True)
+            ratios.append(float(jnp.sum(mask[0])) / 64)
+        assert 0.45 <= min(ratios) and max(ratios) <= 0.82
+
+
+class TestFinetuneHeads:
+    def test_point_transformer_cls(self):
+        cfg = {"NAME": "PointTransformer", "trans_dim": 32, "depth": 2,
+               "drop_path_rate": 0.1, "cls_dim": 15, "num_heads": 2,
+               "group_size": 8, "num_group": 16, "encoder_dims": 32}
+        model = build_model_from_cfg(ConfigDict(cfg))
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 128, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                "droppath": jax.random.key(2)}
+
+        @jax.jit
+        def run():
+            v = model.init(rngs, pts, train=True)
+            logits = model.apply(v, pts, train=False)
+            return logits
+
+        logits = run()
+        assert logits.shape == (2, 15)
+
+    def test_dgcnn_cls(self):
+        cfg = {"NAME": "DGCNN", "cls_dim": 15}
+        model = build_model_from_cfg(ConfigDict(cfg))
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 64, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+
+        @jax.jit
+        def run():
+            v = model.init(rngs, pts, train=True)
+            return model.apply(v, pts, train=False)
+
+        assert run().shape == (2, 15)
+
+    def test_pointnet2_cls(self):
+        cfg = {"NAME": "PointNetv2", "cls_dim": 15}
+        model = build_model_from_cfg(ConfigDict(cfg))
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 128, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+
+        @jax.jit
+        def run():
+            v = model.init(rngs, pts, train=True)
+            return model.apply(v, pts, train=False)
+
+        assert run().shape == (2, 15)
+
+
+class TestPointNetFamily:
+    def test_pointnet_dae(self):
+        _, _, out, _ = init_and_apply({"NAME": "Point_CAE_PointNet",
+                                       "corrupt_type": [], "loss": "cdl2"})
+        assert np.isfinite(float(out[0]))
+
+    def test_pointnet2_dae(self):
+        _, _, out, _ = init_and_apply({"NAME": "Point_CAE_PointNetv2",
+                                       "corrupt_type": [], "loss": "cdl2"},
+                                      N=128)
+        assert np.isfinite(float(out[0])) and np.isfinite(float(out[1]))
+
+
+class TestPartSeg:
+    def test_shapes(self):
+        cfg = {"NAME": "PointTransformerPartSeg", "trans_dim": 32, "depth": 4,
+               "num_heads": 2, "group_size": 8, "num_group": 16,
+               "encoder_dims": 32, "cls_dim": 50, "drop_path_rate": 0.1}
+        from point_dae_tpu.models.partseg import seg_nll_loss
+
+        model = build_model_from_cfg(ConfigDict(cfg))
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        cls_onehot = jax.nn.one_hot(jnp.asarray([0, 3]), 16)
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                "droppath": jax.random.key(2)}
+
+        @jax.jit
+        def run():
+            v = model.init(rngs, pts, cls_onehot, train=True)
+            return model.apply(v, pts, cls_onehot, train=False)
+
+        logp = run()
+        assert logp.shape == (2, 128, 50)
+        target = jnp.zeros((2, 128), jnp.int32)
+        assert np.isfinite(float(seg_nll_loss(logp, target)))

@@ -1,0 +1,170 @@
+"""Golden tests for geometry ops against pure-numpy oracles.
+
+The oracles mirror the pure-python implementations the reference itself
+ships for cross-checking (segmentation/models/pointnet2_utils.py:158-311 and
+datasets/ModelNetDataset.py:34-55)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_dae_tpu import ops
+
+
+def np_pairwise_sqdist(x, y):
+    return ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+
+
+def np_fps(points, n):
+    """Oracle mirroring the CUDA kernel: start at 0, skip |p|^2 <= 1e-3."""
+    N = points.shape[0]
+    mag = (points ** 2).sum(-1)
+    min_d = np.full(N, 1e10)
+    out = np.zeros(n, dtype=np.int64)
+    last = 0
+    for i in range(n):
+        out[i] = last
+        d = ((points - points[last]) ** 2).sum(-1)
+        min_d = np.minimum(min_d, d)
+        cand = np.where(mag > 1e-3, min_d, -1.0)
+        last = int(np.argmax(cand))
+    return out
+
+
+class TestPairwise:
+    def test_matches_numpy(self, rng):
+        x = rng.normal(size=(2, 17, 3)).astype(np.float32)
+        y = rng.normal(size=(2, 23, 3)).astype(np.float32)
+        got = np.asarray(ops.pairwise_sqdist(jnp.array(x), jnp.array(y)))
+        for b in range(2):
+            want = np_pairwise_sqdist(x[b], y[b])
+            np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-5)
+
+
+class TestKNN:
+    def test_sorted_and_correct(self, rng):
+        q = rng.normal(size=(2, 8, 3)).astype(np.float32)
+        db = rng.normal(size=(2, 64, 3)).astype(np.float32)
+        d, idx = ops.knn(jnp.array(q), jnp.array(db), 5)
+        d, idx = np.asarray(d), np.asarray(idx)
+        assert np.all(np.diff(d, axis=-1) >= -1e-6)  # ascending
+        for b in range(2):
+            full = np_pairwise_sqdist(q[b], db[b])
+            want = np.sort(full, axis=-1)[:, :5]
+            np.testing.assert_allclose(np.sort(d[b], -1), want, rtol=1e-4, atol=1e-5)
+            # indices actually are the nearest set
+            want_idx = np.argsort(full, axis=-1)[:, :5]
+            assert all(set(idx[b, i]) == set(want_idx[i]) for i in range(8))
+
+    def test_mask_excludes(self, rng):
+        q = jnp.zeros((1, 1, 3))
+        db = jnp.array(rng.normal(size=(1, 10, 3)).astype(np.float32))
+        mask = jnp.arange(10) >= 5
+        _, idx = ops.knn(q, db, 3, db_mask=mask[None])
+        assert np.all(np.asarray(idx) >= 5)
+
+
+class TestFPS:
+    def test_matches_oracle(self, rng):
+        pts = rng.normal(size=(3, 128, 3)).astype(np.float32)
+        got = np.asarray(ops.furthest_point_sample(jnp.array(pts), 16))
+        for b in range(3):
+            np.testing.assert_array_equal(got[b], np_fps(pts[b], 16))
+
+    def test_skips_near_origin(self, rng):
+        pts = rng.normal(size=(1, 64, 3)).astype(np.float32) + 3.0
+        pts[0, 10:20] = 0.0  # zero padding — never selectable
+        got = np.asarray(ops.furthest_point_sample(jnp.array(pts), 32))
+        assert not np.any((got >= 10) & (got < 20))
+
+    def test_first_index_zero(self, rng):
+        pts = rng.normal(size=(2, 32, 3)).astype(np.float32)
+        got = np.asarray(ops.furthest_point_sample(jnp.array(pts), 4))
+        assert np.all(got[:, 0] == 0)
+
+
+class TestBallQuery:
+    def test_matches_cuda_semantics(self, rng):
+        xyz = rng.uniform(-1, 1, size=(2, 64, 3)).astype(np.float32)
+        new_xyz = xyz[:, :8]
+        r, k = 0.4, 16
+        idx = np.asarray(ops.ball_query(r, k, jnp.array(xyz), jnp.array(new_xyz)))
+        for b in range(2):
+            for m in range(8):
+                d = ((xyz[b] - new_xyz[b, m]) ** 2).sum(-1)
+                in_range = np.flatnonzero(d < r * r)
+                want = list(in_range[:k])
+                if len(want) == 0:
+                    want = [0] * k
+                else:
+                    want = want + [want[0]] * (k - len(want))
+                np.testing.assert_array_equal(idx[b, m], want)
+
+
+class TestGatherGroup:
+    def test_gather(self, rng):
+        pts = rng.normal(size=(2, 16, 5)).astype(np.float32)
+        idx = rng.integers(0, 16, size=(2, 6)).astype(np.int32)
+        got = np.asarray(ops.gather_points(jnp.array(pts), jnp.array(idx)))
+        for b in range(2):
+            np.testing.assert_array_equal(got[b], pts[b][idx[b]])
+
+    def test_group(self, rng):
+        pts = rng.normal(size=(2, 16, 5)).astype(np.float32)
+        idx = rng.integers(0, 16, size=(2, 4, 3)).astype(np.int32)
+        got = np.asarray(ops.group_points(jnp.array(pts), jnp.array(idx)))
+        for b in range(2):
+            np.testing.assert_array_equal(got[b], pts[b][idx[b]])
+
+
+class TestInterpolate:
+    def test_three_nn_weights(self, rng):
+        unknown = rng.normal(size=(1, 10, 3)).astype(np.float32)
+        known = rng.normal(size=(1, 6, 3)).astype(np.float32)
+        feats = rng.normal(size=(1, 6, 4)).astype(np.float32)
+        dist, idx = ops.three_nn(jnp.array(unknown), jnp.array(known))
+        out = np.asarray(ops.three_interpolate(jnp.array(feats), idx, dist))
+        d, i = np.asarray(dist), np.asarray(idx)
+        for n in range(10):
+            w = 1.0 / (d[0, n] + 1e-8)
+            w = w / w.sum()
+            want = (feats[0][i[0, n]] * w[:, None]).sum(0)
+            np.testing.assert_allclose(out[0, n], want, rtol=1e-4, atol=1e-5)
+
+    def test_exact_at_known_point(self, rng):
+        known = rng.normal(size=(1, 6, 3)).astype(np.float32)
+        feats = rng.normal(size=(1, 6, 4)).astype(np.float32)
+        dist, idx = ops.three_nn(jnp.array(known), jnp.array(known))
+        out = np.asarray(ops.three_interpolate(jnp.array(feats), idx, dist))
+        np.testing.assert_allclose(out[0], feats[0], rtol=1e-3, atol=1e-4)
+
+
+class TestGroupNeighborhood:
+    def test_shapes_and_centering(self, rng):
+        xyz = rng.normal(size=(2, 256, 3)).astype(np.float32)
+        neigh, center = ops.group_neighborhood(jnp.array(xyz), 16, 8)
+        assert neigh.shape == (2, 16, 8, 3)
+        assert center.shape == (2, 16, 3)
+        # each patch contains its center (distance 0 after centering)
+        mins = np.asarray(jnp.min(jnp.sum(neigh ** 2, -1), axis=-1))
+        assert np.all(mins < 1e-8)
+
+
+class TestResample:
+    def test_only_valid_points(self, rng):
+        pts = rng.normal(size=(32, 3)).astype(np.float32)
+        mask = np.zeros(32, bool)
+        mask[5:9] = True
+        out = np.asarray(ops.resample_to(jax.random.key(0), jnp.array(pts),
+                                         jnp.array(mask), 64))
+        valid = pts[5:9]
+        for p in out:
+            assert np.any(np.all(np.isclose(p, valid), axis=-1))
+
+    def test_jit_and_vmap(self, rng):
+        pts = jnp.array(rng.normal(size=(4, 32, 3)).astype(np.float32))
+        mask = jnp.ones((4, 32), bool)
+        keys = jax.random.split(jax.random.key(1), 4)
+        out = jax.jit(jax.vmap(ops.resample_to, in_axes=(0, 0, 0, None)),
+                      static_argnums=3)(keys, pts, mask, 16)
+        assert out.shape == (4, 16, 3)
