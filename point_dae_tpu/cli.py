@@ -110,10 +110,32 @@ def main(argv=None):
     print_log(f"config: {args.config} model: {config['model']['NAME']}",
               logger=logger)
 
-    if args.test:
-        from .engine.finetune import test_net
+    if args.test_corruption:
+        from .engine.robustness import test_net_corruption
 
-        return test_net(config, args, logger_name=args.log_name)
+        return test_net_corruption(config, args, logger_name=args.log_name)
+    if args.test:
+        if args.finetune_model:
+            from .engine.finetune import test_net
+
+            return test_net(config, args, logger_name=args.log_name)
+        # plain --test on a pretrain config = reconstruction visualization
+        # (reference main.py dispatches to tools/runner.py:14-113)
+        from .engine.visualization import test_vis_reconstruction
+
+        return test_vis_reconstruction(config, args, logger_name=args.log_name)
+    if args.so3_rotation:
+        from .engine.rotation import run_net_rotation
+
+        return run_net_rotation(config, args, logger_name=args.log_name)
+    if args.vis_saliency:
+        from .engine.saliency import vis_saliency_map
+
+        return vis_saliency_map(config, args, logger_name=args.log_name)
+    if config.get("model", {}).get("NAME", "").endswith("PartSeg"):
+        from .engine.partseg import run_partseg
+
+        return run_partseg(config, args, logger_name=args.log_name)
     if args.svm_classification:
         from .engine.probe import svm_classification
 

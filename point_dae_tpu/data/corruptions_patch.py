@@ -109,27 +109,26 @@ def _apply(neigh: Array, center: Array, A: Array, b: Array, m: Array):
     return neigh, center
 
 
-def affine_r3_patches(key: jax.Array, neigh: Array, center: Array,
-                      fix_translate_bug: bool = False) -> Tuple[Array, Array]:
-    """The 'affine_r3' composite at pinned level 4 (corrupt_util_tensor.py:712-721).
-
-    1..3 of the 5 affine families, random order, one subset per call,
-    per-sample parameters. neigh: (B, G, S, 3) absolute coords,
-    center: (B, G, 3).
-    """
-    B = neigh.shape[0]
+def _sample_affine_r3(key: jax.Array, batch: int, fix_translate_bug: bool):
+    """Draw the 'affine_r3' composite parameters once (count, order, and
+    per-sample transform params) so multiple tensors — e.g. every scale of a
+    Point-M2AE pyramid — receive the identical transform, matching the tensor
+    library's list branch (corrupt_util_tensor.py:77-82 etc.)."""
     k_n, k_perm, *k_p = jax.random.split(key, 2 + len(AFFINE_NAMES))
     count = jax.random.randint(k_n, (), 1, 4)
     perm = jax.random.permutation(k_perm, len(AFFINE_NAMES))
-
     As, bs, ms = [], [], []
     for i, name in enumerate(AFFINE_NAMES):
-        A, b, m = _params(k_p[i], name, B, 4.0, fix_translate_bug)
+        A, b, m = _params(k_p[i], name, batch, 4.0, fix_translate_bug)
         As.append(A)
         bs.append(b)
         ms.append(m)
-    As, bs, ms = jnp.stack(As), jnp.stack(bs), jnp.stack(ms)  # (5, B, ...)
+    return count, perm, jnp.stack(As), jnp.stack(bs), jnp.stack(ms)
 
+
+def _apply_affine_r3(params, neigh: Array, center: Array):
+    count, perm, As, bs, ms = params
+    B = neigh.shape[0]
     eyeB = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
 
     def body(carry, slot):
@@ -144,6 +143,42 @@ def affine_r3_patches(key: jax.Array, neigh: Array, center: Array,
     (neigh, center), _ = jax.lax.scan(body, (neigh, center),
                                       jnp.arange(len(AFFINE_NAMES)))
     return neigh, center
+
+
+def affine_r3_patches(key: jax.Array, neigh: Array, center: Array,
+                      fix_translate_bug: bool = False) -> Tuple[Array, Array]:
+    """The 'affine_r3' composite at pinned level 4 (corrupt_util_tensor.py:712-721).
+
+    1..3 of the 5 affine families, random order, one subset per call,
+    per-sample parameters. neigh: (B, G, S, 3) absolute coords,
+    center: (B, G, 3).
+    """
+    params = _sample_affine_r3(key, neigh.shape[0], fix_translate_bug)
+    return _apply_affine_r3(params, neigh, center)
+
+
+def corrupt_patches_multi(key: jax.Array, neighs, centers, types,
+                          fix_translate_bug: bool = False):
+    """List variant: the identical per-sample transform applied to every
+    (neigh, center) scale pair (the tensor library's isinstance-list branches).
+    Only affine families are supported for lists, as in the reference."""
+    neighs, centers = list(neighs), list(centers)
+    for i, t in enumerate(types):
+        k = jax.random.fold_in(key, i)
+        if t in ("clean", "Drop-Patch"):
+            continue
+        elif t == "affine_r3":
+            params = _sample_affine_r3(k, neighs[0].shape[0], fix_translate_bug)
+            for s in range(len(neighs)):
+                neighs[s], centers[s] = _apply_affine_r3(params, neighs[s],
+                                                         centers[s])
+        elif t in AFFINE_NAMES or t == "rotate_z":
+            A, b, m = _params(k, t, neighs[0].shape[0], 4.0, fix_translate_bug)
+            for s in range(len(neighs)):
+                neighs[s], centers[s] = _apply(neighs[s], centers[s], A, b, m)
+        else:
+            raise NotImplementedError(f"list patch corruption {t!r}")
+    return neighs, centers
 
 
 def dropout_global_patches(key: jax.Array, neigh: Array, level=None) -> Array:

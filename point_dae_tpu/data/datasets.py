@@ -242,6 +242,121 @@ class ShapeNetPart(PointDataset):
 
 
 @DATASETS.register_module()
+class ShapeNetClass(ShapeNet):
+    """ShapeNet-55 with taxonomy labels for supervised/task-affinity variants
+    (datasets/ShapeNet55DatasetClass.py:45-167): taxonomy id -> class index
+    from the sorted unique taxonomy list."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        taxonomies = sorted({s["taxonomy_id"] for s in self.file_list})
+        self.tax2label = {t: i for i, t in enumerate(taxonomies)}
+
+    def __getitem__(self, idx):
+        item = super().__getitem__(idx)
+        item["label"] = self.tax2label[item["taxonomy_id"]]
+        return item
+
+
+@DATASETS.register_module()
+class Objaverse_8192(PointDataset):
+    """Directory-walk .npy loader for large-scale pretraining
+    (datasets/Objaverse_8192.py:26-128)."""
+
+    def __init__(self, config):
+        root = _cfg_get(config, "DATA_PATH")
+        self.files: List[str] = []
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".npy"):
+                    self.files.append(os.path.join(dirpath, fn))
+        self.files.sort()
+        print_log(f"[Objaverse] {len(self.files)} clouds", logger="Objaverse")
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        data = np.load(self.files[idx]).astype(np.float32)
+        return dict(points=data, taxonomy_id="objaverse",
+                    model_id=os.path.basename(self.files[idx]))
+
+
+@DATASETS.register_module()
+class ScanNet(PointDataset):
+    """Scene-level json catalog of .npy files (datasets/ScanNet.py:11-51):
+    pretraining returns the scene cloud as both corrupted source and target.
+    """
+
+    def __init__(self, config):
+        import json
+
+        root = _cfg_get(config, "DATA_PATH")
+        catalog = _cfg_get(config, "CATALOG",
+                           os.path.join(root, "scannet_medium.json"))
+        with open(catalog) as f:
+            self.files = json.load(f)
+        self.root = root
+        self.npoints = int(_cfg_get(config, "N_POINTS", 8192))
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        data = np.load(os.path.join(self.root, self.files[idx])).astype(np.float32)
+        if data.shape[0] > self.npoints:
+            sel = np.random.choice(data.shape[0], self.npoints, replace=False)
+            data = data[sel]
+        return dict(points=data, taxonomy_id="scannet", model_id=str(idx))
+
+
+class _DGBase(PointDataset):
+    """PointDA-10-style domain-generalization sets
+    (datasets/domain_generalization.py:282-507): per-class .npy directories,
+    10 shared classes, with the numpy rotation/jitter/scale train augs
+    (applied on device in this build)."""
+
+    classes = ["bathtub", "bed", "bookshelf", "cabinet", "chair", "lamp",
+               "monitor", "plant", "sofa", "table"]
+
+    def __init__(self, config):
+        root = _cfg_get(config, "DATA_PATH")
+        self.subset = _cfg_get(config, "subset", "train")
+        self.items: List[Tuple[str, int]] = []
+        for li, cname in enumerate(self.classes):
+            d = os.path.join(root, cname, self.subset)
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".npy"):
+                    self.items.append((os.path.join(d, fn), li))
+        print_log(f"[{type(self).__name__}] {len(self.items)} clouds "
+                  f"({self.subset})", logger="DG")
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        path, label = self.items[idx]
+        return dict(points=np.load(path).astype(np.float32), label=label)
+
+
+@DATASETS.register_module()
+class Modelnet40_DG(_DGBase):
+    pass
+
+
+@DATASETS.register_module()
+class Shapenet_DG(_DGBase):
+    pass
+
+
+@DATASETS.register_module()
+class Scannet_DG(_DGBase):
+    pass
+
+
+@DATASETS.register_module()
 class Synthetic(PointDataset):
     """Deterministic procedural clouds for tests and benchmarking without
     mounted data: unions of random ellipsoid surface patches, unit-sphere

@@ -80,6 +80,7 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
 
     def step(state: TrainState, pts: Array, labels: Array, key: jax.Array):
         k_fps, k_aug, k_drop = jax.random.split(key, 3)
+        pts = pts[..., :3]  # classification heads consume xyz only
         pts = fps_resample(k_fps, pts, npoints)
         if aug:
             pts = scale_translate(k_aug, pts)
@@ -112,8 +113,8 @@ def make_eval_step(model, config, mesh=None) -> Callable:
     npoints = int(config.get("npoints", 1024))
 
     def step(state: TrainState, pts: Array):
-        pts = gather_points(
-            pts, furthest_point_sample(pts[..., :3], npoints))
+        pts = pts[..., :3]
+        pts = gather_points(pts, furthest_point_sample(pts, npoints))
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             pts, train=False)
@@ -130,9 +131,11 @@ def make_vote_step(model, config, mesh=None, times: int = 10) -> Callable:
     npoints = int(config.get("npoints", 1024))
 
     def step(state: TrainState, pts: Array, key: jax.Array):
+        pts_xyz = pts[..., :3]
+
         def one(k):
             k1, k2 = jax.random.split(k)
-            p = fps_resample(k1, pts, npoints)
+            p = fps_resample(k1, pts_xyz, npoints)
             p = scale_translate(k2, p)
             return state.apply_fn(
                 {"params": state.params, "batch_stats": state.batch_stats},

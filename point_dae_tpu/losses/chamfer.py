@@ -198,6 +198,26 @@ def masked_chamfer_l2(xyz1: Array, xyz2: Array, weight: Array) -> Array:
     return jnp.sum(per * weight) / denom
 
 
+def masked_chamfer_l2_withnormal(xyz1: Array, xyz2: Array,
+                                 normal1: Array, normal2: Array,
+                                 weight: Array,
+                                 normal_dis=None) -> Tuple[Array, Array]:
+    """Per-pair chamfer-L2 + normal distance via the xyz correspondence,
+    weighted over the leading (B*G) axis (masked-patch MaskSurf losses).
+
+    xyz/normals: (P, S, 3), weight: (P,). Mirrors ChamferDistanceL2_withnormal
+    (__init__.py:123-167) with the gather-by-idx normal pairing."""
+    if normal_dis is None:
+        normal_dis = dis_normalized_l2
+    d1, d2, i1, i2 = nn_distance(xyz1, xyz2)
+    nd1 = normal_dis(normal1, jnp.take_along_axis(normal2, i1[..., None], 1))
+    nd2 = normal_dis(normal2, jnp.take_along_axis(normal1, i2[..., None], 1))
+    denom = jnp.maximum(jnp.sum(weight), 1e-8)
+    xyz_loss = jnp.sum((jnp.mean(d1, -1) + jnp.mean(d2, -1)) * weight) / denom
+    n_loss = jnp.sum((jnp.mean(nd1, -1) + jnp.mean(nd2, -1)) * weight) / denom
+    return xyz_loss, n_loss
+
+
 def masked_chamfer_l1(xyz1: Array, xyz2: Array, weight: Array) -> Array:
     d1, d2, _, _ = nn_distance(xyz1, xyz2)
     eps = 1e-12

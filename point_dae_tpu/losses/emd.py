@@ -41,9 +41,11 @@ def emd_approx(xyz1: Array, xyz2: Array, iters: int = 10) -> Array:
         factor = jnp.exp2(jnp.float32(iters - 1 - i)) * 4.0 / jnp.float32(iters)
         w = jnp.exp(-d * factor) * remain_col + 1e-9
         w = w / jnp.sum(w, 2, keepdims=True) * remain_row  # rows claim capacity
-        w = jnp.minimum(w, remain_col)                     # column capacity cap
-        # re-cap row sums (the column cap may have freed less than claimed,
-        # but underflowing affinities must never overshoot row capacity)
+        # column capacity is collective: rescale each column so the SUM over
+        # rows never exceeds its remaining capacity (a per-entry min would let
+        # several rows overcommit the same column in one round)
+        col = jnp.sum(w, 1, keepdims=True)
+        w = w * jnp.minimum(1.0, remain_col / jnp.maximum(col, 1e-9))
         row = jnp.sum(w, 2, keepdims=True)
         w = w * jnp.minimum(1.0, remain_row / jnp.maximum(row, 1e-9))
         match = match + w

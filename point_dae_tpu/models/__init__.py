@@ -6,6 +6,12 @@ from . import transformer    # noqa: F401
 from . import dae_pointnet   # noqa: F401
 from . import dae_pointnet2  # noqa: F401
 from . import point_mae      # noqa: F401
+from . import masksurf       # noqa: F401
+from . import partseg        # noqa: F401
+from . import m2ae           # noqa: F401
+from . import maskfeat       # noqa: F401
+from . import mlmae          # noqa: F401
+from . import detr3          # noqa: F401
 
 
 def build_model_from_cfg(cfg):

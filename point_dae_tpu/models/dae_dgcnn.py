@@ -201,3 +201,59 @@ class DGCNN_feat(nn.Module):
     def __call__(self, pts: Array, train: bool = False) -> Array:
         feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
         return feat
+
+
+@MODELS.register_module()
+class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
+    """DAE with a projection MLP (1024->512->1024) between encoder and PCN
+    decoder (PointCAE_DGCNN.py:454-570)."""
+    num_coarse: int = 1024
+    grid_size: int = 4
+    grid_scale: float = 0.05
+
+    def setup(self):
+        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.proj = MLP((512, 1024), name="proj")
+        self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
+        self.folding2 = MLP((512, 512, 3), name="folding2")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        clean = clean[..., :3]
+        feat = self.proj(self._encode_corrupted(corrupted, train))
+        B = feat.shape[0]
+        coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
+        g2 = self.grid_size ** 2
+        num_fine = g2 * self.num_coarse
+        grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
+                                        (-self.grid_scale, self.grid_scale)))
+        grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))
+        point_feat = jnp.repeat(coarse, g2, axis=1)
+        gfeat = jnp.broadcast_to(feat[:, None, :], (B, num_fine, feat.shape[-1]))
+        h = jnp.concatenate([grid_feat, point_feat, gfeat], -1)
+        fine = self.folding2(h) + point_feat
+        return self.loss_func(coarse, clean), self.loss_func(fine, clean)
+
+
+@MODELS.register_module()
+class DGCNN_MaskFeat(nn.Module):
+    """Feature extractor over the no-pooling DGCNN for MaskFeat probing
+    (PointCAE_DGCNN.py:850-927): returns global max of pointwise features."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = False) -> Array:
+        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        return feat
+
+
+@MODELS.register_module()
+class DGCNN_CrossPoint(nn.Module):
+    """CrossPoint-style DGCNN classifier: encoder + inv head
+    (PointCAE_DGCNN.py:929-998)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        return _ClsHead(self.config.get("cls_dim", 15), name="cls_head")(
+            feat, train)

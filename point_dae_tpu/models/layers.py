@@ -55,12 +55,13 @@ class MLP(nn.Module):
     features: Sequence[int]
     act: Callable = nn.relu
     act_last: bool = False
+    dtype: Optional[jnp.dtype] = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense{i}")(x)
+            x = nn.Dense(f, dtype=self.dtype, name=f"dense{i}")(x)
             if i < n - 1 or self.act_last:
                 x = self.act(x)
         return x
@@ -99,28 +100,34 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, key_mask: Optional[Array] = None,
+                 attn_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         B, N, C = x.shape
         H = self.num_heads
         head = C // H
-        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, H, head).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]                    # (B, H, N, head)
         scale = head ** -0.5
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32) * scale
         if key_mask is not None:
-            bias = jnp.where(key_mask[:, None, None, :], 0.0, -1e9)
-            attn = attn + bias
+            attn = attn + jnp.where(key_mask[:, None, None, :], 0.0, -1e9)
+        if attn_mask is not None:
+            # pairwise allowed-mask (B, N, N), e.g. Point-M2AE local radius
+            attn = attn + jnp.where(attn_mask[:, None, :, :], 0.0, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
         if self.attn_drop > 0 and not deterministic:
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=False)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        out = out.astype(x.dtype) if self.dtype is None else out.astype(self.dtype)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         if self.proj_drop > 0 and not deterministic:
             out = nn.Dropout(self.proj_drop)(out, deterministic=False)
         return out
@@ -135,22 +142,29 @@ class TransformerBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, key_mask: Optional[Array] = None,
+                 attn_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
-        h = nn.LayerNorm(name="norm1")(x)
+        # residual stream stays f32; LN outputs cast to compute dtype
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, self.qkv_bias,
-                      self.attn_drop, self.drop, name="attn")(
-            h, key_mask=key_mask, deterministic=deterministic)
+                      self.attn_drop, self.drop, dtype=self.dtype,
+                      name="attn")(
+            h, key_mask=key_mask, attn_mask=attn_mask,
+            deterministic=deterministic)
+        h = h.astype(x.dtype)
         x = x + DropPath(self.drop_path_rate, name="dp1")(h, deterministic)
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
-        h = nn.Dense(hidden, name="mlp_fc1")(h)
+        h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
         if self.drop > 0 and not deterministic:
             h = nn.Dropout(self.drop)(h, deterministic=False)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        h = h.astype(x.dtype)
         if self.drop > 0 and not deterministic:
             h = nn.Dropout(self.drop)(h, deterministic=False)
         x = x + DropPath(self.drop_path_rate, name="dp2")(h, deterministic)
@@ -165,6 +179,7 @@ class TransformerEncoder(nn.Module):
     num_heads: int
     drop_path_rate: float = 0.0
     one_pe: bool = False  # TransformerEncoderOnePE variant (:180-197)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, pos: Array, key_mask: Optional[Array] = None,
@@ -177,7 +192,8 @@ class TransformerEncoder(nn.Module):
             if not self.one_pe:
                 x = x + pos
             x = TransformerBlock(self.embed_dim, self.num_heads,
-                                 drop_path_rate=dpr[i], name=f"block{i}")(
+                                 drop_path_rate=dpr[i], dtype=self.dtype,
+                                 name=f"block{i}")(
                 x, key_mask=key_mask, deterministic=deterministic)
         return x
 
@@ -192,6 +208,7 @@ class TransformerDecoder(nn.Module):
     num_heads: int
     drop_path_rate: float = 0.0
     one_pe: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, pos: Array, key_mask: Optional[Array] = None,
@@ -204,7 +221,8 @@ class TransformerDecoder(nn.Module):
             if not self.one_pe:
                 x = x + pos
             x = TransformerBlock(self.embed_dim, self.num_heads,
-                                 drop_path_rate=dpr[i], name=f"block{i}")(
+                                 drop_path_rate=dpr[i], dtype=self.dtype,
+                                 name=f"block{i}")(
                 x, key_mask=key_mask, deterministic=deterministic)
         x = nn.LayerNorm(name="norm")(x)
         return x
@@ -229,6 +247,7 @@ class PatchEncoder(nn.Module):
     padded/dropped in-patch points are ignored when ``point_mask`` is given.
     """
     encoder_channel: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, groups: Array, point_mask: Optional[Array] = None,
@@ -246,17 +265,17 @@ class PatchEncoder(nn.Module):
             neg = jnp.where(pm, feat, -1e9)
             return jnp.max(neg, axis=1, keepdims=keepdims)
 
-        h = nn.Dense(128, name="conv1")(x)
+        h = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Dense(256, name="conv2")(h)
+        h = nn.Dense(256, dtype=self.dtype, name="conv2")(h)
         g = masked_max(h, keepdims=True)                       # (BG, 1, 256)
         h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
-        h = nn.Dense(512, name="conv3")(h)
+        h = nn.Dense(512, dtype=self.dtype, name="conv3")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(h)
         h = nn.relu(h)
-        h = nn.Dense(self.encoder_channel, name="conv4")(h)
+        h = nn.Dense(self.encoder_channel, dtype=self.dtype, name="conv4")(h)
         out = masked_max(h, keepdims=False)                    # (BG, C)
-        return out.reshape(B, G, self.encoder_channel)
+        return out.reshape(B, G, self.encoder_channel).astype(jnp.float32)

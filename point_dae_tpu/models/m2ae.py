@@ -1,0 +1,354 @@
+"""Point-M2AE hierarchical transformer family
+(reference: models/Point_M2AE.py:17-1280, modules Point_M2AE_modules.py:53-371).
+
+Pyramid of FPS+kNN groupings (e.g. 512x16 -> 256x8 -> 64x8); masking is drawn
+at the coarsest scale and back-propagated (a finer token is visible iff it
+belongs to any visible coarse group, Point_M2AE.py:110-121); each encoder
+scale token-merges the previous scale's features through the kNN indices;
+decoding walks back down with mask tokens + 3-NN feature propagation and
+reconstructs the mid-scale masked patches.
+
+Static-shape TPU re-design: the reference pads each batch row to the longest
+visible sequence and carries per-row attention masks (Point_M2AE.py:135-160);
+here all tokens stay in place with a visibility key-mask — same math, no
+ragged machinery, one compilation. The optional local-radius attention mask
+(local_att_mask, :91-98) is supported as a pairwise allowed-mask (note: in
+reference pretraining the radius mask is effectively disabled — the mask_vis
+multiply zeroes it, :147-151 — so pretraining here also leaves it off).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..data.corruptions_patch import corrupt_patches_multi
+from ..losses import chamfer_l2, masked_chamfer_l2
+from ..ops import group_neighborhood, furthest_point_sample, gather_points, knn, group_points, three_interpolate, three_nn
+from ..utils.registry import MODELS
+from .layers import MLP, PatchEncoder, TransformerBlock
+from .transformer import sample_patch_mask
+
+Array = jax.Array
+
+
+def pyramid_group(pts: Array, num_groups, group_sizes):
+    """Multi-scale FPS+kNN pyramid (Point_M2AE.py:245-262). Returns lists of
+    centered neighborhoods (B, G_i, S_i, 3), centers (B, G_i, 3), and kNN
+    indices (B, G_i, S_i) into the previous scale's centers."""
+    neighborhoods, centers, idxs = [], [], []
+    src = pts
+    for G, S in zip(num_groups, group_sizes):
+        fps_idx = furthest_point_sample(src, G)
+        center = gather_points(src, fps_idx)
+        _, idx = knn(center, src, S)
+        neigh = group_points(src, idx) - center[:, :, None, :]
+        neighborhoods.append(neigh)
+        centers.append(center)
+        idxs.append(idx)
+        src = center
+    return neighborhoods, centers, idxs
+
+
+def backprop_mask(vis_coarse: Array, idx: Array, g_fine: int) -> Array:
+    """Multi-scale mask back-propagation (Point_M2AE.py:110-121): fine token j
+    is visible iff it is a member of any *visible* coarse group."""
+    B = vis_coarse.shape[0]
+    vis = jnp.zeros((B, g_fine), bool)
+    member_vis = jnp.broadcast_to(vis_coarse[:, :, None], idx.shape)
+    return vis.at[jnp.arange(B)[:, None, None], idx].max(member_vis)
+
+
+class EncoderStage(nn.Module):
+    """Token embed/merge + ViT blocks at one pyramid scale
+    (H_Encoder, Point_M2AE.py:17-181)."""
+    dim: int
+    depth: int
+    num_heads: int
+    drop_path_rates: Tuple[float, ...]
+
+    @nn.compact
+    def __call__(self, tokens: Array, pos: Array, vis: Array,
+                 attn_mask: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        x = tokens
+        key_mask = vis
+        for i in range(self.depth):
+            x = TransformerBlock(self.dim, self.num_heads,
+                                 drop_path_rate=self.drop_path_rates[i],
+                                 name=f"block{i}")(
+                x + pos, key_mask=key_mask, attn_mask=attn_mask,
+                deterministic=deterministic)
+        return x
+
+
+class HEncoder(nn.Module):
+    """Hierarchical encoder over the pyramid; returns per-scale normed
+    features (full-length, garbage at masked slots) and per-scale masks."""
+    encoder_dims: Tuple[int, ...]
+    encoder_depths: Tuple[int, ...]
+    num_heads: int
+    drop_path_rate: float
+    mask_ratio: float
+
+    def setup(self):
+        n = len(self.encoder_dims)
+        self.token_embeds = [PatchEncoder(self.encoder_dims[i],
+                                          name=f"token_embed{i}")
+                             for i in range(n)]
+        self.pos_embeds = [MLP((self.encoder_dims[i], self.encoder_dims[i]),
+                               act=nn.gelu, name=f"pos_embed{i}")
+                           for i in range(n)]
+        total = sum(self.encoder_depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+        stages, norms, c = [], [], 0
+        for i in range(n):
+            stages.append(EncoderStage(
+                self.encoder_dims[i], self.encoder_depths[i], self.num_heads,
+                tuple(dpr[c:c + self.encoder_depths[i]]), name=f"stage{i}"))
+            norms.append(nn.LayerNorm(name=f"norm{i}"))
+            c += self.encoder_depths[i]
+        self.stages = stages
+        self.norms = norms
+
+    def __call__(self, neighborhoods: List[Array], centers: List[Array],
+                 idxs: List[Array], noaug: bool = False, train: bool = True):
+        n = len(neighborhoods)
+        B = neighborhoods[0].shape[0]
+        # coarsest-scale mask, then back-propagate visibility to finer scales
+        if noaug:
+            mask_top = jnp.zeros(centers[-1].shape[:2], bool)
+        else:
+            mask_top = sample_patch_mask(self.make_rng("mask"), B,
+                                         centers[-1].shape[1],
+                                         self.mask_ratio, rand_ratio=False)
+        vis_list = [None] * n
+        vis_list[-1] = jnp.logical_not(mask_top)
+        for i in range(n - 1, 0, -1):
+            vis_list[i - 1] = backprop_mask(vis_list[i], idxs[i],
+                                            centers[i - 1].shape[1])
+
+        feats = []
+        x_carry = None
+        for i in range(n):
+            if i == 0:
+                tokens = self.token_embeds[i](neighborhoods[i], train=train)
+            else:
+                # token merging: gather previous-scale features by kNN idx
+                merged = group_points(x_carry, idxs[i])      # (B, G_i, S_i, C)
+                tokens = self.token_embeds[i](merged, train=train)
+            pos = self.pos_embeds[i](centers[i])
+            x = self.stages[i](tokens, pos, vis_list[i],
+                               deterministic=not train)
+            # visible slots carry encoded features onward; masked slots keep
+            # their raw embedding (Point_M2AE.py:176-178)
+            x_carry = jnp.where(vis_list[i][..., None], x, tokens)
+            feats.append(self.norms[i](x))
+        masks = [jnp.logical_not(v) for v in vis_list]
+        return feats, masks
+
+
+class DecoderStage(nn.Module):
+    dim: int
+    depth: int
+    num_heads: int
+    drop_path_rates: Tuple[float, ...]
+
+    @nn.compact
+    def __call__(self, x: Array, pos: Array, deterministic: bool = True):
+        for i in range(self.depth):
+            x = TransformerBlock(self.dim, self.num_heads,
+                                 drop_path_rate=self.drop_path_rates[i],
+                                 name=f"block{i}")(
+                x + pos, deterministic=deterministic)
+        return x
+
+
+class _M2AEBase(nn.Module):
+    config: dict
+
+    @property
+    def scales(self):
+        return len(self.config["num_groups"])
+
+    def _make_encoder(self):
+        c = self.config
+        return HEncoder(tuple(c["encoder_dims"]), tuple(c["encoder_depths"]),
+                        c["num_heads"], c.get("drop_path_rate", 0.1),
+                        c.get("mask_ratio", 0.8), name="h_encoder")
+
+    def _group(self, pts):
+        return pyramid_group(pts, self.config["num_groups"],
+                             self.config["group_sizes"])
+
+    def encode(self, pts: Array, train: bool = False) -> Array:
+        """SVM feature (Point_M2AE_SVMFeature, Point_M2AE.py:1080-1170):
+        mean+max of the coarsest-scale features with no masking."""
+        neighborhoods, centers, idxs = self._group(pts[..., :3])
+        feats, _ = self.h_encoder(neighborhoods, centers, idxs, noaug=True,
+                                  train=train)
+        x = feats[-1]
+        return jnp.mean(x, axis=1) + jnp.max(x, axis=1)
+
+
+class _M2AEDecoderMixin:
+    """Shared hierarchical decoder + mid-scale reconstruction."""
+
+    def _setup_decoder(self):
+        c = self.config
+        ddims = tuple(c["decoder_dims"])
+        ddepths = tuple(c["decoder_depths"])
+        total = sum(ddepths)
+        dpr = [c.get("drop_path_rate", 0.1) * i / max(total - 1, 1)
+               for i in range(total)]
+        self.mask_token = self.param(
+            "mask_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, ddims[0]))
+        stages, pos_embeds, props, cnt = [], [], [], 0
+        for i in range(len(ddims)):
+            stages.append(DecoderStage(ddims[i], ddepths[i], c["num_heads"],
+                                       tuple(dpr[cnt:cnt + ddepths[i]]),
+                                       name=f"h_decoder{i}"))
+            pos_embeds.append(MLP((ddims[i], ddims[i]), act=nn.gelu,
+                                  name=f"decoder_pos_embed{i}"))
+            if i > 0:
+                props.append(MLP((ddims[i],), name=f"token_prop{i - 1}"))
+            cnt += ddepths[i]
+        self.h_decoder = stages
+        self.decoder_pos_embeds = pos_embeds
+        self.token_props = props
+        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.rec_head = nn.Dense(3 * c["group_sizes"][0], name="rec_head")
+
+    def _decode_and_rec(self, feats, masks, centers, neighborhoods, train):
+        """Reverse-order decode (Point_M2AE.py:270-325): coarse -> fine with
+        mask tokens at the top and 3-NN token propagation between scales."""
+        c = self.config
+        n = self.scales
+        rc = list(reversed(centers))
+        rn = list(reversed(neighborhoods))
+        rf = list(reversed(feats))
+        rm = list(reversed(masks))
+
+        x_full = None
+        for i in range(len(c["decoder_dims"])):
+            center = rc[i]
+            vis = jnp.logical_not(rm[i])[..., None]
+            if i == 0:
+                x_full = jnp.where(vis, rf[i], self.mask_token)
+            else:
+                x_full_en = jnp.where(vis, rf[i], 0.0)
+                dist, idx3 = three_nn(center, rc[i - 1])
+                interp = three_interpolate(x_full, idx3, dist)
+                x_full = self.token_props[i - 1](
+                    jnp.concatenate([x_full_en, interp], -1))
+            pos = self.decoder_pos_embeds[i](center)
+            x_full = self.h_decoder[i](x_full, pos, deterministic=not train)
+
+        x_full = self.decoder_norm(x_full)
+        # reconstruct the mid scale (index -2 after reversal)
+        B, G, _ = x_full.shape
+        S = rn[-2].shape[2] if n > 1 else rn[0].shape[2]
+        target = rn[1] if n > 1 else rn[0]
+        tmask = rm[1] if n > 1 else rm[0]
+        rec = self.rec_head(x_full).reshape(B * G, -1, 3)
+        gt = target.reshape(B * G, S, 3)
+        w = tmask.astype(jnp.float32).reshape(-1)
+        return masked_chamfer_l2(rec, gt, w)
+
+
+@MODELS.register_module()
+class Point_M2AE(_M2AEBase, _M2AEDecoderMixin):
+    """Hierarchical MAE (Point_M2AE.py:184-325)."""
+
+    def setup(self):
+        self.h_encoder = self._make_encoder()
+        self._setup_decoder()
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neighborhoods, centers, idxs = self._group(pts)
+        feats, masks = self.h_encoder(neighborhoods, centers, idxs,
+                                      train=train)
+        loss = self._decode_and_rec(feats, masks, centers, neighborhoods,
+                                    train)
+        return loss, jnp.zeros(())
+
+
+@MODELS.register_module()
+class Point_MDAE_with_fc_center_p(_M2AEBase, _M2AEDecoderMixin):
+    """M2AE + joint affine corruption of all pyramid scales + per-scale
+    FC global-shape heads on pooled features (Point_M2AE.py:691-884):
+    returns (masked local rec loss, sum of per-scale center chamfers)."""
+
+    def setup(self):
+        c = self.config
+        self.h_encoder = self._make_encoder()
+        self._setup_decoder()
+        preds = []
+        for i, G in enumerate(c["num_groups"]):
+            preds.append(MLP((1024, 1024, 3 * G), name=f"coarse_pred_{i}"))
+        self.coarse_preds = preds
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        c = self.config
+        pts = clean[..., :3]
+        neighborhoods, centers, idxs = self._group(pts)
+        abs_neighs = [n + ctr[:, :, None, :]
+                      for n, ctr in zip(neighborhoods, centers)]
+        if train:
+            t_neighs, t_centers = corrupt_patches_multi(
+                self.make_rng("corrupt"), abs_neighs, centers,
+                tuple(c.get("corrupt_type", ())))
+        else:
+            t_neighs, t_centers = abs_neighs, centers
+        t_neighs = [n - ctr[:, :, None, :]
+                    for n, ctr in zip(t_neighs, t_centers)]
+
+        feats, masks = self.h_encoder(t_neighs, t_centers, idxs, train=train)
+
+        # per-scale global heads: pooled visible feature -> GT centers
+        loss_global = jnp.zeros(())
+        for i in range(self.scales):
+            vis = jnp.logical_not(masks[i])[..., None]
+            x = feats[i]
+            cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
+            g = jnp.max(jnp.where(vis, x, -1e9), 1) + \
+                jnp.sum(jnp.where(vis, x, 0.0), 1) / cnt
+            coarse = self.coarse_preds[i](g).reshape(g.shape[0], -1, 3)
+            loss_global = loss_global + chamfer_l2(coarse, centers[i])
+
+        loss_local = self._decode_and_rec(feats, masks, centers,
+                                          neighborhoods, train)
+        return loss_local, loss_global
+
+
+@MODELS.register_module()
+class Point_M2AE_SVMFeature(_M2AEBase):
+    """Frozen-feature extractor (Point_M2AE.py:1080-1170)."""
+
+    def setup(self):
+        self.h_encoder = self._make_encoder()
+
+    def __call__(self, pts: Array, train: bool = False) -> Array:
+        return self.encode(pts, train=train)
+
+
+@MODELS.register_module()
+class Point_M2AE_Finetune(_M2AEBase):
+    """Classification head on the coarsest pooled feature
+    (Point_M2AE.py:1172-1280)."""
+
+    def setup(self):
+        from .transformer import _FinetuneHead
+
+        c = self.config
+        self.h_encoder = self._make_encoder()
+        self.head = _FinetuneHead((256, 256), c.get("cls_dim", 40),
+                                  name="cls_head_finetune")
+
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        feat = self.encode(pts, train=train)
+        return self.head(feat, train)

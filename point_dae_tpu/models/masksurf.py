@@ -1,0 +1,318 @@
+"""MaskSurf family: masked surfel (point + normal [+ position]) reconstruction
+(reference: models/MaskSurf.py:341-652 and models/MaskSurf_v2.py:947-2669).
+
+Surfel grouping keeps normals un-centered alongside centered xyz patches
+(MaskSurf_v2 ``Group`` splitting xyz/attributes, MaskSurf_v2.py:245-287);
+the v1 models use two FC heads (points, normals) with the with-normal chamfer
+(ChamferDistanceL2_withnormal); ``_estimated_position`` adds the
+|p . n̂| plane-offset regression (MaskSurf.py:595-652); the v2 family predicts
+7-channel surfels and the local+global variant applies the adaptive
+inverse-loss weighting (MaskSurf_v2.py:1136-1147).
+
+Same static-shape masking machinery as the PointCAE transformer family; the
+pretrain-runner calling convention is (corrupted, clean) -> (loss_xyz,
+loss_normal) where clean is (B, N, 6) xyz+normal.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..losses import build_loss_func
+from ..losses.chamfer import (dis_normalized_l1, dis_normalized_l2,
+                              dis_normalized_l2_strict,
+                              masked_chamfer_l2_withnormal, nn_distance)
+from ..ops import group_neighborhood
+from ..utils.registry import MODELS
+from .layers import MLP, PosEmbedMLP
+from .transformer import _CAETransformerBase, MaskTransformerEncoder
+
+Array = jax.Array
+
+
+def _normal_dis_for(loss_type: str):
+    return {"cdl2normal": dis_normalized_l2,
+            "cdl2normall1": dis_normalized_l1,
+            "cdl2normalstrict": dis_normalized_l2_strict}.get(
+        loss_type, dis_normalized_l2)
+
+
+class _MaskSurfBase(_CAETransformerBase):
+    """Common grouping/encode/decode for surfel models."""
+
+    @property
+    def masked_mode(self) -> bool:
+        return True
+
+    def _group_surfels(self, surfels: Array):
+        """(B, N, 3+A) -> centered xyz patches, attribute patches, centers."""
+        G, S = self.config["num_group"], self.config["group_size"]
+        neigh, center = group_neighborhood(surfels[..., :3], G, S,
+                                           features=surfels[..., 3:])
+        xyz = neigh[..., :3]
+        attr = neigh[..., 3:]
+        return xyz, attr, center
+
+    def _run(self, clean: Array, train: bool):
+        xyz, attr, center = self._group_surfels(clean)
+        x_vis, mask = self.MAE_encoder(xyz, center, train=train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        return xyz, attr, center, x_rec, mask
+
+    def encode(self, pts: Array, train: bool = False) -> Array:
+        G, S = self.config["num_group"], self.config["group_size"]
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        x, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)
+        return jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+
+
+def _surf_encoder(self):
+    t = self.tcfg
+    return MaskTransformerEncoder(
+        trans_dim=t["trans_dim"], depth=t["depth"], num_heads=t["num_heads"],
+        encoder_dims=t["encoder_dims"],
+        drop_path_rate=t.get("drop_path_rate", 0.1),
+        mask_ratio=t.get("mask_ratio", 0.6),
+        rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+        name="MAE_encoder")
+
+
+@MODELS.register_module()
+class MaskSurf(_MaskSurfBase):
+    """Masked surfel reconstruction (MaskSurf.py:341-488): FC point head +
+    FC normal head, with-normal chamfer on masked patches."""
+
+    def setup(self):
+        S = self.config["group_size"]
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(3 * S, name="increase_dim")
+        self.increase_dim2 = nn.Dense(3 * S, name="increase_dim2")
+        self.normal_dis = _normal_dis_for(self.config.get("loss", "cdl2normal"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild_pts = self.increase_dim(x_rec).reshape(B * G, S, 3)
+        rebuild_nrm = self.increase_dim2(x_rec).reshape(B * G, S, 3)
+        gt_pts = xyz.reshape(B * G, S, 3)
+        gt_nrm = attr[..., :3].reshape(B * G, S, 3)
+        w = mask.astype(jnp.float32).reshape(-1)
+        return masked_chamfer_l2_withnormal(rebuild_pts, gt_pts, rebuild_nrm,
+                                            gt_nrm, w, self.normal_dis)
+
+
+@MODELS.register_module()
+class MaskSurf_estimated_position(_MaskSurfBase):
+    """MaskSurf + plane-offset (|p.n̂|) regression on unnormalized points
+    (MaskSurf.py:489-652); position loss added to loss_normal scaled by
+    config.position_weight."""
+
+    def setup(self):
+        S = self.config["group_size"]
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(3 * S, name="increase_dim")
+        self.increase_dim2 = nn.Dense(3 * S, name="increase_dim2")
+        self.normal_dis = _normal_dis_for(self.config.get("loss", "cdl2normal"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild_pts = self.increase_dim(x_rec).reshape(B * G, S, 3)
+        rebuild_nrm = self.increase_dim2(x_rec).reshape(B * G, S, 3)
+        gt_pts = xyz.reshape(B * G, S, 3)
+        gt_nrm = attr[..., :3].reshape(B * G, S, 3)
+        w = mask.astype(jnp.float32).reshape(-1)
+        loss_xyz, loss_normal = masked_chamfer_l2_withnormal(
+            rebuild_pts, gt_pts, rebuild_nrm, gt_nrm, w, self.normal_dis)
+
+        def unit(v):
+            return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+        cflat = center.reshape(B * G, 1, 3)
+        reb_abs = rebuild_pts + cflat
+        gt_abs = gt_pts + cflat
+        reb_pos = jnp.abs(jnp.sum(reb_abs * unit(rebuild_nrm), -1))
+        gt_pos = jnp.abs(jnp.sum(gt_abs * unit(gt_nrm), -1))
+        per = jnp.mean((reb_pos - gt_pos) ** 2, -1)          # (B*G,)
+        pos_loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-8)
+        pw = float(self.config.get("position_weight", 1.0))
+        return loss_xyz, loss_normal + pos_loss * pw
+
+
+class _SurfV2Base(_MaskSurfBase):
+    """7-channel surfel v2 machinery: attribute = normal(3) + position(1)
+    where position = |p . n̂| of the *absolute* point; heads predict 7-channel
+    surfels (MaskSurf_v2.py:947-1163)."""
+
+    def _position(self, abs_pts: Array, normals: Array) -> Array:
+        n = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        return jnp.abs(jnp.sum(abs_pts * n, -1, keepdims=True))
+
+    def _local_losses(self, x_rec, xyz, attr, center, mask):
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        surfel = self.increase_dim(x_rec).reshape(B * G, S, 7)
+        reb_p, reb_n = surfel[..., :3], surfel[..., 3:6]
+        reb_pos = jnp.abs(surfel[..., 6])
+        gt_p = xyz.reshape(B * G, S, 3)
+        gt_n = attr[..., :3].reshape(B * G, S, 3)
+        cflat = center.reshape(B * G, 1, 3)
+        gt_pos = self._position(gt_p + cflat, gt_n)[..., 0]
+        w = mask.astype(jnp.float32).reshape(-1)
+        loss_xyz, loss_normal = masked_chamfer_l2_withnormal(
+            reb_p, gt_p, reb_n, gt_n, w, dis_normalized_l2)
+        # position chamfer via the xyz correspondence
+        _, _, i1, i2 = nn_distance(reb_p, gt_p)
+        p1 = jnp.mean((reb_pos - jnp.take_along_axis(gt_pos, i1, 1)) ** 2, -1)
+        p2 = jnp.mean((gt_pos - jnp.take_along_axis(reb_pos, i2, 1)) ** 2, -1)
+        denom = jnp.maximum(jnp.sum(w), 1e-8)
+        loss_pos = jnp.sum((p1 + p2) * w) / denom
+        return loss_xyz, loss_normal, loss_pos
+
+
+@MODELS.register_module()
+class MaskSurf_v2_local_global_point(_SurfV2Base):
+    """Local surfel head + global coarse surfel head with adaptive
+    inverse-loss weighting (MaskSurf_v2.py:947-1163): each of the six losses
+    is weighted by 1/loss_i (stop-grad), normalized to the local-xyz term;
+    returns (weighted point loss, weighted surfel loss)."""
+
+    def setup(self):
+        S = self.config["group_size"]
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(7 * S, name="increase_dim")
+        self.coarse_pred = MLP((1024, 1024, 7 * 64), name="coarse_pred")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        loss_xyz, loss_normal, loss_pos = self._local_losses(
+            x_rec, xyz, attr, center, mask)
+
+        # global head: pooled visible feature -> 64 coarse surfels vs centers
+        vis = jnp.logical_not(mask)[..., None]
+        x = jnp.where(vis, x_rec, 0.0)
+        cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
+        gfeat = jnp.max(jnp.where(vis, x_rec, -1e9), 1) + jnp.sum(x, 1) / cnt
+        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], 64, 7)
+        c_xyz = coarse[..., :3]
+        c_nrm = coarse[..., 3:6]
+        c_pos = jnp.abs(coarse[..., 6])
+        # gt centers with per-center normal = mean patch normal
+        center_nrm = jnp.mean(attr[..., :3], axis=2)
+        d1, d2, i1, i2 = nn_distance(c_xyz, center)
+        gd1 = dis_normalized_l2(c_nrm, jnp.take_along_axis(center_nrm, i1[..., None], 1))
+        gd2 = dis_normalized_l2(center_nrm, jnp.take_along_axis(c_nrm, i2[..., None], 1))
+        gt_cpos = self._position(center, center_nrm)[..., 0]
+        gp1 = jnp.mean((c_pos - jnp.take_along_axis(gt_cpos, i1, 1)) ** 2)
+        gp2 = jnp.mean((gt_cpos - jnp.take_along_axis(c_pos, i2, 1)) ** 2)
+        loss_cx = jnp.mean(d1) + jnp.mean(d2)
+        loss_cn = jnp.mean(gd1) + jnp.mean(gd2)
+        loss_cp = gp1 + gp2
+
+        concat = jnp.stack([loss_cx, loss_cn, loss_cp,
+                            loss_xyz, loss_normal, loss_pos])
+        wts = 1.0 / jnp.maximum(jax.lax.stop_gradient(concat), 1e-8)
+        wts = wts / wts[3]
+        loss_point = concat[0] * wts[0] + concat[3] * wts[3]
+        loss_surf = (concat[1] * wts[1] + concat[2] * wts[2] +
+                     concat[4] * wts[4] + concat[5] * wts[5])
+        return loss_point, loss_surf
+
+
+@MODELS.register_module()
+class MaskSurf_v2_local_point_only(_SurfV2Base):
+    """Local xyz term only (MaskSurf_v2.py:1165-1378)."""
+
+    def setup(self):
+        S = self.config["group_size"]
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(7 * self.config["group_size"],
+                                     name="increase_dim")
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        loss_xyz, _, _ = self._local_losses(x_rec, xyz, attr, center, mask)
+        return loss_xyz, jnp.zeros(())
+
+
+@MODELS.register_module()
+class MaskSurf_v2_local_point_normal(_SurfV2Base):
+    """xyz + normal terms (MaskSurf_v2.py:1380-1595)."""
+
+    def setup(self):
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(7 * self.config["group_size"],
+                                     name="increase_dim")
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        loss_xyz, loss_normal, _ = self._local_losses(x_rec, xyz, attr,
+                                                      center, mask)
+        return loss_xyz, loss_normal
+
+
+@MODELS.register_module()
+class MaskSurf_v2_local_point_position(_SurfV2Base):
+    """xyz + position terms (MaskSurf_v2.py:1596-1811)."""
+
+    def setup(self):
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(7 * self.config["group_size"],
+                                     name="increase_dim")
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        loss_xyz, _, loss_pos = self._local_losses(x_rec, xyz, attr,
+                                                   center, mask)
+        return loss_xyz, loss_pos
+
+
+@MODELS.register_module()
+class MaskSurf_v2_local_point_normal_position(_SurfV2Base):
+    """xyz + normal + position, normal and position summed into the second
+    return (MaskSurf_v2.py:1813-2031)."""
+
+    def setup(self):
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(7 * self.config["group_size"],
+                                     name="increase_dim")
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        loss_xyz, loss_normal, loss_pos = self._local_losses(
+            x_rec, xyz, attr, center, mask)
+        return loss_xyz, loss_normal + loss_pos

@@ -107,3 +107,68 @@ class PointTransformerPartSeg(nn.Module):
 def seg_nll_loss(logp: Array, target: Array) -> Array:
     """get_loss (pt.py:335-341): NLL over per-point log-probs."""
     return -jnp.mean(jnp.take_along_axis(logp, target[..., None], axis=-1))
+
+
+@MODELS.register_module()
+class DGCNNPartSeg(nn.Module):
+    """DGCNN part-segmentation model (segmentation/models/dgcnn_partseg.py):
+    seg-style EdgeConv encoder, global max + one-hot category embedding
+    broadcast to all points, conv head to part logits."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, cls_label: Array, train: bool = True):
+        from .dgcnn import DGCNNPartSegEncoder
+
+        parts = self.config.get("cls_dim", 50)
+        B, N, _ = pts.shape
+        gfeat, pointwise = DGCNNPartSegEncoder(name="dgcnn_encoder")(
+            pts[..., :3], train=train)
+        lab = nn.Dense(64, use_bias=False, name="label_conv")(cls_label)
+        lab = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, name="label_bn")(lab)
+        lab = leaky_relu02(lab)
+        glob = jnp.concatenate([gfeat, lab], -1)
+        glob = jnp.broadcast_to(glob[:, None, :], (B, N, glob.shape[-1]))
+        h = jnp.concatenate([pointwise, glob], -1)
+        for i, d in enumerate((512, 256)):
+            h = nn.Dense(d, use_bias=False, name=f"convs{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bns{i}")(h)
+            h = leaky_relu02(h)
+            h = nn.Dropout(0.5, name=f"dp{i}")(h, deterministic=not train)
+        h = nn.Dense(parts, name="head")(h)
+        return jax.nn.log_softmax(h, axis=-1)
+
+
+@MODELS.register_module()
+class PointNetNoTPartSeg(nn.Module):
+    """PointNet(NoT) part segmentation
+    (segmentation/models/pointnetnot_partseg.py / PointCAE_pointnet_NoT_partseg.py):
+    pointwise MLP features + global max + category one-hot, conv seg head."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, cls_label: Array, train: bool = True):
+        parts = self.config.get("cls_dim", 50)
+        B, N, _ = pts.shape
+        h = pts[..., :3]
+        feats = []
+        for i, d in enumerate((64, 128, 128, 512, 2048)):
+            h = nn.Dense(d, name=f"conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn{i}")(h)
+            h = nn.relu(h)
+            feats.append(h)
+        gfeat = jnp.max(h, axis=1)                          # (B, 2048)
+        lab = nn.Dense(64, name="label_fc")(cls_label)
+        glob = jnp.concatenate([gfeat, lab], -1)
+        glob = jnp.broadcast_to(glob[:, None, :], (B, N, glob.shape[-1]))
+        h = jnp.concatenate(feats[:4] + [glob], -1)
+        for i, d in enumerate((256, 256, 128)):
+            h = nn.Dense(d, name=f"seg{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"segbn{i}")(h)
+            h = nn.relu(h)
+        h = nn.Dense(parts, name="head")(h)
+        return jax.nn.log_softmax(h, axis=-1)

@@ -71,13 +71,16 @@ class MaskTransformerEncoder(nn.Module):
     drop_path_rate: float = 0.1
     mask_ratio: float = 0.6
     rand_ratio: bool = True
+    dtype: object = None
 
     def setup(self):
-        self.patch_embed = PatchEncoder(self.encoder_dims, name="encoder")
+        self.patch_embed = PatchEncoder(self.encoder_dims, dtype=self.dtype,
+                                        name="encoder")
         self.pos_embed = PosEmbedMLP(self.trans_dim, name="pos_embed")
         self.blocks = TransformerEncoder(self.trans_dim, self.depth,
                                          self.num_heads,
                                          drop_path_rate=self.drop_path_rate,
+                                         dtype=self.dtype,
                                          name="blocks")
         self.norm = nn.LayerNorm(name="norm")
 
@@ -105,13 +108,16 @@ class NormalTransformerEncoder(nn.Module):
     num_heads: int
     encoder_dims: int
     drop_path_rate: float = 0.1
+    dtype: object = None
 
     def setup(self):
-        self.patch_embed = PatchEncoder(self.encoder_dims, name="encoder")
+        self.patch_embed = PatchEncoder(self.encoder_dims, dtype=self.dtype,
+                                        name="encoder")
         self.pos_embed = PosEmbedMLP(self.trans_dim, name="pos_embed")
         self.blocks = TransformerEncoder(self.trans_dim, self.depth,
                                          self.num_heads,
                                          drop_path_rate=self.drop_path_rate,
+                                         dtype=self.dtype,
                                          name="blocks")
         self.norm = nn.LayerNorm(name="norm")
 
@@ -135,6 +141,13 @@ class _CAETransformerBase(nn.Module):
         return self.config["transformer_config"]
 
     @property
+    def compute_dtype(self):
+        """Optional bf16 compute policy ('dtype': 'bf16' in transformer_config);
+        params, residual stream, losses and geometry stay f32."""
+        d = self.tcfg.get("dtype", self.config.get("dtype"))
+        return jnp.bfloat16 if str(d) in ("bf16", "bfloat16") else None
+
+    @property
     def corrupt_type(self) -> Tuple[str, ...]:
         return tuple(self.config.get("corrupt_type", ()))
 
@@ -155,18 +168,20 @@ class _CAETransformerBase(nn.Module):
                 drop_path_rate=t.get("drop_path_rate", 0.1),
                 mask_ratio=t.get("mask_ratio", 0.6),
                 rand_ratio=str(t.get("rand_ratio", "False")) == "True",
-                name="MAE_encoder")
+                dtype=self.compute_dtype, name="MAE_encoder")
         return NormalTransformerEncoder(
             trans_dim=t["trans_dim"], depth=t["depth"],
             num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
-            drop_path_rate=t.get("drop_path_rate", 0.1), name="MAE_encoder")
+            drop_path_rate=t.get("drop_path_rate", 0.1),
+            dtype=self.compute_dtype, name="MAE_encoder")
 
     def _make_decoder(self):
         t = self.tcfg
         return TransformerDecoder(
             embed_dim=t["trans_dim"], depth=t["decoder_depth"],
             num_heads=t["decoder_num_heads"],
-            drop_path_rate=t.get("drop_path_rate", 0.1), name="MAE_decoder")
+            drop_path_rate=t.get("drop_path_rate", 0.1),
+            dtype=self.compute_dtype, name="MAE_decoder")
 
     def _group_and_corrupt(self, pts: Array, train: bool):
         """Returns (gt_neighborhood centered, center, transformed centered
@@ -258,6 +273,7 @@ class _FoldingLocalHead(nn.Module):
     """Two-stage folding over a 6x6 grid per token
     (PointCAE_transformer.py:789-803,859-878)."""
     trans_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x_rec: Array) -> Array:
@@ -266,11 +282,12 @@ class _FoldingLocalHead(nn.Module):
         n = grid.shape[0]
         feat = jnp.broadcast_to(x_rec[:, :, None, :], (B, G, n, C))
         gridb = jnp.broadcast_to(grid[None, None], (B, G, n, 2))
-        f1 = MLP((self.trans_dim, self.trans_dim, 3), name="folding1")(
-            jnp.concatenate([feat, gridb], -1))
-        f2 = MLP((self.trans_dim, self.trans_dim, 3), name="folding2")(
-            jnp.concatenate([feat, f1], -1))
-        return f2                                                # (B, G, 36, 3)
+        f1 = MLP((self.trans_dim, self.trans_dim, 3), dtype=self.dtype,
+                 name="folding1")(jnp.concatenate([feat, gridb], -1))
+        f2 = MLP((self.trans_dim, self.trans_dim, 3), dtype=self.dtype,
+                 name="folding2")(
+            jnp.concatenate([feat, f1.astype(feat.dtype)], -1))
+        return f2.astype(jnp.float32)                            # (B, G, 36, 3)
 
 
 @MODELS.register_module()
@@ -314,8 +331,10 @@ class PointCAE_transformer_fc_global_folding_local(_CAETransformerBase):
         self.MAE_decoder = self._make_decoder()
         if self.masked_mode:
             self.mask_token = self._make_mask_token()
-        self.coarse_pred = MLP((1024, 1024, 3 * 64), name="coarse_pred")
-        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"], name="fold")
+        self.coarse_pred = MLP((1024, 1024, 3 * 64), dtype=self.compute_dtype,
+                               name="coarse_pred")
+        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+                                      dtype=self.compute_dtype, name="fold")
         self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
         self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
 
@@ -335,7 +354,7 @@ class PointCAE_transformer_fc_global_folding_local(_CAETransformerBase):
         neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
         x_vis, mask = self._encode(t_neigh, t_center, train)
         gfeat = self._global_feature(x_vis, mask)
-        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        coarse = self.coarse_pred(gfeat).astype(jnp.float32).reshape(gfeat.shape[0], -1, 3)
         loss2 = self.global_loss_fn(coarse, center)
 
         x_rec = self._decode(x_vis, mask, center, train)
@@ -352,7 +371,7 @@ class PointCAE_transformer_fc_global_folding_local(_CAETransformerBase):
         neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
         x_vis, mask = self._encode(t_neigh, t_center, train)
         gfeat = self._global_feature(x_vis, mask)
-        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        coarse = self.coarse_pred(gfeat).astype(jnp.float32).reshape(gfeat.shape[0], -1, 3)
         x_rec = self._decode(x_vis, mask, center, train)
         rebuild = self.fold(x_rec) + center[:, :, None, :]
         return coarse, rebuild, mask
@@ -383,7 +402,7 @@ class PointCAE_transformer_fc_global_fc_local(_CAETransformerBase):
         neg = jnp.where(vis, x_vis, -1e9)
         cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
         gfeat = jnp.max(neg, 1) + jnp.sum(jnp.where(vis, x_vis, 0.0), 1) / cnt
-        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        coarse = self.coarse_pred(gfeat).astype(jnp.float32).reshape(gfeat.shape[0], -1, 3)
         loss2 = self.global_loss_fn(coarse, center)
 
         x_rec = self._decode(x_vis, mask, center, train)
@@ -450,7 +469,7 @@ class PointCAE_transformer_patch_center_only(_CAETransformerBase):
         neg = jnp.where(vis, x_vis, -1e9)
         cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
         gfeat = jnp.max(neg, 1) + jnp.sum(jnp.where(vis, x_vis, 0.0), 1) / cnt
-        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        coarse = self.coarse_pred(gfeat).astype(jnp.float32).reshape(gfeat.shape[0], -1, 3)
         loss2 = self.global_loss_fn(coarse, center)
         return loss2, jnp.zeros(())
 
@@ -591,3 +610,209 @@ class PointTransformerNoClassTokenSVMFeature(PointTransformerNoClassToken):
 
     def __call__(self, pts: Array, train: bool = False) -> Array:
         return self._backbone(pts, train)
+
+
+@MODELS.register_module()
+class PointCAE_transformer_fc_center(_CAETransformerBase):
+    """Global max-pooled feature -> FC to the G patch centers, chamfer on
+    centers only (PointCAE_transformer.py:2343-2438)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.coarse_pred = MLP((1024, 1024, 3 * self.config["num_group"]),
+                               name="coarse_pred")
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        neg = jnp.where(jnp.logical_not(mask)[..., None], x_vis, -1e9)
+        gfeat = jnp.max(neg, axis=1)
+        coarse = self.coarse_pred(gfeat).astype(jnp.float32).reshape(gfeat.shape[0], -1, 3)
+        loss1 = self.global_loss_fn(coarse, center)
+        return loss1, jnp.zeros(())
+
+
+@MODELS.register_module()
+class PointCAE_transformer_fold_center(_CAETransformerBase):
+    """Folding decoder to the patch-center cloud
+    (PointCAE_transformer.py:2440-2578)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.global_fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+                                             name="global_fold")
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        neg = jnp.where(jnp.logical_not(mask)[..., None], x_vis, -1e9)
+        gfeat = jnp.max(neg, axis=1)
+        coarse = self.global_fold(gfeat[:, None, :])[:, 0]   # (B, 36, 3)
+        loss1 = self.global_loss_fn(coarse, center)
+        return loss1, jnp.zeros(())
+
+
+@MODELS.register_module()
+class PointCAE_transformer_v6_corase2fine_transformer(_CAETransformerBase):
+    """Coarse-to-fine: predict coarse centers from the pooled feature, use the
+    *predicted* centers as decoder positional embeddings, reconstruct matched
+    fine patches with the coarse2fine chamfer
+    (PointCAE_transformer.py:2580-2709)."""
+
+    def setup(self):
+        S = self.config["group_size"]
+        self.MAE_encoder = self._make_encoder()
+        self.increase_dim = nn.Dense(1024, name="increase_dim")
+        self.coarse_pred = MLP((1024, 1024, 3 * self.config["num_group"]),
+                               name="coarse_pred")
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.increase_dim_fine = nn.Dense(3 * S, name="increase_dim_fine")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        from ..losses import chamfer_l2_coarse2fine
+
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        if self.masked_mode:
+            raise NotImplementedError(
+                "reference raises for Drop-Patch too (:2655)")
+        x_vis = self.MAE_encoder(t_neigh, t_center, train=train)
+        B, G, C = x_vis.shape
+        S = self.config["group_size"]
+        gfeat = jnp.max(self.increase_dim(x_vis), axis=1)    # (B, 1024)
+        coarse = self.coarse_pred(gfeat).reshape(B, -1, 3)
+        pos = self.decoder_pos_embed(coarse)
+        x_rec = self.MAE_decoder(x_vis, pos, deterministic=not train)
+        rebuild = self.increase_dim_fine(x_rec).reshape(B, G, S, 3)
+        gt_fine = neigh.reshape(B, G, S, 3)
+        loss1, loss2 = chamfer_l2_coarse2fine(coarse, center, rebuild, gt_fine)
+        return loss1, loss2
+
+
+@MODELS.register_module()
+class PointCAE_transformer_fc_all(_CAETransformerBase):
+    """Pooled feature -> FC to the FULL clean cloud
+    (PointCAE_transformer.py:2874-2976)."""
+
+    def setup(self):
+        n = int(self.config.get("npoints", 1024))
+        self.MAE_encoder = self._make_encoder()
+        self.coarse_pred = MLP((1024, 1024, 3 * n), name="coarse_pred")
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        neg = jnp.where(jnp.logical_not(mask)[..., None], x_vis, -1e9)
+        gfeat = jnp.max(neg, axis=1)
+        rebuild = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 3)
+        loss1 = self.global_loss_fn(rebuild, pts)
+        return loss1, jnp.zeros(())
+
+
+@MODELS.register_module()
+class PointCAE_transformer_fold_all(_CAETransformerBase):
+    """Folding head to the full cloud (PointCAE_transformer.py:2978-3111);
+    grid 32x32 -> 1024 points."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    @nn.compact
+    def _fold_full(self, gfeat: Array) -> Array:
+        grid = jnp.asarray(folding_grid((32, 32), (-0.3, 0.3)))
+        B, C = gfeat.shape
+        n = grid.shape[0]
+        feat = jnp.broadcast_to(gfeat[:, None, :], (B, n, C))
+        g = jnp.broadcast_to(grid[None], (B, n, 2))
+        f1 = MLP((1024, 1024, 3), name="folding1")(
+            jnp.concatenate([feat, g], -1))
+        return MLP((1024, 1024, 3), name="folding2")(
+            jnp.concatenate([feat, f1], -1))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        neg = jnp.where(jnp.logical_not(mask)[..., None], x_vis, -1e9)
+        gfeat = jnp.max(neg, axis=1)
+        rebuild = self._fold_full(gfeat)
+        loss1 = self.global_loss_fn(rebuild, pts)
+        return loss1, jnp.zeros(())
+
+
+@MODELS.register_module()
+class PointCAE_transformer_supervised(_CAETransformerBase):
+    """Supervised-pretraining ablation (PointCAE_transformer.py:3113-3255):
+    classification head on the pooled (corrupted-input) feature; called with
+    labels instead of a reconstruction target."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.head = _FinetuneHead((256, 256),
+                                  self.tcfg.get("cls_dim", 55),
+                                  name="cls_head_finetune")
+
+    def __call__(self, corrupted: Array, clean: Array, labels=None,
+                 train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        vis = jnp.logical_not(mask)[..., None]
+        cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
+        gfeat = jnp.max(jnp.where(vis, x_vis, -1e9), 1) + \
+            jnp.sum(jnp.where(vis, x_vis, 0.0), 1) / cnt
+        logits = self.head(gfeat, train)
+        if labels is None:
+            return logits, jnp.zeros(())
+        logp = jax.nn.log_softmax(logits)
+        loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], -1))
+        return loss, jnp.zeros(())
+
+
+@MODELS.register_module()
+class PointCAE_transformer_folding_global_fc_local(_CAETransformerBase):
+    """Folding global head + FC local head (PointCAE_transformer.py:1384-1618)."""
+
+    def setup(self):
+        self.MAE_encoder = self._make_encoder()
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.global_fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+                                             name="global_fold")
+        self.increase_dim = nn.Dense(3 * self.config["group_size"],
+                                     name="increase_dim")
+        self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
+        self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        x_vis, mask = self._encode(t_neigh, t_center, train)
+        vis = jnp.logical_not(mask)[..., None]
+        cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
+        gfeat = jnp.max(jnp.where(vis, x_vis, -1e9), 1) + \
+            jnp.sum(jnp.where(vis, x_vis, 0.0), 1) / cnt
+        coarse = self.global_fold(gfeat[:, None, :])[:, 0]
+        loss2 = self.global_loss_fn(coarse, center)
+
+        x_rec = self._decode(x_vis, mask, center, train)
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
+        gt = neigh.reshape(B * G, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        return loss1, loss2

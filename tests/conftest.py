@@ -13,6 +13,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The sitecustomize imports jax before this file runs, so env vars alone are
+# not enough — update the already-parsed config too (must happen before any
+# backend use, or everything silently runs through the TPU tunnel).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,161 @@
+"""Dataset / loader / transforms / native IO tests."""
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_dae_tpu.data.datasets import Synthetic, build_dataset_from_cfg
+from point_dae_tpu.data.loader import DataLoader
+from point_dae_tpu.data import transforms as T
+
+
+class TestSynthetic:
+    def test_deterministic(self):
+        ds = Synthetic({"size": 8, "N_POINTS": 256})
+        a = ds[3]["points"]
+        b = ds[3]["points"]
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == (256, 6)
+        assert ds[0]["label"] != ds[1]["label"]
+
+    def test_build_from_cfg(self):
+        ds = build_dataset_from_cfg({"NAME": "Synthetic", "size": 4},
+                                    {"N_POINTS": 128, "subset": "train"})
+        assert len(ds) == 4
+        assert ds[0]["points"].shape == (128, 6)
+
+
+class TestLoader:
+    def test_batches_and_epochs(self):
+        ds = Synthetic({"size": 20, "N_POINTS": 64})
+        loader = DataLoader(ds, 8, shuffle=True, drop_last=True, seed=1)
+        assert len(loader) == 2
+        b1 = [b["points"].shape for b in loader]
+        assert b1 == [(8, 64, 6), (8, 64, 6)]
+        first_epoch0 = next(iter(loader))["model_id"]
+        loader.set_epoch(1)
+        first_epoch1 = next(iter(loader))["model_id"]
+        assert list(first_epoch0) != list(first_epoch1)  # reshuffled
+
+    def test_host_sharding(self):
+        ds = Synthetic({"size": 16, "N_POINTS": 32})
+        l0 = DataLoader(ds, 4, shuffle=False, num_hosts=2, host_id=0)
+        l1 = DataLoader(ds, 4, shuffle=False, num_hosts=2, host_id=1)
+        ids0 = {m for b in l0 for m in b["model_id"]}
+        ids1 = {m for b in l1 for m in b["model_id"]}
+        assert not ids0 & ids1
+
+
+class TestTransforms:
+    def setup_method(self):
+        self.pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 64, 3)).astype(np.float32))
+
+    def test_scale_translate_bounds(self):
+        out = T.pointcloud_scale_and_translate(jax.random.key(0), self.pts)
+        assert out.shape == self.pts.shape
+        assert not np.allclose(np.asarray(out), np.asarray(self.pts))
+
+    def test_rotate_preserves_norms(self):
+        centered = self.pts - self.pts.mean(axis=1, keepdims=True)
+        out = T.pointcloud_rotate(jax.random.key(1), centered)
+        n_in = np.linalg.norm(np.asarray(centered), axis=-1)
+        n_out = np.linalg.norm(np.asarray(out), axis=-1)
+        np.testing.assert_allclose(n_in, n_out, rtol=1e-4, atol=1e-5)
+
+    def test_jitter_clip(self):
+        out = T.pointcloud_jitter(jax.random.key(2), self.pts, std=0.5,
+                                  clip=0.05)
+        assert float(jnp.abs(out - self.pts).max()) <= 0.05 + 1e-6
+
+    def test_input_dropout_replaces_with_first(self):
+        out = np.asarray(T.random_input_dropout(jax.random.key(3), self.pts))
+        first = np.asarray(self.pts)[:, :1, :]
+        orig = np.asarray(self.pts)
+        replaced = np.all(out == first, axis=-1)
+        kept = np.all(out == orig, axis=-1)
+        assert np.all(replaced | kept)
+
+    def test_hflip_keeps_up_axis(self):
+        out = np.asarray(T.random_horizontal_flip(jax.random.key(4), self.pts,
+                                                  upright_axis=2))
+        np.testing.assert_array_equal(out[..., 2], np.asarray(self.pts)[..., 2])
+        assert np.all(np.abs(out) == np.abs(np.asarray(self.pts)))
+
+
+class TestNativeIO:
+    def test_batch_loader_matches_numpy(self):
+        from point_dae_tpu.data import native_io
+
+        if not native_io.available():
+            pytest.skip("native library not built")
+        with tempfile.TemporaryDirectory() as d:
+            paths = []
+            for i in range(4):
+                a = np.random.default_rng(i).normal(size=(128, 3)).astype(np.float32)
+                p = os.path.join(d, f"{i}.npy")
+                np.save(p, a)
+                paths.append(p)
+            batch, ok = native_io.load_npy_batch(paths, 128, 3)
+            assert ok.all()
+            for i, p in enumerate(paths):
+                np.testing.assert_array_equal(batch[i], np.load(p))
+
+    def test_render_shapes(self):
+        from point_dae_tpu.data import native_io
+
+        pts = np.random.default_rng(0).normal(size=(256, 3)).astype(np.float32)
+        pts /= np.abs(pts).max()
+        img = native_io.render_balls(pts, h=64, w=64)
+        assert img.shape == (64, 64, 3)
+        assert img.max() > 0  # something was drawn
+
+
+class TestConverter:
+    def test_linear_transpose_and_paths(self):
+        from point_dae_tpu.utils.convert_torch import convert_state_dict
+
+        sd = {
+            "pos_embed.0.weight": np.zeros((128, 3), np.float32),
+            "pos_embed.0.bias": np.zeros(128, np.float32),
+            "blocks.blocks.0.attn.qkv.weight": np.zeros((96, 32), np.float32),
+            "norm.weight": np.ones(32, np.float32),
+            "norm.bias": np.zeros(32, np.float32),
+            "mask_token": np.zeros((1, 1, 32), np.float32),
+            "increase_dim.0.weight": np.zeros((96, 32, 1), np.float32),
+        }
+        flat = convert_state_dict(sd, "transformer")
+        assert flat["pos_embed/fc1/kernel"].shape == (3, 128)
+        assert flat["blocks/block0/attn/qkv/kernel"].shape == (32, 96)
+        assert flat["norm/scale"].shape == (32,)
+        assert flat["increase_dim/kernel"].shape == (32, 96)
+        assert flat["mask_token"].shape == (1, 1, 32)
+
+    def test_prefix_strip(self):
+        from point_dae_tpu.utils.checkpoint import strip_torch_prefixes
+
+        sd = {"module.MAE_encoder.norm.weight": np.ones(3),
+              "module.base_model.foo": np.ones(2),
+              "plain": np.ones(1)}
+        out = strip_torch_prefixes(sd)
+        assert set(out) == {"norm.weight", "foo", "plain"}
+
+
+class TestParseResults:
+    def test_scrapes_log_lines(self, tmp_path):
+        import subprocess
+        import sys
+
+        log = tmp_path / "run1" / "a.log"
+        log.parent.mkdir()
+        log.write_text(
+            "[Validation] EPOCH: 1  acc = 85.1000\n"
+            "[Validation] EPOCH: 2  acc = 91.2000\n")
+        out = subprocess.run(
+            [sys.executable, "tools/parse_results.py", str(tmp_path)],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+        assert "91.20" in out.stdout

@@ -1,0 +1,218 @@
+"""Engine-level tests on the virtual 8-device CPU mesh: one-step training
+parity, optimizer factory semantics, scheduler shapes, checkpoint round-trip
+(SURVEY.md §4(c,d))."""
+import functools
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_dae_tpu.engine.pretrain import (compute_loss, device_pipeline,
+                                           gradual_weight_for, init_model,
+                                           make_train_step)
+from point_dae_tpu.engine.train_state import (TrainState, build_optimizer,
+                                              make_lr_schedule)
+from point_dae_tpu.models import build_model_from_cfg
+from point_dae_tpu.parallel import get_mesh, replicate, shard_batch
+from point_dae_tpu.utils.config import ConfigDict
+
+TINY_CFG = ConfigDict({
+    "optimizer": {"type": "AdamW", "part": "all",
+                  "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
+    "scheduler": {"type": "CosLR", "kwargs": {"epochs": 10, "initial_epochs": 0}},
+    "dataset": {"train": {"others": {"npoints": 64, "aug_type": ["norm"],
+                                     "corrupt_type": ["affine_r3"]}}},
+    "model": {"NAME": "Point_CAE_DGCNN_FCOnly", "corrupt_type": [],
+              "loss": "cdl2"},
+    "normal_weight": 1.0, "total_bs": 8, "max_epoch": 10,
+    "loss_type": "xyznormal_gradual"})
+
+
+class TestSchedule:
+    def test_coslr_endpoints(self):
+        cfg = {"optimizer": {"kwargs": {"lr": 1e-3}},
+               "scheduler": {"type": "CosLR", "kwargs": {"epochs": 100}}}
+        s = make_lr_schedule(cfg, steps_per_epoch=10)
+        assert abs(float(s(0)) - 1e-3) < 1e-9
+        # end of schedule -> min_lr = lr/1000
+        assert abs(float(s(100 * 10)) - 1e-6) < 1e-8
+
+    def test_coslr_warmup_key_quirk(self):
+        """Reference quirk: `initial_epochs` is ignored (builder.py:113 reads
+        warmup_epochs); only warmup_epochs triggers warmup."""
+        cfg = {"optimizer": {"kwargs": {"lr": 1e-3}},
+               "scheduler": {"type": "CosLR",
+                             "kwargs": {"epochs": 100, "initial_epochs": 10}}}
+        s = make_lr_schedule(cfg, steps_per_epoch=1)
+        assert abs(float(s(0)) - 1e-3) < 1e-9  # no warmup
+        cfg["scheduler"]["kwargs"]["warmup_epochs"] = 10
+        s = make_lr_schedule(cfg, steps_per_epoch=1)
+        assert float(s(0)) < 1e-4              # warmup active
+
+    def test_loss_type_switch(self):
+        lx, ln = jnp.float32(2.0), jnp.float32(3.0)
+        assert float(compute_loss("xyz", lx, ln, 0.5, 0.0)) == 2.0
+        assert float(compute_loss("xyznormal", lx, ln, 0.5, 0.0)) == 3.5
+        assert float(compute_loss("xyznormal_gradual", lx, ln, 0.5,
+                                  jnp.float32(0.5))) == 2.75
+
+    def test_gradual_weight(self):
+        assert gradual_weight_for("xyznormal_gradual", 60, 120) == 0.5
+        assert gradual_weight_for("xyznormal_warm", 20, 120) == 0.5
+        assert gradual_weight_for("xyznormal_warm", 80, 120) == 1.0
+        assert gradual_weight_for("xyz", 60, 120) == 0.0
+
+
+class TestOptimizerParts:
+    def _params(self):
+        return {"encoder": {"fc": {"kernel": jnp.ones((4, 4)),
+                                   "bias": jnp.ones(4)}},
+                "cls_head": {"cls": {"kernel": jnp.ones((4, 2)),
+                                     "bias": jnp.ones(2)}}}
+
+    def _grads(self, params):
+        return jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def _step(self, part):
+        cfg = {"optimizer": {"type": "AdamW", "part": part,
+                             "kwargs": {"lr": 0.1, "weight_decay": 0.0}},
+               "scheduler": {"type": "function", "kwargs": {}}}
+        params = self._params()
+        tx, _ = build_optimizer(cfg, params, 1)
+        state = tx.init(params)
+        updates, _ = tx.update(self._grads(params), state, params)
+        return updates
+
+    def test_only_new_freezes_encoder(self):
+        up = self._step("only_new")
+        assert float(jnp.abs(up["encoder"]["fc"]["kernel"]).sum()) == 0.0
+        assert float(jnp.abs(up["cls_head"]["cls"]["kernel"]).sum()) > 0.0
+
+    def test_diff_lr_scales_pretrained(self):
+        up = self._step("diff_lr")
+        enc = float(jnp.abs(up["encoder"]["fc"]["kernel"]).mean())
+        head = float(jnp.abs(up["cls_head"]["cls"]["kernel"]).mean())
+        np.testing.assert_allclose(enc, head * 0.1, rtol=1e-3)
+
+    def test_all_updates_everything(self):
+        up = self._step("all")
+        for leaf in jax.tree_util.tree_leaves(up):
+            assert float(jnp.abs(leaf).sum()) > 0.0
+
+
+class TestDevicePipeline:
+    def test_shapes_and_finiteness(self):
+        raw = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 256, 6)).astype(np.float32))
+        corrupted, clean = jax.jit(functools.partial(
+            device_pipeline, aug_type=("norm",),
+            corrupt_type=("affine_r3", "dropout_local"), npoints=128))(
+            jax.random.key(0), raw)
+        assert corrupted.shape == (4, 128, 3)
+        assert clean.shape == (4, 128, 6)
+        assert np.isfinite(np.asarray(corrupted)).all()
+        # clean is normalized (unit sphere)
+        r = np.linalg.norm(np.asarray(clean)[..., :3], axis=-1).max()
+        assert r <= 1.0 + 1e-4
+
+
+class TestMeshTrainStep:
+    def test_one_step_on_8dev_mesh(self):
+        mesh = get_mesh()
+        assert mesh.devices.size == 8
+        model = build_model_from_cfg(TINY_CFG["model"])
+        raw = jnp.asarray(np.random.default_rng(0).normal(
+            size=(8, 128, 6)).astype(np.float32))
+        params, bs = init_model(model, TINY_CFG, raw)
+        tx, _ = build_optimizer(TINY_CFG, params, 10)
+        state = replicate(mesh, TrainState.create(model.apply, params, bs, tx))
+        before = jax.device_get(state.params)  # state is donated by the step
+        step = make_train_step(model, TINY_CFG, mesh)
+        state2, metrics = step(state, shard_batch(mesh, raw),
+                               jax.random.key(0), jnp.float32(0.5))
+        assert np.isfinite(float(metrics["loss_xyz"]))
+        assert int(state2.step) == 1
+        # params actually changed
+        d = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - np.asarray(b)).sum()),
+                                   before, jax.device_get(state2.params))
+        assert sum(jax.tree_util.tree_leaves(d)) > 0.0
+
+    def test_sharded_equals_single(self):
+        """Data-parallel step == single-device step on the same batch."""
+        model = build_model_from_cfg(TINY_CFG["model"])
+        raw = jnp.asarray(np.random.default_rng(1).normal(
+            size=(8, 128, 6)).astype(np.float32))
+        params, bs = init_model(model, TINY_CFG, raw)
+        tx, _ = build_optimizer(TINY_CFG, params, 10)
+        # both steps donate their state: give each an independent copy
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+
+        mesh = get_mesh()
+        st_m = replicate(mesh, TrainState.create(model.apply, copy(params),
+                                                 copy(bs), tx))
+        step_m = make_train_step(model, TINY_CFG, mesh)
+        _, m_mesh = step_m(st_m, shard_batch(mesh, raw), jax.random.key(3),
+                           jnp.float32(0.5))
+
+        st_1 = TrainState.create(model.apply, copy(params), copy(bs), tx)
+        step_1 = make_train_step(model, TINY_CFG, mesh=None)
+        _, m_one = step_1(st_1, raw, jax.random.key(3), jnp.float32(0.5))
+        np.testing.assert_allclose(float(m_mesh["loss_xyz"]),
+                                   float(m_one["loss_xyz"]), rtol=1e-4)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self):
+        import optax
+
+        from point_dae_tpu.utils.checkpoint import (resume_checkpoint,
+                                                    save_checkpoint)
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3)}
+        tx = optax.adamw(1e-3)
+        state = TrainState.create(lambda *a, **k: None, params, {}, tx)
+        with tempfile.TemporaryDirectory() as d:
+            save_checkpoint(d, "ckpt-last", state, epoch=7, best_metric=0.5)
+            state2 = TrainState.create(
+                lambda *a, **k: None, {"w": jnp.zeros((2, 3))}, {}, tx)
+            state2, start, best = resume_checkpoint(d, state2)
+            assert start == 8 and best == 0.5
+            np.testing.assert_array_equal(np.asarray(state2.params["w"]),
+                                          np.asarray(params["w"]))
+
+    def test_merge_pretrained_reports(self):
+        from point_dae_tpu.utils.checkpoint import (flatten_keys,
+                                                    merge_pretrained)
+
+        params = {"a": {"kernel": jnp.zeros((2, 2))},
+                  "b": {"bias": jnp.zeros(3)}}
+        pre = {"a/kernel": np.ones((2, 2)), "zzz/unknown": np.ones(1)}
+        merged = merge_pretrained(params, pre)
+        np.testing.assert_array_equal(np.asarray(merged["a"]["kernel"]),
+                                      np.ones((2, 2)))
+        np.testing.assert_array_equal(np.asarray(merged["b"]["bias"]),
+                                      np.zeros(3))
+
+
+class TestFinetunePieces:
+    def test_fps_resample_shapes(self):
+        from point_dae_tpu.engine.finetune import fps_resample
+
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 1300, 3)).astype(np.float32))
+        out = jax.jit(functools.partial(fps_resample, npoints=1024))(
+            jax.random.key(0), pts)
+        assert out.shape == (2, 1024, 3)
+
+    def test_smooth_ce(self):
+        from point_dae_tpu.engine.finetune import (cross_entropy,
+                                                   smooth_cross_entropy)
+
+        logits = jnp.asarray([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0]])
+        labels = jnp.asarray([0, 1])
+        assert float(cross_entropy(logits, labels)) < 1e-3
+        sm = float(smooth_cross_entropy(logits, labels, eps=0.3))
+        assert sm > 1.0  # smoothing keeps loss bounded away from 0
