@@ -7,6 +7,10 @@ then a random choice of ``npoints`` of them, fused into the jitted step.
 Smooth cross-entropy (eps=0.3) mirrors the reference's smooth loss option;
 voting eval averages logits over 10 FPS subsample + scale/translate draws
 (validate_vote :568-632).
+
+Consciously fixed reference quirk (SURVEY.md §7): the reference's
+``validate_vote`` lacks an npoints==2048 branch (runner_finetune.py:579-586);
+here every npoints goes through the same POINT_ALL table.
 """
 from __future__ import annotations
 
@@ -77,6 +81,9 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
     npoints = int(config.get("npoints", 1024))
     loss_fn = functools.partial(smooth_cross_entropy, eps=0.3) if smooth \
         else cross_entropy
+    # linear-probe mode freezes pretrained BN statistics (set_bn_eval,
+    # runner_finetune.py:30-37, applied when optimizer.part == 'only_new')
+    freeze_bn = config.get("optimizer", {}).get("part") == "only_new"
 
     def step(state: TrainState, pts: Array, labels: Array, key: jax.Array):
         k_fps, k_aug, k_drop = jax.random.split(key, 3)
@@ -96,6 +103,8 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
             return loss, (acc, mut["batch_stats"])
 
         grads, (acc, new_bs) = jax.grad(lossf, has_aux=True)(state.params)
+        if freeze_bn:
+            new_bs = state.batch_stats
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         return state, {"loss": jnp.zeros(()), "acc": acc * 100.0}
 
@@ -307,7 +316,7 @@ def test_net(config, args, logger_name: str = "PointDAE"):
         vote_step = make_vote_step(model, config, mesh)
         key = jax.random.key(getattr(args, "seed", 0))
         best = 0.0
-        for it in range(int(getattr(args, "vote_repeats", 30))):
+        for it in range(int(getattr(args, "vote_repeats", 299))):
             key, sub = jax.random.split(key)
             v = _vote_eval(vote_step, state, loader_fn(), mesh, total_bs, sub)
             best = max(best, v)

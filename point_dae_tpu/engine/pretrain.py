@@ -204,6 +204,24 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
     first = next(iter(loader))
     params, batch_stats = init_model(model, config, first["points"],
                                      seed=getattr(args, "seed", 0))
+
+    # --start_ckpts warm start (runner_pretrain.py:74-75)
+    if getattr(args, "start_ckpts", None):
+        from ..utils.checkpoint import flatten_keys, load_params, merge_pretrained
+
+        pre = load_params(args.start_ckpts, args.start_ckpts)
+        params = merge_pretrained(params, flatten_keys(pre["params"]),
+                                  logger=logger_name)
+    # MaskFeat-style frozen teacher initialization: copy a pretrained
+    # encoder into the 'teacher' subtree (the optimizer already masks it)
+    teacher_ckpt = config["model"].get("teacher_ckpt")
+    if teacher_ckpt and "teacher" in params:
+        from ..utils.checkpoint import flatten_keys, load_params, merge_pretrained
+
+        pre = load_params(teacher_ckpt, teacher_ckpt)
+        flat = {f"teacher/{k.split('/', 1)[1] if k.startswith('MAE_encoder/') else k}": v
+                for k, v in flatten_keys(pre["params"]).items()}
+        params = merge_pretrained(params, flat, logger=logger_name)
     tx, sched = build_optimizer(config, params, steps_per_epoch,
                                 config.get("grad_norm_clip"))
     state = TrainState.create(model.apply, params, batch_stats, tx)

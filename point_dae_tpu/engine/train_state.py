@@ -127,8 +127,18 @@ def build_optimizer(config: Dict, params, steps_per_epoch: int,
     if grad_norm_clip:
         chain.append(optax.clip_by_global_norm(float(grad_norm_clip)))
 
+    has_teacher = any("teacher" in _path_str(p).lower()
+                      for p, _ in jax.tree_util.tree_leaves_with_path(params))
     if part == "all":
-        chain.append(adamw(sched))
+        if has_teacher:
+            # frozen-teacher submodules (MaskFeat) never receive updates
+            label = jax.tree_util.tree_map_with_path(
+                lambda p, x: "frozen" if "teacher" in _path_str(p).lower()
+                else "train", params)
+            chain.append(optax.multi_transform(
+                {"train": adamw(sched), "frozen": optax.set_to_zero()}, label))
+        else:
+            chain.append(adamw(sched))
     elif part == "only_new":
         # only 'cls' params are trained; everything else frozen
         label = jax.tree_util.tree_map_with_path(

@@ -1,4 +1,5 @@
 from .mesh import (
+    initialize_distributed,
     get_mesh,
     shard_batch,
     replicate,
@@ -6,5 +7,5 @@ from .mesh import (
     replicated_sharding,
 )
 
-__all__ = ["get_mesh", "shard_batch", "replicate", "data_sharding",
+__all__ = ["initialize_distributed", "get_mesh", "shard_batch", "replicate", "data_sharding",
            "replicated_sharding"]

@@ -26,6 +26,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host entry point (role of dist_utils.init_dist / NCCL rendezvous
+    in the reference — utils/dist_utils.py:9-29). On TPU pods the arguments
+    are auto-detected from the environment; on CPU/GPU fleets pass them
+    explicitly. Call once before building the mesh."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def get_mesh(devices: Optional[Sequence[jax.Device]] = None,
              axis_names: Sequence[str] = ("data",),
              shape: Optional[Sequence[int]] = None) -> Mesh:

@@ -33,11 +33,16 @@ def save_checkpoint(experiment_path: str, name: str, state, epoch: int,
     """ckpt-best/ckpt-last writer (tools/builder.py:191-200)."""
     if experiment_path is None:
         return
+    import flax.serialization
+
     path = os.path.abspath(os.path.join(experiment_path, name))
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        # serialize through flax so namedtuple/dataclass optimizer states
+        # restore into the same structure (orbax alone would return dicts)
+        "opt_state": flax.serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
         "step": int(jax.device_get(state.step)),
         "epoch": int(epoch),
         "best_metric": float(best_metric),
@@ -56,14 +61,14 @@ def resume_checkpoint(experiment_path: str, state,
         print_log(f"[RESUME] no checkpoint at {path}", logger=logger)
         return state, 0, 0.0
     restored = _ckptr().restore(path)
+    import flax.serialization
     import jax.numpy as jnp
 
     state = state.replace(
         params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
         batch_stats=jax.tree_util.tree_map(jnp.asarray, restored["batch_stats"]),
-        opt_state=jax.tree_util.tree_map(
-            jnp.asarray, restored["opt_state"],
-            is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray))),
+        opt_state=flax.serialization.from_state_dict(
+            jax.device_get(state.opt_state), restored["opt_state"]),
         step=jnp.asarray(restored["step"], jnp.int32))
     print_log(f"[RESUME] epoch {restored['epoch']} "
               f"(best {restored['best_metric']:.4f})", logger=logger)

@@ -190,3 +190,32 @@ class TestPatchCorruptions:
         tn, tc = CP.corrupt_patches(jax.random.key(0), neigh, center,
                                     ("affine_r3", "Drop-Patch"))
         assert tn.shape == neigh.shape and tc.shape == center.shape
+
+
+ALL_NAMES = [
+    "clean", "scale", "scale_single", "scale_nonorm", "scale_nonorm_1p5",
+    "scale_nonorm_4", "scale_nonorm_10", "translate", "translate_tiny",
+    "translate_middle", "translate_too_large", "jitter", "jitter_p01",
+    "jitter_p03", "jitter_p05", "jitter_p1", "rotate", "rotate_level0",
+    "rotate_level1", "rotate_level2", "rotate_level3", "rotate_level4",
+    "reflection", "shear", "shear_p1", "shear_p3", "shear_p8", "shear_1p",
+    "shear_2p", "shear_small", "rotate_z", "dropout_local",
+    "dropout_local_c5d1", "dropout_local_c5d3", "dropout_local_c5d5",
+    "dropout_local_c5d7", "dropout_local_c5d9", "dropout_local_c1d3",
+    "dropout_local_c2d3", "dropout_local_c3d3", "dropout_local_c8d3",
+    "add_global", "add_local", "nonuniform_density", "affine_r3", "affine_r5",
+    "affine_r3_v2", "affine_r5_v2", "dropout_patch_pointmae",
+    "dropout_global_p5",
+]
+
+
+class TestEveryRegistryName:
+    """Every corruption name from the reference registry
+    (corrupt_util.py:984-1038) must run and produce finite output."""
+
+    @pytest.mark.parametrize("name", ALL_NAMES)
+    def test_name(self, name, rng):
+        pts = cloud(rng, 200)
+        out = C.corrupt_and_sample(jax.random.key(1), pts, (name,), 128)
+        assert out.shape == (128, 3)
+        assert np.isfinite(np.asarray(out)).all()

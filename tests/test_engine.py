@@ -182,6 +182,11 @@ class TestCheckpoint:
             assert start == 8 and best == 0.5
             np.testing.assert_array_equal(np.asarray(state2.params["w"]),
                                           np.asarray(params["w"]))
+            # restored optimizer state must keep its structure: a further
+            # update must work (regression: orbax returns raw dicts)
+            grads = jax.tree_util.tree_map(jnp.ones_like, state2.params)
+            state3 = state2.apply_gradients(grads)
+            assert int(state3.step) == int(state2.step) + 1
 
     def test_merge_pretrained_reports(self):
         from point_dae_tpu.utils.checkpoint import (flatten_keys,

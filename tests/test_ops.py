@@ -168,3 +168,17 @@ class TestResample:
         out = jax.jit(jax.vmap(ops.resample_to, in_axes=(0, 0, 0, None)),
                       static_argnums=3)(keys, pts, mask, 16)
         assert out.shape == (4, 16, 3)
+
+
+class TestPallasFPS:
+    def test_matches_xla_path(self, rng):
+        """Pallas FPS (interpret mode on CPU) == the lax.fori_loop path."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from point_dae_tpu.ops.pallas_fps import fps_pallas
+
+        pts = jnp.array(rng.normal(size=(3, 256, 3)).astype(np.float32))
+        want = np.asarray(ops.furthest_point_sample(pts, 32))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fps_pallas(pts, 32))
+        np.testing.assert_array_equal(got, want)
