@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Benchmark: ShapeNet-scale pretrain throughput (clouds/sec/chip) on the
 flagship transformer DAE (PointCAE_transformer_fc_global_folding_local,
-bs-per-chip 128, 1024 points, G64xS32, the rerun2.sh recipe shapes).
+bs-per-chip 256 = the reference recipe's ENTIRE 8-GPU global batch on one
+chip, 1024 points, G64xS32, the rerun2.sh recipe shapes).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 No reference throughput number exists (BASELINE.md: published = {}), so
@@ -14,6 +15,9 @@ import time
 
 def main():
     import jax
+
+    from point_dae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -25,10 +29,10 @@ def main():
     from point_dae_tpu.utils.config import ConfigDict
 
     config = ConfigDict(FLAGSHIP_CONFIG)
-    config["total_bs"] = 128
+    config["total_bs"] = 256
     model = build_model_from_cfg(config["model"])
 
-    B, Nraw = 128, 8192
+    B, Nraw = 256, 8192
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.normal(size=(B, Nraw, 6)).astype(np.float32))
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Optional
 
 from .utils.config import cfg_from_yaml_file, save_config
 from .utils.logger import get_logger, print_log
@@ -102,6 +101,9 @@ def load_config(args):
 
 
 def main(argv=None):
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = get_args(argv)
     logger = get_logger(args.log_name,
                         os.path.join(args.experiment_path,

@@ -376,10 +376,18 @@ class Synthetic(PointDataset):
     def __getitem__(self, idx):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         label = idx % self.num_classes
-        # class-dependent ellipsoid mixture
-        k = 2 + label % 3
-        centers = rng.normal(0, 0.4, (k, 3))
-        radii = 0.2 + 0.5 * rng.random((k, 3)) * (1 + 0.1 * label)
+        # class identity = blob count (1..8) x elongation regime, arranged on
+        # a fixed ring so the structure is stable across instances/seeds —
+        # strong enough signal for learning-sanity checks
+        k = 1 + label % 8
+        elong = 1.0 + 2.0 * (label // 8)
+        ang = np.arange(k) * 2 * np.pi / max(k, 1)
+        ring = 0.0 if k == 1 else 0.6
+        centers = np.stack([ring * np.cos(ang), ring * np.sin(ang),
+                            np.zeros(k)], axis=1)
+        centers += rng.normal(0, 0.05, centers.shape)
+        radii = np.tile(np.array([[0.25, 0.25, 0.25 * elong]]), (k, 1))
+        radii *= 1.0 + 0.1 * rng.standard_normal((k, 3))
         counts = np.full(k, self.npoints // k)
         counts[0] += self.npoints - counts.sum()
         pts, nrm = [], []

@@ -127,10 +127,16 @@ def make_train_step(model, config, mesh=None) -> Callable:
                    out_shardings=(None, None))
 
 
-def make_feature_fn(model, mesh=None) -> Callable:
-    """Jitted frozen-feature extractor for the SVM probe."""
+def make_feature_fn(model, mesh=None, npoints: int = 1024) -> Callable:
+    """Jitted frozen-feature extractor for the SVM probe, with the probe-time
+    FPS subsample (validate uses misc.fps, runner_pretrain.py:310-318)."""
 
     def feats(state: TrainState, pts: Array):
+        from ..ops import furthest_point_sample, gather_points
+
+        if pts.shape[1] > npoints:
+            pts = gather_points(pts, furthest_point_sample(pts[..., :3],
+                                                           npoints))
         return state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             pts, train=False, method="encode")
@@ -233,7 +239,9 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
             args.experiment_path, state)
 
     train_step = make_train_step(model, config, mesh)
-    feature_fn = make_feature_fn(model, mesh)
+    val_np = int(config["dataset"].get("val", {}).get("others", {})
+                 .get("npoints", 1024)) if "val" in config["dataset"] else 1024
+    feature_fn = make_feature_fn(model, mesh, npoints=val_np)
     key = jax.random.key(getattr(args, "seed", 0))
 
     n_step = start_epoch * steps_per_epoch
@@ -284,7 +292,7 @@ def _svm_validate(feature_fn, state, train_set, test_set, config, mesh,
         npoints = int(config["dataset"]["val"]["others"].get("npoints", 1024))
         loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False)
         for batch in loader:
-            pts = jnp.asarray(batch["points"][:, :npoints, :3])
+            pts = jnp.asarray(batch["points"][..., :3])
             if pts.shape[0] < batch_size:   # pad tail batch for static shapes
                 pad = batch_size - pts.shape[0]
                 pts = jnp.concatenate([pts, jnp.zeros((pad,) + pts.shape[1:])])

@@ -12,7 +12,7 @@ import numpy as np
 import optax
 
 from ..ops import furthest_point_sample, gather_points
-from ..parallel import data_sharding, get_mesh, replicate, shard_batch
+from ..parallel import data_sharding, get_mesh, shard_batch
 from ..utils.logger import print_log
 
 Array = jax.Array

@@ -17,8 +17,7 @@ import numpy as np
 from ..data import corruptions as C
 from ..parallel import get_mesh, replicate, shard_batch
 from ..utils.logger import print_log
-from .finetune import (evaluate, fps_resample, make_eval_step,
-                       make_finetune_step, cross_entropy)
+from .finetune import fps_resample, cross_entropy
 from .train_state import TrainState, build_optimizer
 
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .chamfer import _nn_half_xla  # noqa: F401  (shared precision conventions)
 
 Array = jax.Array
 

@@ -17,7 +17,6 @@ MXU matmuls. Validity masks stand in for ragged point counts.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeated suite runs skip recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/pdae_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -159,3 +159,40 @@ class TestParseResults:
             capture_output=True, text=True, cwd=os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))))
         assert "91.20" in out.stdout
+
+
+class TestConverterNumeric:
+    def test_linear_matches_torch(self):
+        """A converted torch Linear must compute the same function as Dense."""
+        import torch
+
+        from point_dae_tpu.utils.convert_torch import convert_state_dict
+
+        torch.manual_seed(0)
+        lin = torch.nn.Linear(6, 4)
+        x = torch.randn(5, 6)
+        want = lin(x).detach().numpy()
+
+        sd = {"pos_embed.0.weight": lin.weight.detach().numpy(),
+              "pos_embed.0.bias": lin.bias.detach().numpy()}
+        flat = convert_state_dict(sd, "transformer")
+        out = np.asarray(x.numpy() @ flat["pos_embed/fc1/kernel"] +
+                         flat["pos_embed/fc1/bias"])
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+    def test_conv1d_k1_matches_torch(self):
+        import torch
+
+        from point_dae_tpu.utils.convert_torch import convert_state_dict
+
+        torch.manual_seed(1)
+        conv = torch.nn.Conv1d(6, 4, 1)
+        x = torch.randn(2, 6, 5)                     # (B, C, N)
+        want = conv(x).permute(0, 2, 1).detach().numpy()   # (B, N, 4)
+
+        sd = {"increase_dim.0.weight": conv.weight.detach().numpy(),
+              "increase_dim.0.bias": conv.bias.detach().numpy()}
+        flat = convert_state_dict(sd, "transformer")
+        xl = x.permute(0, 2, 1).numpy()              # channel-last
+        out = xl @ flat["increase_dim/kernel"] + flat["increase_dim/bias"]
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,82 @@
+"""Shared-layer unit tests: masked patch encoder, attention key masking,
+drop path, bf16 policy."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from point_dae_tpu.models.layers import (Attention, PatchEncoder,
+                                         TransformerBlock, drop_path)
+
+
+class TestPatchEncoderMask:
+    def test_masked_points_ignored(self):
+        enc = PatchEncoder(16)
+        rng = np.random.default_rng(0)
+        groups = jnp.asarray(rng.normal(size=(1, 2, 8, 3)).astype(np.float32))
+        mask = jnp.ones((1, 2, 8), bool).at[0, 0, 4:].set(False)
+        v = enc.init(jax.random.key(0), groups, point_mask=mask, train=False)
+        out1 = enc.apply(v, groups, point_mask=mask, train=False)
+        # perturb ONLY the masked in-patch points
+        g2 = np.asarray(groups).copy()
+        g2[0, 0, 4:] += 50.0
+        out2 = enc.apply(v, jnp.asarray(g2), point_mask=mask, train=False)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-5)
+
+
+class TestAttentionMasks:
+    def test_key_mask_blocks_contribution(self):
+        attn = Attention(8, num_heads=2)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(1, 4, 8)).astype(np.float32))
+        v = attn.init(jax.random.key(0), x)
+        key_mask = jnp.asarray([[True, True, False, False]])
+        out1 = attn.apply(v, x, key_mask=key_mask)
+        x2 = np.asarray(x).copy()
+        x2[0, 2:] += 100.0   # masked keys change -> visible outputs stable
+        out2 = attn.apply(v, jnp.asarray(x2), key_mask=key_mask)
+        np.testing.assert_allclose(np.asarray(out1)[0, :2],
+                                   np.asarray(out2)[0, :2], atol=1e-4)
+
+    def test_pairwise_attn_mask(self):
+        attn = Attention(8, num_heads=2)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(1, 3, 8)).astype(np.float32))
+        v = attn.init(jax.random.key(0), x)
+        # token 0 may only attend to itself
+        am = jnp.asarray([[[True, False, False],
+                           [True, True, True],
+                           [True, True, True]]])
+        out = attn.apply(v, x, attn_mask=am)
+        x2 = np.asarray(x).copy()
+        x2[0, 1:] += 100.0
+        out2 = attn.apply(v, jnp.asarray(x2), attn_mask=am)
+        np.testing.assert_allclose(np.asarray(out)[0, 0],
+                                   np.asarray(out2)[0, 0], atol=1e-4)
+
+
+class TestDropPath:
+    def test_deterministic_is_identity(self):
+        x = jnp.ones((4, 3))
+        out = drop_path(jax.random.key(0), x, 0.5, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_scaling_preserves_expectation(self):
+        x = jnp.ones((4000, 1))
+        out = np.asarray(drop_path(jax.random.key(0), x, 0.5,
+                                   deterministic=False))
+        # survivors scaled by 1/keep; mean stays ~1
+        assert abs(out.mean() - 1.0) < 0.1
+        assert set(np.unique(out.round(4))) <= {0.0, 2.0}
+
+
+class TestBf16Policy:
+    def test_block_outputs_f32_residual(self):
+        blk = TransformerBlock(16, 2, dtype=jnp.bfloat16)
+        x = jnp.ones((1, 4, 16), jnp.float32)
+        v = blk.init(jax.random.key(0), x)
+        out = blk.apply(v, x)
+        assert out.dtype == jnp.float32          # residual stream stays f32
+        # params stay f32
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree_util.tree_leaves(v["params"]))
