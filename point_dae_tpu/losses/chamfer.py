@@ -139,7 +139,12 @@ def _nn_distance_fwd(xyz1, xyz2):
 def _nn_distance_bwd(res, g):
     """Gather-based backward (chamfer.cu:173-229 equivalent, but as a
     recompute: d dist1_i/d x_i = 2 (x_i - y_{idx1_i}), plus the scatter term
-    from dist2 through idx2."""
+    from dist2 through idx2.
+
+    For small point sets (the per-patch losses, e.g. 36x32 patches at
+    B*G = 16k rows) XLA's scatter is the single most expensive op of the
+    whole train step (~40 ms/step in traces), so the scatter is rewritten as
+    a one-hot matmul that rides the MXU; large sets keep the scatter."""
     xyz1, xyz2, i1, i2 = res
     g1, g2, _, _ = g
     y_near = jnp.take_along_axis(xyz2, i1[..., None], axis=1)   # (B, N, D)
@@ -148,15 +153,21 @@ def _nn_distance_bwd(res, g):
     diff2 = 2.0 * (xyz2 - x_near)                               # (B, M, D)
     gx_direct = g1[..., None] * diff1
     gy_direct = g2[..., None] * diff2
-    # scatter-add of -grads into the matched points
     B = xyz1.shape[0]
+    N, M = xyz1.shape[1], xyz2.shape[1]
 
-    def scatter(dst_like, idx, vals):
-        return jnp.zeros_like(dst_like).at[
-            jnp.arange(B)[:, None], idx].add(vals)
+    if max(N, M) <= 256:
+        def scatter(idx, vals, out_len):
+            # (B, S) idx, (B, S, D) vals -> (B, out_len, D) via one-hot matmul
+            onehot = jax.nn.one_hot(idx, out_len, dtype=vals.dtype)  # (B,S,L)
+            return jnp.einsum("bsl,bsd->bld", onehot, vals)
+    else:
+        def scatter(idx, vals, out_len):
+            return jnp.zeros((B, out_len, vals.shape[-1]), vals.dtype).at[
+                jnp.arange(B)[:, None], idx].add(vals)
 
-    gx = gx_direct + scatter(xyz1, i2, -gy_direct)
-    gy = gy_direct + scatter(xyz2, i1, -gx_direct)
+    gx = gx_direct + scatter(i2, -gy_direct, N)
+    gy = gy_direct + scatter(i1, -gx_direct, M)
     return gx, gy
 
 

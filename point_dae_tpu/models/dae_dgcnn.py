@@ -61,7 +61,8 @@ class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
     num_coarse: int = 1024
 
     def setup(self):
-        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
     def reconstruct(self, corrupted: Array, train: bool = False) -> Array:
@@ -85,7 +86,8 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
     grid_scale: float = 0.05
 
     def setup(self):
-        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         self.folding2 = MLP((512, 512, 3), name="folding2")
 
@@ -113,7 +115,8 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
     (PointCAE_DGCNN.py:233-332)."""
 
     def setup(self):
-        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, 3), name="folding1")
         self.folding2 = MLP((1024, 1024, 3), name="folding2")
 
@@ -138,7 +141,8 @@ class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
     num_coarse: int = 1024
 
     def setup(self):
-        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
@@ -212,7 +216,8 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
     grid_scale: float = 0.05
 
     def setup(self):
-        self.encoder = DGCNNEncoder(name="dgcnn_encoder")
+        self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         self.folding2 = MLP((512, 512, 3), name="folding2")

@@ -53,15 +53,21 @@ class DGCNNEncoder(nn.Module):
 
     Returns (global_feature (B, 1024), pointwise (B, N, 1024)); the
     'nopooling' variant of the reference is the second output.
+
+    ``remat=True`` rematerializes each EdgeConv in the backward pass — the
+    (B, N, k, 2C) graph features dominate HBM at large batch; trading the
+    cheap recompute roughly halves activation memory.
     """
     k: int = 20
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
-        x1 = EdgeConv(64, self.k, name="ec1")(x, train)
-        x2 = EdgeConv(64, self.k, name="ec2")(x1, train)
-        x3 = EdgeConv(128, self.k, name="ec3")(x2, train)
-        x4 = EdgeConv(256, self.k, name="ec4")(x3, train)
+        EC = nn.remat(EdgeConv, static_argnums=(2,)) if self.remat else EdgeConv
+        x1 = EC(64, self.k, name="ec1")(x, train)
+        x2 = EC(64, self.k, name="ec2")(x1, train)
+        x3 = EC(128, self.k, name="ec3")(x2, train)
+        x4 = EC(256, self.k, name="ec4")(x3, train)
         h = jnp.concatenate([x1, x2, x3, x4], axis=-1)      # (B, N, 512)
         h = nn.Dense(1024, use_bias=False, name="conv5")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -23,19 +23,27 @@ def fps_pallas(points: jax.Array, n_samples: int) -> jax.Array:
         x = x_ref[0].astype(jnp.float32)                  # (N, 3)
         mag = jnp.sum(x * x, axis=-1)                     # (N,)
         selectable = mag > 1e-3
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, n_samples), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
 
         def body(i, carry):
-            min_d, last = carry
-            idx_ref[0, 0, i] = last
-            p = jax.lax.dynamic_slice(x, (last, 0), (1, D))   # (1, 3)
+            min_d, last, out = carry
+            # Mosaic forbids scalar VMEM stores and value-gathers: the output
+            # row accumulates via a select, the selected point via a one-hot
+            # reduction over rows.
+            out = jnp.where(slot == i, last, out)          # (1, n_samples)
+            hit = (rows == last)[:, None]                  # (N, 1)
+            p = jnp.sum(jnp.where(hit, x, 0.0), axis=0, keepdims=True)  # (1,3)
             d = jnp.sum((x - p) ** 2, axis=-1)
             min_d = jnp.minimum(min_d, d)
             cand = jnp.where(selectable, min_d, -1.0)
-            return min_d, jnp.argmax(cand).astype(jnp.int32)
+            return min_d, jnp.argmax(cand).astype(jnp.int32), out
 
-        jax.lax.fori_loop(0, n_samples, body,
-                          (jnp.full((N,), 1e10, jnp.float32),
-                           jnp.int32(0)))
+        _, _, out = jax.lax.fori_loop(
+            0, n_samples, body,
+            (jnp.full((N,), 1e10, jnp.float32), jnp.int32(0),
+             jnp.zeros((1, n_samples), jnp.int32)))
+        idx_ref[0] = out
 
     idx = pl.pallas_call(
         kernel,

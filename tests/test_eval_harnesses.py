@@ -1,0 +1,119 @@
+"""Evaluation-harness tests: corruption robustness, part-seg mIoU protocol,
+saliency, rotation batch aug."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+class TestRobustnessHarness:
+    def test_eval_corrupt_wrapper_metrics(self):
+        from point_dae_tpu.data.datasets import Synthetic
+        from point_dae_tpu.engine.robustness import eval_corrupt_wrapper
+
+        ds = Synthetic({"size": 16, "N_POINTS": 128, "num_classes": 4,
+                        "with_normal": False})
+
+        # a fake "classifier" that is correct iff points are untouched:
+        # predicts class from the (deterministic) cloud checksum
+        lookup = {}
+        for i in range(len(ds)):
+            item = ds[i]
+            lookup[round(float(np.abs(item["points"]).sum()), 3)] = item["label"]
+
+        def eval_fn(pts):
+            pts = np.asarray(pts)
+            out = np.zeros((pts.shape[0], 4), np.float32)
+            for b in range(pts.shape[0]):
+                key = round(float(np.abs(pts[b]).sum()), 3)
+                out[b, lookup.get(key, 0)] = 1.0
+                if key not in lookup:      # corrupted -> wrong on purpose
+                    out[b] = np.eye(4)[(lookup.get(key, 0) + 1) % 4]
+            return out
+
+        res = eval_corrupt_wrapper(eval_fn, ds, batch_size=8,
+                                   corruptions=("jitter", "dropout_global"),
+                                   levels=2)
+        assert res["clean_OA"] == 1.0
+        assert 0.0 <= res["mOA"] <= 1.0
+        assert "mCE" in res and "RmCE" in res
+        # corrupting changes the checksum -> accuracy collapses
+        assert res["jitter_0_OA"] < 0.5
+
+    def test_corrupt_batch_level_shapes(self):
+        from point_dae_tpu.engine.robustness import corrupt_batch_level
+
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 64, 3)).astype(np.float32))
+        for name in ("scale", "jitter", "rotate", "dropout_global",
+                     "dropout_local", "add_global", "add_local"):
+            out = corrupt_batch_level(jax.random.key(0), pts, name, 2)
+            assert out.shape == pts.shape, name
+            assert np.isfinite(np.asarray(out)).all(), name
+
+
+class TestPartSegProtocol:
+    def test_category_restricted_argmax(self):
+        from point_dae_tpu.engine.partseg import (SEG_CLASSES,
+                                                  category_restricted_argmax)
+
+        logp = np.full((1, 4, 50), -10.0, np.float32)
+        # global argmax would be part 0, but Lamp's parts are 24..27
+        logp[0, :, 0] = 5.0
+        logp[0, :, 25] = 1.0
+        pred = category_restricted_argmax(logp, ["Lamp"])
+        assert set(pred[0]) == {25}
+
+    def test_miou_perfect_and_wrong(self):
+        from point_dae_tpu.engine.partseg import compute_miou
+
+        gt = np.array([[12, 12, 13, 13]])
+        m = compute_miou(gt.copy(), gt, ["Chair"])
+        assert m["instance_miou"] == 1.0
+        wrong = np.array([[14, 14, 14, 14]])
+        m2 = compute_miou(wrong, gt, ["Chair"])
+        assert m2["instance_miou"] < 0.5
+
+
+class TestRotation:
+    def test_rotate_batch_preserves_norms(self):
+        from point_dae_tpu.engine.rotation import rotate_batch
+
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(3, 32, 3)).astype(np.float32))
+        for mode in ("z", "so3"):
+            out = rotate_batch(jax.random.key(0), pts, mode)
+            np.testing.assert_allclose(
+                np.linalg.norm(np.asarray(out), axis=-1),
+                np.linalg.norm(np.asarray(pts), axis=-1), rtol=1e-4, atol=1e-5)
+        out = rotate_batch(jax.random.key(0), pts, "none")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(pts))
+
+    def test_z_mode_keeps_z(self):
+        from point_dae_tpu.engine.rotation import rotate_batch
+
+        pts = jnp.asarray(np.random.default_rng(1).normal(
+            size=(2, 16, 3)).astype(np.float32))
+        out = rotate_batch(jax.random.key(1), pts, "z")
+        np.testing.assert_allclose(np.asarray(out)[..., 2],
+                                   np.asarray(pts)[..., 2], atol=1e-5)
+
+
+class TestSaliency:
+    def test_gradients_nonzero(self):
+        import functools
+
+        from point_dae_tpu.engine.saliency import make_saliency_fn
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.utils.config import ConfigDict
+
+        model = build_model_from_cfg(ConfigDict({"NAME": "PointNet_NoT",
+                                                 "cls_dim": 4}))
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, 64, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+        v = jax.jit(functools.partial(model.init, train=True))(rngs, pts)
+        sal = make_saliency_fn(model, v)
+        g = np.asarray(sal(pts, jnp.asarray([0, 2])))
+        assert g.shape == pts.shape
+        assert np.abs(g).sum() > 0
