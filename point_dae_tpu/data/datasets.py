@@ -97,10 +97,43 @@ class ModelNet(PointDataset):
         self.subset = _cfg_get(config, "subset", "train")
         cache = os.path.join(self.root,
                              f"modelnet40_{self.subset}_{self.npoints}pts_fps.dat")
+        if not os.path.exists(cache):
+            self._build_cache(cache)
         with open(cache, "rb") as f:
             self.points, self.labels = pickle.load(f)
         print_log(f"[ModelNet] {len(self.points)} clouds ({self.subset})",
                   logger="ModelNet")
+
+    def _build_cache(self, cache: str) -> None:
+        """Build the offline-FPS cache from the txt layout
+        (modelnet40_normal_resampled, ModelNetDataset.py:92-122): per-sample
+        txt of x,y,z,nx,ny,nz rows, FPS'd to N_POINTS on device."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import furthest_point_sample, gather_points
+
+        names_file = os.path.join(self.root, "modelnet40_shape_names.txt")
+        split_file = os.path.join(self.root,
+                                  f"modelnet40_{self.subset}.txt")
+        with open(names_file) as f:
+            classes = {c.strip(): i for i, c in enumerate(f) if c.strip()}
+        with open(split_file) as f:
+            ids = [ln.strip() for ln in f if ln.strip()]
+        points, labels = [], []
+        fps = jax.jit(lambda p: gather_points(
+            p, furthest_point_sample(p[..., :3], self.npoints)))
+        for sid in ids:
+            cname = "_".join(sid.split("_")[:-1])
+            path = os.path.join(self.root, cname, f"{sid}.txt")
+            data = np.loadtxt(path, delimiter=",").astype(np.float32)
+            if data.shape[0] > self.npoints:
+                data = np.asarray(fps(jnp.asarray(data[None])))[0]
+            points.append(data)
+            labels.append(np.asarray([classes[cname]], np.int32))
+        with open(cache, "wb") as f:
+            pickle.dump((points, labels), f)
+        print_log(f"[ModelNet] built FPS cache {cache}", logger="ModelNet")
 
     def __len__(self):
         return len(self.points)
