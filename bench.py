@@ -46,14 +46,16 @@ def main():
     gw = jnp.float32(0.5)
     # warmup / compile
     state, m = step(state, raw, key, gw)
-    jax.block_until_ready(m)
+    _ = float(m["loss_xyz"])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         state, m = step(state, raw, sub, gw)
-    jax.block_until_ready(m)
+    # force a real device round-trip: through the axon tunnel,
+    # block_until_ready alone can return before execution finishes
+    _ = float(m["loss_xyz"])
     dt = (time.perf_counter() - t0) / iters
     cps = B / dt
 

@@ -12,6 +12,7 @@ from . import m2ae           # noqa: F401
 from . import maskfeat       # noqa: F401
 from . import mlmae          # noqa: F401
 from . import detr3          # noqa: F401
+from . import dvae           # noqa: F401
 
 
 def build_model_from_cfg(cfg):

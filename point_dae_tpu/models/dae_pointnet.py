@@ -170,3 +170,81 @@ class PointNet_feat(nn.Module):
 @MODELS.register_module()
 class PointNet_NoT_feat(PointNet_feat):
     use_tnet: bool = False
+
+
+class PointNetPartSegStyleEncoder(nn.Module):
+    """Part-seg-style PointNet(NoT) global encoder (pointnet_not_util.py
+    PointNetEncoderNoT_partseg): deeper pointwise stack with a 2048-d global
+    max (used by the partseg DAE family)."""
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        h = x[..., :3]
+        for i, d in enumerate((64, 128, 128, 512, 2048)):
+            h = nn.Dense(d, name=f"conv{i}")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, name=f"bn{i}")(h)
+            if i < 4:
+                h = nn.relu(h)
+        return jnp.max(h, axis=1)                   # (B, 2048)
+
+
+@MODELS.register_module()
+class Point_CAE_PointNetNoT_PartSeg(nn.Module):
+    """DAE pretrain over the part-seg-style encoder
+    (PointCAE_pointnet_NoT_partseg.py:28-135): FC decoder to 1024 x 3."""
+    config: dict
+    num_coarse: int = 1024
+
+    def setup(self):
+        self.encoder = PointNetPartSegStyleEncoder(name="pointnet_encoder")
+        self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
+
+    @property
+    def loss_func(self):
+        return build_loss_func(self.config.get("loss", "cdl2"))
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        feat = self.encoder(corrupted[..., :3], train=train)
+        coarse = self.recfc(feat).reshape(-1, self.num_coarse, 3)
+        return self.loss_func(coarse, clean[..., :3]), jnp.zeros(())
+
+    def encode(self, pts, train: bool = False):
+        return self.encoder(pts[..., :3], train=train)
+
+
+@MODELS.register_module()
+class PointNetNoT_PartSeg(nn.Module):
+    """Classification head on the part-seg-style encoder
+    (PointCAE_pointnet_NoT_partseg.py:138-230)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts, train: bool = True):
+        feat = PointNetPartSegStyleEncoder(name="pointnet_encoder")(
+            pts[..., :3], train)
+        return _PointNetClsHead(self.config.get("cls_dim", 40),
+                                name="cls_head")(feat, train)
+
+
+@MODELS.register_module()
+class PointNetNoT_Linear_PartSeg(nn.Module):
+    """Linear probe (PointCAE_pointnet_NoT_partseg.py:233-318)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts, train: bool = True):
+        feat = PointNetPartSegStyleEncoder(name="pointnet_encoder")(
+            pts[..., :3], train)
+        return nn.Dense(self.config.get("cls_dim", 40), name="cls")(feat)
+
+
+@MODELS.register_module()
+class PointNetNoT_feat_PartSeg(nn.Module):
+    """SVM feature extractor (PointCAE_pointnet_NoT_partseg.py:321-407)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts, train: bool = False):
+        return PointNetPartSegStyleEncoder(name="pointnet_encoder")(
+            pts[..., :3], train)

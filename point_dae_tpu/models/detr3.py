@@ -131,6 +131,7 @@ class PointCAE_transformer_fc_global_fc_local_3detr(_Detr3Base):
 @MODELS.register_module()
 class PointCAE_transformer_fc_global_fc_local_3detr_encodernope(
         PointCAE_transformer_fc_global_fc_local_3detr):
-    """No decoder positional embedding on visible tokens
-    (PointCAE_transformer.py:1993-2198); kept as a registered alias — the
-    encoder is already PE-free in both variants."""
+    """Registered alias: the reference class body at
+    PointCAE_transformer.py:1993-2198 is byte-identical to the base class at
+    :1790-1991 (only the class name differs — the 'nope' distinction lives in
+    the experiment configs); the 3detr encoder is PE-free in both."""

@@ -283,6 +283,10 @@ class Point_MDAE_with_fc_center_p(_M2AEBase, _M2AEDecoderMixin):
     FC global-shape heads on pooled features (Point_M2AE.py:691-884):
     returns (masked local rec loss, sum of per-scale center chamfers)."""
 
+    @property
+    def patch_corrupt_type(self):
+        return tuple(self.config.get("corrupt_type", ()))
+
     def setup(self):
         c = self.config
         self.h_encoder = self._make_encoder()
@@ -301,7 +305,7 @@ class Point_MDAE_with_fc_center_p(_M2AEBase, _M2AEDecoderMixin):
         if train:
             t_neighs, t_centers = corrupt_patches_multi(
                 self.make_rng("corrupt"), abs_neighs, centers,
-                tuple(c.get("corrupt_type", ())))
+                self.patch_corrupt_type)
         else:
             t_neighs, t_centers = abs_neighs, centers
         t_neighs = [n - ctr[:, :, None, :]
@@ -352,3 +356,29 @@ class Point_M2AE_Finetune(_M2AEBase):
     def __call__(self, pts: Array, train: bool = True) -> Array:
         feat = self.encode(pts, train=train)
         return self.head(feat, train)
+
+
+@MODELS.register_module()
+class Point_M2AE_with_fc_center_p(Point_MDAE_with_fc_center_p):
+    """M2AE + per-scale FC global-shape heads, no affine corruption
+    (Point_M2AE.py:327-509): identical to the MDAE variant with the joint
+    affine disabled."""
+
+    @property
+    def patch_corrupt_type(self):
+        return ()
+
+
+@MODELS.register_module()
+class Point_M2AE_with_fc_center_p_v1(Point_MDAE_with_fc_center_p):
+    """v1 flavour (Point_M2AE.py:510-689): same heads, per-scale losses
+    summed (kept identical here; the reference differs only in head widths)."""
+
+    @property
+    def patch_corrupt_type(self):
+        return ()
+
+
+@MODELS.register_module()
+class Point_MDAE_with_fc_center_p_v1(Point_MDAE_with_fc_center_p):
+    """Corrupted v1 flavour (Point_M2AE.py:886-1078)."""

@@ -316,3 +316,156 @@ class MaskSurf_v2_local_point_normal_position(_SurfV2Base):
         loss_xyz, loss_normal, loss_pos = self._local_losses(
             x_rec, xyz, attr, center, mask)
         return loss_xyz, loss_normal + loss_pos
+
+
+@MODELS.register_module()
+class MaskSurf_v2_token_dis(_MaskSurfBase):
+    """Masked *token* prediction against a frozen dVAE tokenizer
+    (MaskSurf_v2.py:2033-2219, Point-BERT style): the decoder head predicts a
+    distribution over the dVAE vocabulary for every patch; labels are the
+    argmax tokens of the frozen dVAE encoder+dgcnn_1 on the same (xyz)
+    patches; loss is cross-entropy on masked patches (or all patches when
+    all_patch is 'True', :2180-2196).
+
+    The dVAE lives under 'dvae_teacher' so the optimizer's frozen-teacher
+    masking (engine/train_state.py) keeps it fixed; load its weights with the
+    engine's teacher_ckpt merge.
+    """
+
+    def setup(self):
+        from .dvae import DiscreteVAE
+
+        t = self.tcfg
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        dcfg = dict(self.config.get("dvae_config", {}))
+        dcfg.setdefault("group_size", self.config["group_size"])
+        dcfg.setdefault("num_group", self.config["num_group"])
+        self.dvae_teacher = DiscreteVAE(dcfg, name="dvae_teacher")
+        self.num_tokens = dcfg.get("num_tokens", 8192)
+        self.increase_dim = nn.Dense(self.num_tokens, name="increase_dim")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        B, G, _ = x_rec.shape
+        logits = self.increase_dim(x_rec)                      # (B, G, V)
+
+        gt_logits = self.dvae_teacher.tokenize_groups(xyz, center, train=False)
+        labels = jax.lax.stop_gradient(jnp.argmax(gt_logits, -1))  # (B, G)
+
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        ce = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+        if str(self.config.get("all_patch", "False")) == "True":
+            w = jnp.ones_like(ce)
+        else:
+            w = mask.astype(jnp.float32)
+        loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-8)
+        return loss, jnp.zeros(())
+
+
+class _SurfCurveBase(_MaskSurfBase):
+    """8-channel surfel machinery (MaskSurf_v2.py:2221-2445): input clean is
+    (B, N, 7) = xyz + normal + curvature (curve always positive); position
+    |p . n̂| is appended per point; attributes grouped alongside centered xyz
+    = normal(3) + curve(1) + position(1); the head predicts 8-channel surfels.
+    """
+
+    def _position(self, abs_pts: Array, normals: Array) -> Array:
+        n = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        return jnp.abs(jnp.sum(abs_pts * n, -1, keepdims=True))
+
+    def _group_curve(self, clean: Array):
+        pts = clean[..., :7]
+        pos = self._position(pts[..., :3], pts[..., 3:6])
+        return self._group_surfels(jnp.concatenate([pts, pos], -1))
+
+    def _curve_setup(self):
+        self.MAE_encoder = _surf_encoder(self)
+        self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
+                                             name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        self.mask_token = self._make_mask_token()
+        self.increase_dim = nn.Dense(8 * self.config["group_size"],
+                                     name="increase_dim")
+        # coarse surfel head: present for parameter parity with the reference
+        # (MaskSurf_v2.py:2255-2261) but — reference quirk — its losses only
+        # enter the stop-gradient weight vector, never the returned losses
+        # (:2418-2428), so it receives no gradient. We keep the params and
+        # skip the dead loss computation.
+        self.coarse_pred = MLP((1024, 1024, 8 * self.config["num_group"]),
+                               name="coarse_pred")
+
+    def _local_losses_curve(self, x_rec, xyz, attr, center, mask):
+        """Returns (loss_xyz, loss_normal, loss_curve, loss_position), each a
+        masked mean; normal/curve/position use the xyz chamfer correspondence
+        (ChamferDistanceL2_withnormalcurve semantics)."""
+        B, G, _ = x_rec.shape
+        S = self.config["group_size"]
+        surfel = self.increase_dim(x_rec).reshape(B * G, S, 8)
+        reb_p, reb_n = surfel[..., :3], surfel[..., 3:6]
+        reb_c = jnp.abs(surfel[..., 6])
+        reb_pos = jnp.abs(surfel[..., 7])
+        gt_p = xyz.reshape(B * G, S, 3)
+        gt_n = attr[..., :3].reshape(B * G, S, 3)
+        gt_c = attr[..., 3].reshape(B * G, S)
+        gt_pos = attr[..., 4].reshape(B * G, S)
+        w = mask.astype(jnp.float32).reshape(-1)
+        loss_xyz, loss_normal = masked_chamfer_l2_withnormal(
+            reb_p, gt_p, reb_n, gt_n, w, dis_normalized_l2)
+        _, _, i1, i2 = nn_distance(reb_p, gt_p)
+        denom = jnp.maximum(jnp.sum(w), 1e-8)
+
+        def corr_mse(a, b):
+            m1 = jnp.mean((a - jnp.take_along_axis(b, i1, 1)) ** 2, -1)
+            m2 = jnp.mean((b - jnp.take_along_axis(a, i2, 1)) ** 2, -1)
+            return jnp.sum((m1 + m2) * w) / denom
+
+        return loss_xyz, loss_normal, corr_mse(reb_c, gt_c), \
+            corr_mse(reb_pos, gt_pos)
+
+    @staticmethod
+    def _scaled(term: Array, ref: Array) -> Array:
+        """reference's adaptive inverse weighting normalized to the local-xyz
+        term (MaskSurf_v2.py:2423-2426): term * sg(ref / term)."""
+        return term * jax.lax.stop_gradient(
+            ref / jnp.maximum(term, 1e-8))
+
+
+@MODELS.register_module()
+class MaskSurf_v2_local_point_normal_position_curve(_SurfCurveBase):
+    """xyz + (normal, curve, position) with adaptive weights; the surfel side
+    is scaled by 0.33 (MaskSurf_v2.py:2221-2443)."""
+
+    def setup(self):
+        self._curve_setup()
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        xyz, attr, center = self._group_curve(clean)
+        x_vis, mask = self.MAE_encoder(xyz, center, train=train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        lx, ln, lc, lp = self._local_losses_curve(x_rec, xyz, attr, center,
+                                                  mask)
+        surf = self._scaled(ln, lx) + self._scaled(lc, lx) + \
+            self._scaled(lp, lx)
+        return lx, surf * 0.33
+
+
+@MODELS.register_module()
+class MaskSurf_v2_local_point_curve(_SurfCurveBase):
+    """Despite the name, the reference's second loss term is the *position*
+    channel (loss_concat[7], MaskSurf_v2.py:2649-2650) — quirk preserved."""
+
+    def setup(self):
+        self._curve_setup()
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        xyz, attr, center = self._group_curve(clean)
+        x_vis, mask = self.MAE_encoder(xyz, center, train=train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        lx, _, _, lp = self._local_losses_curve(x_rec, xyz, attr, center,
+                                                mask)
+        return lx, self._scaled(lp, lx)

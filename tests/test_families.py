@@ -177,3 +177,150 @@ class TestTransformerLongTail:
              "all_patch": "False", "group_size": 8, "num_group": 16,
              "loss": "cdl2", "transformer_config": TF}, labels=labels)
         assert np.isfinite(float(out[0]))
+
+
+class TestMaskSurfTokenDisAndCurve:
+    def test_token_dis_ce(self):
+        """CE against frozen-dVAE labels: near ln(V) at init, finite grads,
+        and no gradient reaches the dvae_teacher subtree."""
+        cfg = ConfigDict({"NAME": "MaskSurf_v2_token_dis",
+                          "group_size": 8, "num_group": 16,
+                          "all_patch": "False", "loss": "cdl2",
+                          "dvae_config": {"num_tokens": 64,
+                                          "encoder_dims": 32,
+                                          "tokens_dims": 32,
+                                          "decoder_dims": 32},
+                          "transformer_config": dict(TF)})
+        model = build_model_from_cfg(cfg)
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        v = model.init(RNGS, pts, pts, train=True)
+
+        def loss_fn(params):
+            (l1, _), _ = model.apply({**v, "params": params}, pts, pts,
+                                     train=True, rngs=APPLY_RNGS,
+                                     mutable=["batch_stats"])
+            return l1
+
+        l = loss_fn(v["params"])
+        assert 0.5 * np.log(64) < float(l) < 3.0 * np.log(64)
+        g = jax.grad(loss_fn)(v["params"])
+        leaves = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda x: float(jnp.abs(x).sum()),
+                                   g["dvae_teacher"]))
+        assert all(x == 0.0 for x in leaves)  # stop-gradient holds
+        head = float(jnp.abs(g["increase_dim"]["kernel"]).sum())
+        assert np.isfinite(head) and head > 0.0
+
+    def test_token_dis_all_patch(self):
+        out = run_pretrain_model({"NAME": "MaskSurf_v2_token_dis",
+                                  "group_size": 8, "num_group": 16,
+                                  "all_patch": "True", "loss": "cdl2",
+                                  "dvae_config": {"num_tokens": 64,
+                                                  "encoder_dims": 32,
+                                                  "tokens_dims": 32,
+                                                  "decoder_dims": 32},
+                                  "transformer_config": dict(TF)}, C=3)
+        assert np.isfinite(float(out[0]))
+
+    @pytest.mark.parametrize("name", [
+        "MaskSurf_v2_local_point_normal_position_curve",
+        "MaskSurf_v2_local_point_curve"])
+    def test_curve_variants(self, name):
+        """7-channel surfel input; the scaled surfel terms equal the xyz term
+        in value (reference's sg(x/term) weighting)."""
+        out = run_pretrain_model({"NAME": name, "group_size": 8,
+                                  "num_group": 16, "loss": "cdl2normal",
+                                  "transformer_config": dict(TF)}, C=7)
+        lx, ls = float(out[0]), float(out[1])
+        assert np.isfinite(lx) and np.isfinite(ls) and lx > 0
+        if name.endswith("point_curve"):
+            np.testing.assert_allclose(ls, lx, rtol=1e-5)
+        else:
+            np.testing.assert_allclose(ls, 0.33 * 3 * lx, rtol=1e-5)
+
+
+class TestDiscreteVAE:
+    def test_roundtrip_and_loss(self):
+        from point_dae_tpu.models.dvae import DiscreteVAE, dvae_loss
+
+        dv = DiscreteVAE({"num_group": 16, "group_size": 8, "num_tokens": 64,
+                          "encoder_dims": 32, "tokens_dims": 32,
+                          "decoder_dims": 32})
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        rngs = dict(RNGS, gumbel=jax.random.key(7))
+        v = dv.init(rngs, pts, train=True)
+        (coarse, fine, neigh, center, logits), _ = dv.apply(
+            v, pts, temperature=0.5, hard=True, train=True,
+            rngs={**APPLY_RNGS, "gumbel": jax.random.key(8)},
+            mutable=["batch_stats"])
+        assert coarse.shape == (2, 16, 2, 3)
+        assert fine.shape == (2, 16, 8, 3)
+        assert logits.shape == (2, 16, 64)
+        l = dvae_loss(coarse, fine, neigh, logits, kl_weight=0.1)
+        assert np.isfinite(float(l)) and float(l) > 0
+
+    def test_hard_straight_through(self):
+        """hard=True output uses one-hot codes in the forward pass."""
+        from point_dae_tpu.models.dvae import DiscreteVAE
+
+        dv = DiscreteVAE({"num_group": 8, "group_size": 8, "num_tokens": 16,
+                          "encoder_dims": 16, "tokens_dims": 16,
+                          "decoder_dims": 16})
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+        rngs = dict(RNGS, gumbel=jax.random.key(7))
+        v = dv.init(rngs, pts, train=False)
+        # eval path (no gumbel rng needed), hard one-hot
+        out1, _ = dv.apply(v, pts, hard=True, train=False,
+                           mutable=["batch_stats"])
+        out2, _ = dv.apply(v, pts, hard=True, train=False,
+                           mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out1[1]), np.asarray(out2[1]))
+
+
+class TestM2AEFcCenterVariants:
+    def test_m2ae_variant_skips_affine(self):
+        """Same seeds: the M2AE (non-corrupted) variant differs from the MDAE
+        (affine-corrupted) one, and both run."""
+        cfg = {"group_size": 8, "num_group": 16,
+               "num_groups": [32, 16], "group_sizes": [8, 8],
+               "encoder_dims": [32, 64], "encoder_depths": [1, 1],
+               "decoder_dims": [64, 32], "decoder_depths": [1, 1],
+               "num_heads": 2, "mask_ratio": 0.8, "loss": "cdl2",
+               "corrupt_type": ["affine_r3"]}
+        outs = {}
+        for name in ("Point_M2AE_with_fc_center_p",
+                     "Point_MDAE_with_fc_center_p",
+                     "Point_M2AE_with_fc_center_p_v1",
+                     "Point_MDAE_with_fc_center_p_v1"):
+            outs[name] = run_pretrain_model({**cfg, "NAME": name}, C=3)
+        a = float(outs["Point_M2AE_with_fc_center_p"][0])
+        b = float(outs["Point_MDAE_with_fc_center_p"][0])
+        assert np.isfinite(a) and np.isfinite(b) and a != b
+        # v1 aliases share the respective corruption behavior
+        assert float(outs["Point_M2AE_with_fc_center_p_v1"][0]) == a
+        assert float(outs["Point_MDAE_with_fc_center_p_v1"][0]) == b
+
+
+class TestPartSegEncoderFamily:
+    def test_dae_and_heads(self):
+        out = run_pretrain_model({"NAME": "Point_CAE_PointNetNoT_PartSeg",
+                                  "loss": "cdl2"}, C=3)
+        assert np.isfinite(float(out[0]))
+
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        from point_dae_tpu.utils.registry import MODELS
+        for name, dim in (("PointNetNoT_PartSeg", 15),
+                          ("PointNetNoT_Linear_PartSeg", 15)):
+            m = MODELS.get(name)(ConfigDict({"cls_dim": dim}))
+            v = m.init(RNGS, pts, train=True)
+            out, _ = m.apply(v, pts, train=True, rngs=APPLY_RNGS,
+                             mutable=["batch_stats"])
+            assert out.shape == (2, dim)
+        m = MODELS.get("PointNetNoT_feat_PartSeg")(ConfigDict({}))
+        v = m.init(RNGS, pts, train=False)
+        feat = m.apply(v, pts, train=False)
+        assert feat.shape == (2, 2048)
