@@ -41,6 +41,9 @@ def main():
                             grad_norm_clip=None)
     state = TrainState.create(model.apply, params, batch_stats, tx)
     step = make_train_step(model, config, mesh=None)
+    # note: a k=5 scan-fused dispatch (make_train_step_multi) measures the
+    # same rate — async dispatch already hides launch latency when steps are
+    # enqueued back-to-back, so the simpler single-step loop is kept here
 
     key = jax.random.key(0)
     gw = jnp.float32(0.5)

@@ -262,3 +262,112 @@ class DGCNN_CrossPoint(nn.Module):
         feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
         return _ClsHead(self.config.get("cls_dim", 15), name="cls_head")(
             feat, train)
+
+
+# ---- PartSeg-encoder DAE family (models/PointCAE_DGCNN_partseg.py) --------
+
+class _DGCNNPartSegDAEBase(_DGCNNDAEBase):
+    """Same skeleton over the segmentation-style DGCNN encoder
+    (dgcnn_util.py dgcnn_encoder_partseg)."""
+
+    def _encode_corrupted(self, corrupted: Array, train: bool) -> Array:
+        from .dgcnn import DGCNNPartSegEncoder  # noqa: F401  (setup uses it)
+
+        corrupted = corrupted[..., :3]
+        if train and self.corrupt_type:
+            key = self.make_rng("corrupt")
+            corrupted = apply_input_dropout(key, corrupted, self.corrupt_type)
+        feat, _ = self.encoder(corrupted, train=train)
+        return feat
+
+
+@MODELS.register_module()
+class Point_CAE_DGCNN_PartSeg(_DGCNNPartSegDAEBase):
+    """PCN coarse+fine DAE over the partseg encoder
+    (PointCAE_DGCNN_partseg.py:28-141)."""
+    num_coarse: int = 1024
+    grid_size: int = 4
+    grid_scale: float = 0.05
+
+    def setup(self):
+        from .dgcnn import DGCNNPartSegEncoder
+
+        self.encoder = DGCNNPartSegEncoder(name="dgcnn_encoder")
+        self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
+        self.folding2 = MLP((512, 512, 3), name="folding2")
+
+    def _pcn_decode(self, feat: Array):
+        B = feat.shape[0]
+        coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
+        g2 = self.grid_size ** 2
+        num_fine = g2 * self.num_coarse
+        grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
+                                        (-self.grid_scale, self.grid_scale)))
+        grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))
+        point_feat = jnp.repeat(coarse, g2, axis=1)
+        gfeat = jnp.broadcast_to(feat[:, None, :], (B, num_fine, feat.shape[-1]))
+        h = jnp.concatenate([grid_feat, point_feat, gfeat], axis=-1)
+        fine = self.folding2(h) + point_feat
+        return coarse, fine
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        clean = clean[..., :3]
+        feat = self._encode_corrupted(corrupted, train)
+        coarse, fine = self._pcn_decode(feat)
+        return self.loss_func(coarse, clean), self.loss_func(fine, clean)
+
+
+@MODELS.register_module()
+class Point_CAE_DGCNN_proj_PartSeg(Point_CAE_DGCNN_PartSeg):
+    """Adds a 1024->512->1024 projection between encoder and decoder
+    (PointCAE_DGCNN_partseg.py:145-258)."""
+
+    def setup(self):
+        super().setup()
+        self.proj = MLP((512, 1024), name="proj")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        clean = clean[..., :3]
+        feat = self.proj(self._encode_corrupted(corrupted, train))
+        coarse, fine = self._pcn_decode(feat)
+        return self.loss_func(coarse, clean), self.loss_func(fine, clean)
+
+
+@MODELS.register_module()
+class DGCNN_PartSeg(nn.Module):
+    """Classification head on the partseg encoder
+    (PointCAE_DGCNN_partseg.py:262-353)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        from .dgcnn import DGCNNPartSegEncoder
+
+        feat, _ = DGCNNPartSegEncoder(name="dgcnn_encoder")(pts[..., :3], train)
+        return _ClsHead(self.config["cls_dim"], name="cls_head")(feat, train)
+
+
+@MODELS.register_module()
+class DGCNN_Linear_PartSeg(nn.Module):
+    """Linear probe (PointCAE_DGCNN_partseg.py:356-440)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = True) -> Array:
+        from .dgcnn import DGCNNPartSegEncoder
+
+        feat, _ = DGCNNPartSegEncoder(name="dgcnn_encoder")(pts[..., :3], train)
+        return nn.Dense(self.config["cls_dim"], name="cls")(feat)
+
+
+@MODELS.register_module()
+class DGCNN_feat_PartSeg(nn.Module):
+    """SVM feature extractor (PointCAE_DGCNN_partseg.py:443-520)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts: Array, train: bool = False) -> Array:
+        from .dgcnn import DGCNNPartSegEncoder
+
+        feat, _ = DGCNNPartSegEncoder(name="dgcnn_encoder")(pts[..., :3], train)
+        return feat

@@ -248,3 +248,22 @@ class PointNetNoT_feat_PartSeg(nn.Module):
     def __call__(self, pts, train: bool = False):
         return PointNetPartSegStyleEncoder(name="pointnet_encoder")(
             pts[..., :3], train)
+
+
+@MODELS.register_module()
+class PointNetNoT_Linear(nn.Module):
+    """Linear probe on the NoT encoder (PointCAE_pointnet_NoT.py:233-318)."""
+    config: dict
+
+    @nn.compact
+    def __call__(self, pts, train: bool = True):
+        feat = PointNetEncoder(use_tnet=False,
+                               name="pointnet_encoder")(pts[..., :3], train)
+        return nn.Dense(self.config.get("cls_dim", 40), name="cls")(feat)
+
+
+# reference registry names (no underscore before "NoT"); the underscored
+# spellings above are kept as aliases
+MODELS.register_module("Point_CAE_PointNetNoT", module=Point_CAE_PointNet_NoT)
+MODELS.register_module("PointNetNoT", module=PointNet_NoT)
+MODELS.register_module("PointNetNoT_feat", module=PointNet_NoT_feat)

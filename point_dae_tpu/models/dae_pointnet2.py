@@ -228,3 +228,108 @@ class PointNetv2_feat(nn.Module):
     @nn.compact
     def __call__(self, pts, train: bool = False):
         return PointNet2Encoder(name="pointnetv2_encoder")(pts[..., :3], train)
+
+
+@MODELS.register_module()
+class Point_CAE_PointNetv2_Proj(_PN2Base):
+    """PCN decoder with a 1024->512->1024 projection head between encoder and
+    decoder (PointCAE_pointnetv2.py:632-746)."""
+    num_coarse: int = 1024
+    grid_size: int = 4
+    grid_scale: float = 0.05
+
+    def setup(self):
+        self.encoder = PointNet2Encoder(name="pointnetv2_encoder")
+        self.proj = MLP((512, 1024), name="proj")
+        self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
+        self.folding2 = MLP((512, 512, 3), name="folding2")
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        from .common import folding_grid
+
+        clean = clean[..., :3]
+        feat = self.proj(self._encode_corrupted(corrupted, train))
+        B = feat.shape[0]
+        coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
+        g2 = self.grid_size ** 2
+        num_fine = g2 * self.num_coarse
+        grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
+                                        (-self.grid_scale, self.grid_scale)))
+        grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))
+        point_feat = jnp.repeat(coarse, g2, axis=1)
+        gfeat = jnp.broadcast_to(feat[:, None, :],
+                                 (B, num_fine, feat.shape[-1]))
+        fine = self.folding2(jnp.concatenate(
+            [grid_feat, point_feat, gfeat], -1)) + point_feat
+        return self.loss_func(coarse, clean), self.loss_func(fine, clean)
+
+
+class _MA2EPN2Base(_PN2Base):
+    """Patch-wise MA2E over the PointNet++ global encoder
+    (PointCAE_pointnetv2.py:176-627): group the CLEAN cloud into 64x32
+    patches; global FC head reconstructs the 64 centers; local head folds a
+    6x6 grid (+/-0.3) per patch from (global feature + center pos-embed)."""
+    num_coarse: int = 64
+    group_size: int = 32
+    grid_n: int = 6
+
+    def setup(self):
+        self.encoder = PointNet2Encoder(name="pointnetv2_encoder")
+        self.pos_embed = MLP((128, 1024), act=nn.gelu, name="pos_embed")
+        self.coarse_pred = MLP((1024, 1024, self.num_coarse * 3),
+                               name="coarse_pred")
+        self.folding1 = MLP((512, 512, 3), name="folding1")
+        self.folding2 = MLP((512, 512, 3), name="folding2")
+
+    def _heads(self, corrupted, clean, train):
+        from ..ops import group_neighborhood
+        from .common import folding_grid
+
+        pts = clean[..., :3]
+        neigh, center = group_neighborhood(pts, self.num_coarse,
+                                           self.group_size)
+        feat = self._encode_corrupted(corrupted, train)      # (B, 1024)
+        B = feat.shape[0]
+        coarse = self.coarse_pred(feat).reshape(B, self.num_coarse, 3)
+        loss_coarse = self.loss_func(coarse, center)
+
+        g2 = self.grid_n ** 2
+        tok = feat[:, None, :] + self.pos_embed(center)      # (B, M, 1024)
+        tok = jnp.broadcast_to(tok[:, :, None, :],
+                               (B, self.num_coarse, g2, 1024))
+        grid = jnp.asarray(folding_grid((self.grid_n, self.grid_n),
+                                        (-0.3, 0.3)))        # (36, 2)
+        gridb = jnp.broadcast_to(grid[None, None],
+                                 (B, self.num_coarse, g2, 2))
+        f1 = self.folding1(jnp.concatenate([tok, gridb], -1))
+        f2 = self.folding2(jnp.concatenate([tok, f1], -1))
+        rebuild = f2.reshape(B * self.num_coarse, g2, 3)
+        gt = neigh.reshape(B * self.num_coarse, self.group_size, 3)
+        loss_fine = self.loss_func(rebuild, gt)
+        return loss_fine, loss_coarse
+
+
+@MODELS.register_module()
+class Point_MA2E_PointNetv2(_MA2EPN2Base):
+    """Returns (loss_fine, loss_coarse) (PointCAE_pointnetv2.py:176-331)."""
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        return self._heads(corrupted, clean, train)
+
+
+@MODELS.register_module()
+class Point_MA2E_PointNetv2_local_only(_MA2EPN2Base):
+    """Only the patch folding loss (PointCAE_pointnetv2.py:332-486)."""
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        loss_fine, _ = self._heads(corrupted, clean, train)
+        return loss_fine, jnp.zeros(())
+
+
+@MODELS.register_module()
+class Point_MA2E_PointNetv2_global_only(_MA2EPN2Base):
+    """Only the center reconstruction loss (PointCAE_pointnetv2.py:488-630)."""
+
+    def __call__(self, corrupted, clean, train: bool = True):
+        _, loss_coarse = self._heads(corrupted, clean, train)
+        return loss_coarse, jnp.zeros(())

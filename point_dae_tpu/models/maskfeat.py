@@ -132,3 +132,19 @@ class MaskFeat_dgcnn(_CAETransformerBase):
         loss = _masked_feat_mse(pred.reshape(B * G, -1),
                                 patch_feat.reshape(B * G, -1), w)
         return loss, jnp.zeros(())
+
+
+@MODELS.register_module()
+class MaskFeat_transformer_pointmae(MaskFeat_transformer):
+    """Reference registry name (MaskFeat_transformer.py:348-491): the frozen
+    teacher is a Point-MAE encoder loaded from ``pointmae_config.ckpt``.
+    Structurally identical to MaskFeat_transformer (same MaskTransformer
+    teacher run with noaug + stop-gradient); load teacher weights via the
+    engine's ``teacher_ckpt`` merge."""
+
+
+@MODELS.register_module()
+class MaskFeat_transformer_supervised(MaskFeat_transformer):
+    """Frozen supervised-PointTransformer teacher flavour
+    (MaskFeat_transformer.py:493-648); differs from the pointmae variant only
+    in which checkpoint fills the teacher subtree."""

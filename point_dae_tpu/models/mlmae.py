@@ -150,3 +150,56 @@ class Point_MlMAE(_CAETransformerBase):
             if name in feat_loss_cfg and dec_idx < len(outs):
                 loss_feat = loss_feat + mse(tgt, outs[dec_idx])
         return loss1, loss_feat
+
+
+@MODELS.register_module()
+class PointTransformerMlMAE(nn.Module):
+    """Classification fine-tune on the MlMAE encoder's last level
+    (Point_MlMAE.py:467-597): concat(max, mean) pooled -> cls head."""
+    config: dict
+
+    def setup(self):
+        from .transformer import _FinetuneHead
+
+        t = self.config["transformer_config"] \
+            if "transformer_config" in self.config else self.config
+        self.MAE_encoder = _MlEncoder(
+            trans_dim=t["trans_dim"], depth=t["depth"],
+            num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
+            drop_path_rate=t.get("drop_path_rate", 0.1),
+            mask_ratio=0.0, rand_ratio=False, name="MAE_encoder")
+        self.head = _FinetuneHead((256, 256), self.config.get("cls_dim", 40),
+                                  name="cls_head_finetune")
+
+    def _feat(self, pts, train):
+        from ..ops import group_neighborhood
+
+        G, S = self.config["num_group"], self.config["group_size"]
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        feats, _, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)
+        x = feats[-1]
+        return jnp.concatenate([jnp.max(x, 1), jnp.mean(x, 1)], -1)
+
+    def __call__(self, pts, train: bool = True):
+        return self.head(self._feat(pts, train), train)
+
+    def encode(self, pts, train: bool = False):
+        return self._feat(pts, train)
+
+
+@MODELS.register_module()
+class PointTransformerMlMAELinearClassification(PointTransformerMlMAE):
+    """Linear probe flavour (Point_MlMAE.py:599-718)."""
+
+    def setup(self):
+        t = self.config["transformer_config"] \
+            if "transformer_config" in self.config else self.config
+        self.MAE_encoder = _MlEncoder(
+            trans_dim=t["trans_dim"], depth=t["depth"],
+            num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
+            drop_path_rate=t.get("drop_path_rate", 0.1),
+            mask_ratio=0.0, rand_ratio=False, name="MAE_encoder")
+        self.head = nn.Dense(self.config.get("cls_dim", 40), name="cls")
+
+    def __call__(self, pts, train: bool = True):
+        return self.head(self._feat(pts, train))

@@ -816,3 +816,63 @@ class PointCAE_transformer_folding_global_fc_local(_CAETransformerBase):
         gt = neigh.reshape(B * G, S, 3)
         loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
         return loss1, loss2
+
+
+@MODELS.register_module()
+class PointCAE_transformer_v6_folding_corase2fine_transformer(
+        PointCAE_transformer_v6_corase2fine_transformer):
+    """v6 coarse2fine with a folding coarse head
+    (PointCAE_transformer.py:2711-2872): the pooled trans_dim feature folds an
+    8x8 grid (+/-0.3) through two trans_dim-wide stages into the 64 coarse
+    centers (instead of the FC coarse_pred); decode + coarse2fine loss
+    unchanged."""
+
+    def setup(self):
+        from .common import folding_grid as _fg  # noqa: F401 (used in call)
+
+        S = self.config["group_size"]
+        d = self.tcfg["trans_dim"]
+        self.MAE_encoder = self._make_encoder()
+        self.folding1 = MLP((d, d, 3), name="folding1")
+        self.folding2 = MLP((d, d, 3), name="folding2")
+        self.decoder_pos_embed = PosEmbedMLP(d, name="decoder_pos_embed")
+        self.MAE_decoder = self._make_decoder()
+        if self.masked_mode:
+            self.mask_token = self._make_mask_token()
+        self.increase_dim_fine = nn.Dense(3 * S, name="increase_dim_fine")
+
+    def __call__(self, corrupted: Array, clean: Array, train: bool = True):
+        from ..losses import chamfer_l2_coarse2fine
+        from .common import folding_grid
+
+        pts = clean[..., :3]
+        neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
+        if self.masked_mode:
+            raise NotImplementedError(
+                "reference raises for Drop-Patch too (:2786)")
+        x_vis = self.MAE_encoder(t_neigh, t_center, train=train)
+        B, G, C = x_vis.shape
+        S = self.config["group_size"]
+        gfeat = jnp.max(x_vis, axis=1)                        # (B, C)
+        # reference hardcodes an 8x8 grid for num_group=64 (:2721); generalize
+        # to sqrt(G) x sqrt(G) so the folded coarse count matches the decoder
+        M = self.config["num_group"]
+        side = int(round(M ** 0.5))
+        assert side * side == M, "v6_folding needs a square num_group"
+        grid = jnp.asarray(folding_grid((side, side), (-0.3, 0.3)))
+        tok = jnp.broadcast_to(gfeat[:, None, :], (B, M, C))
+        gridb = jnp.broadcast_to(grid[None], (B, M, 2))
+        f1 = self.folding1(jnp.concatenate([tok, gridb], -1))
+        coarse = self.folding2(jnp.concatenate([tok, f1], -1))  # (B, 64, 3)
+
+        pos = self.decoder_pos_embed(coarse)
+        x_rec = self.MAE_decoder(x_vis, pos, deterministic=not train)
+        rebuild = self.increase_dim_fine(x_rec).reshape(B, G, S, 3)
+        gt_fine = neigh.reshape(B, G, S, 3)
+        loss1, loss2 = chamfer_l2_coarse2fine(coarse, center, rebuild, gt_fine)
+        return loss1, loss2
+
+
+# reference registry spelling (no underscore)
+MODELS.register_module("PointTransformerLinearClassification",
+                       module=PointTransformer_LinearClassification)

@@ -52,18 +52,21 @@ def get_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(devices.reshape(shape), axis_names)
 
 
-def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Sharding for batch-leading arrays: first dim split over the data axis."""
-    return NamedSharding(mesh, P(axis))
+def data_sharding(mesh: Mesh, axis: str = "data",
+                  dim: int = 0) -> NamedSharding:
+    """Sharding for batched arrays: array dim ``dim`` split over the data
+    axis (dim=1 for (k, B, ...) multi-step chunks)."""
+    return NamedSharding(mesh, P(*((None,) * dim), axis))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a pytree of host arrays with the batch dim sharded over the mesh."""
-    sh = data_sharding(mesh, axis)
+def shard_batch(mesh: Mesh, batch, axis: str = "data", dim: int = 0):
+    """Place a pytree of host arrays with array dim ``dim`` (the batch dim)
+    sharded over the mesh."""
+    sh = data_sharding(mesh, axis, dim)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

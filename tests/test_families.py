@@ -324,3 +324,66 @@ class TestPartSegEncoderFamily:
         v = m.init(RNGS, pts, train=False)
         feat = m.apply(v, pts, train=False)
         assert feat.shape == (2, 2048)
+
+
+class TestRegistryParity:
+    def test_reference_names_registered(self):
+        """Every actually-registered reference model name resolves here
+        (MaskSurf_v2/_onlynormal are commented out in the reference source,
+        MaskSurf_v2.py:538,742, so they are intentionally absent)."""
+        from point_dae_tpu.utils.registry import MODELS
+
+        names = [
+            # spelling parity for the NoT / linear-classification families
+            "Point_CAE_PointNetNoT", "PointNetNoT", "PointNetNoT_feat",
+            "PointNetNoT_Linear", "PointTransformerLinearClassification",
+            # partseg-encoder DGCNN family
+            "Point_CAE_DGCNN_PartSeg", "Point_CAE_DGCNN_proj_PartSeg",
+            "DGCNN_PartSeg", "DGCNN_Linear_PartSeg", "DGCNN_feat_PartSeg",
+            # PointNet++ MA2E + Proj
+            "Point_MA2E_PointNetv2", "Point_MA2E_PointNetv2_local_only",
+            "Point_MA2E_PointNetv2_global_only", "Point_CAE_PointNetv2_Proj",
+            # MaskFeat reference names, MlMAE heads, v6 folding
+            "MaskFeat_transformer_pointmae", "MaskFeat_transformer_supervised",
+            "PointTransformerMlMAE", "PointTransformerMlMAELinearClassification",
+            "PointCAE_transformer_v6_folding_corase2fine_transformer",
+        ]
+        for n in names:
+            assert MODELS.get(n) is not None, n
+
+
+class TestMA2EPointNetv2:
+    def test_heads_and_ablations(self):
+        """full = (fine, coarse); local_only/global_only zero the other term
+        and reproduce the corresponding full-head value (same seeds)."""
+        cfg = {"corrupt_type": [], "loss": "cdl2"}
+        full = run_pretrain_model({**cfg, "NAME": "Point_MA2E_PointNetv2"},
+                                  N=256, C=3)
+        loc = run_pretrain_model(
+            {**cfg, "NAME": "Point_MA2E_PointNetv2_local_only"}, N=256, C=3)
+        glob = run_pretrain_model(
+            {**cfg, "NAME": "Point_MA2E_PointNetv2_global_only"}, N=256, C=3)
+        np.testing.assert_allclose(float(loc[0]), float(full[0]), rtol=1e-5)
+        np.testing.assert_allclose(float(glob[0]), float(full[1]), rtol=1e-5)
+        assert float(loc[1]) == 0.0 and float(glob[1]) == 0.0
+
+
+class TestDGCNNPartSegDAE:
+    def test_pcn_and_proj(self):
+        out = run_pretrain_model({"NAME": "Point_CAE_DGCNN_PartSeg",
+                                  "corrupt_type": [], "loss": "cdl2"},
+                                 N=256, C=3)
+        assert np.isfinite(float(out[0])) and np.isfinite(float(out[1]))
+        out = run_pretrain_model({"NAME": "Point_CAE_DGCNN_proj_PartSeg",
+                                  "corrupt_type": [], "loss": "cdl2"},
+                                 N=256, C=3)
+        assert np.isfinite(float(out[0]))
+
+
+class TestV6Folding:
+    def test_folding_coarse_head(self):
+        out = run_pretrain_model(
+            {"NAME": "PointCAE_transformer_v6_folding_corase2fine_transformer",
+             "corrupt_type": ["affine_r3"], "group_size": 8, "num_group": 16,
+             "loss": "cdl2", "transformer_config": dict(TF)}, C=3)
+        assert np.isfinite(float(out[0])) and np.isfinite(float(out[1]))
