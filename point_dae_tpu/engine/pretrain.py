@@ -92,8 +92,10 @@ def _make_step_body(model, config) -> Callable:
     loss_type = config.get("loss_type", "xyz")
     normal_weight = float(config.get("normal_weight", 1.0))
 
+    bn_sched = config.get("bnmscheduler") is not None
+
     def step(state: TrainState, raw: Array, key: jax.Array,
-             gradual_weight: Array):
+             gradual_weight: Array, bn_momentum: Optional[Array] = None):
         k_pipe, k_corrupt, k_mask, k_dp, k_drop = jax.random.split(key, 5)
         corrupted, clean = device_pipeline(k_pipe, raw, aug_type,
                                            corrupt_type, npoints)
@@ -111,6 +113,16 @@ def _make_step_body(model, config) -> Callable:
 
         grads, (loss_xyz, loss_normal, new_bs) = jax.grad(
             loss_fn, has_aux=True)(state.params)
+        if bn_sched and bn_momentum is not None:
+            # BN-momentum scheduler (builder.py:147-151, misc.py:34-40): the
+            # modules run with fixed flax momentum 0.9 (= torch momentum 0.1);
+            # the EMA update is linear in the batch statistic, so re-blend the
+            # running stats to the scheduled torch-momentum `bn_momentum`:
+            # new' = old + (new - old) * (bn_momentum / 0.1)  (exact algebra)
+            scale = bn_momentum / 0.1
+            new_bs = jax.tree_util.tree_map(
+                lambda new, old: old + (new - old) * scale,
+                new_bs, state.batch_stats)
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = {"loss_xyz": loss_xyz, "loss_normal": loss_normal}
         return state, metrics
@@ -129,8 +141,9 @@ def make_train_step(model, config, mesh=None) -> Callable:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
+    n_scalars = 3 if config.get("bnmscheduler") is not None else 2
     return jax.jit(step, donate_argnums=0,
-                   in_shardings=(None, bsh, rep, rep),
+                   in_shardings=(None, bsh) + (rep,) * n_scalars,
                    out_shardings=(None, None))
 
 
@@ -151,10 +164,11 @@ def make_train_step_multi(model, config, mesh=None, k: int = 8) -> Callable:
     step = _make_step_body(model, config)
 
     def multi(state: TrainState, raw_chunk: Array, key: jax.Array,
-              gradual_weight: Array):
+              gradual_weight: Array, bn_momentum: Optional[Array] = None):
         def body(st, xs):
             raw, i = xs
-            return step(st, raw, jax.random.fold_in(key, i), gradual_weight)
+            return step(st, raw, jax.random.fold_in(key, i), gradual_weight,
+                        bn_momentum)
 
         state, ms = jax.lax.scan(body, state,
                                  (raw_chunk, jnp.arange(k, dtype=jnp.uint32)))
@@ -166,8 +180,9 @@ def make_train_step_multi(model, config, mesh=None, k: int = 8) -> Callable:
 
     csh = NamedSharding(mesh, P(None, "data"))       # (k, B, N, C): shard B
     rep = NamedSharding(mesh, P())
+    n_scalars = 3 if config.get("bnmscheduler") is not None else 2
     return jax.jit(multi, donate_argnums=0,
-                   in_shardings=(None, csh, rep, rep),
+                   in_shardings=(None, csh) + (rep,) * n_scalars,
                    out_shardings=(None, None))
 
 
@@ -292,8 +307,22 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
     key = jax.random.key(getattr(args, "seed", 0))
 
     n_step = start_epoch * steps_per_epoch
+    bcfg = config.get("bnmscheduler")
+
+    def _bn_args(epoch):
+        """BN-momentum schedule value (misc.py:34-40) as a traced scalar, or
+        () when no bnmscheduler is configured."""
+        if bcfg is None:
+            return ()
+        k = bcfg["kwargs"]
+        m = max(float(k["bn_momentum"])
+                * float(k["bn_decay"]) ** (epoch / float(k["decay_step"])),
+                float(k.get("lowest_decay", 0.01)))
+        return (jnp.float32(m),)
+
     for epoch in range(start_epoch, max_epoch + 1):
         loader.set_epoch(epoch)
+        bn_args = _bn_args(epoch)
         gw = jnp.float32(gradual_weight_for(loss_type, epoch, max_epoch))
         losses = AverageMeter(["xyz", "normal"])
         t_epoch = time.time()
@@ -313,7 +342,7 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
             key, sub = jax.random.split(key)
             if multi_step is None:
                 raw = shard_batch(mesh, jnp.asarray(batch["points"]))
-                state, metrics = train_step(state, raw, sub, gw)
+                state, metrics = train_step(state, raw, sub, gw, *bn_args)
                 log_metrics(metrics, 1)
                 continue
             pending.append(batch["points"])
@@ -321,13 +350,13 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
                 chunk = shard_batch(mesh, jnp.asarray(np.stack(pending)),
                                     dim=1)
                 pending.clear()
-                state, metrics = multi_step(state, chunk, sub, gw)
+                state, metrics = multi_step(state, chunk, sub, gw, *bn_args)
                 log_metrics(metrics, spd)
         # tail batches that didn't fill a chunk run through the 1-step path
         for tail in pending:
             key, sub = jax.random.split(key)
             raw = shard_batch(mesh, jnp.asarray(tail))
-            state, metrics = train_step(state, raw, sub, gw)
+            state, metrics = train_step(state, raw, sub, gw, *bn_args)
             log_metrics(metrics, 1)
         print_log(
             f"[Training] EPOCH: {epoch} EpochTime = {time.time() - t_epoch:.3f} (s) "

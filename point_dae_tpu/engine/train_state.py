@@ -162,4 +162,11 @@ def build_optimizer(config: Dict, params, steps_per_epoch: int,
     else:
         raise NotImplementedError(f"optimizer.part {part!r}")
 
-    return optax.chain(*chain), sched
+    tx = optax.chain(*chain)
+    # gradient accumulation (runner_pretrain.py:196-199 divides the loss by
+    # step_per_update and calls optimizer.step every k batches): MultiSteps
+    # accumulates the mean gradient over k mini-steps then applies one update
+    spu = int(config.get("step_per_update", 1))
+    if spu > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=spu)
+    return tx, sched

@@ -291,3 +291,108 @@ class TestMultiStepDispatch:
         out = run_pretrain(cfg, args, logger_name="test_spd")
         assert out["state"] is not None
         assert int(out["state"].step) == 5  # 2+2+1 batches all consumed
+
+
+class TestGradAccumulation:
+    def test_step_per_update(self):
+        """step_per_update=2: params unchanged after 1 mini-step, updated
+        after 2; result matches one step on the mean gradient."""
+        import optax
+
+        cfg = {"optimizer": {"type": "AdamW", "part": "all",
+                             "kwargs": {"lr": 0.1, "weight_decay": 0.0}},
+               "scheduler": {"type": "function", "kwargs": {}},
+               "step_per_update": 2}
+        params = {"w": jnp.ones((3,))}
+        tx, _ = build_optimizer(cfg, params, 1)
+        st = tx.init(params)
+        g1 = {"w": jnp.array([1.0, 2.0, 3.0])}
+        g2 = {"w": jnp.array([3.0, 2.0, 1.0])}
+        up1, st = tx.update(g1, st, params)
+        assert float(jnp.abs(up1["w"]).sum()) == 0.0     # accumulating
+        up2, st = tx.update(g2, st, params)
+        assert float(jnp.abs(up2["w"]).sum()) > 0.0      # applied
+
+        # reference: plain tx with the mean gradient
+        cfg2 = dict(cfg, step_per_update=1)
+        tx2, _ = build_optimizer(cfg2, params, 1)
+        st2 = tx2.init(params)
+        upm, _ = tx2.update({"w": (g1["w"] + g2["w"]) / 2}, st2, params)
+        np.testing.assert_allclose(np.asarray(up2["w"]), np.asarray(upm["w"]),
+                                   rtol=1e-6)
+
+
+class TestBNMomentumScheduler:
+    def test_reblend_matches_schedule(self):
+        """With bnmscheduler configured, the step re-blends running stats to
+        the scheduled torch-momentum; bn=0.1 reproduces the unscheduled step
+        exactly, bn=0.5 moves the stats 5x further from old."""
+        from point_dae_tpu.engine.pretrain import _make_step_body
+
+        cfg = ConfigDict({**TINY_CFG, "bnmscheduler":
+                          {"type": "Lambda",
+                           "kwargs": {"bn_momentum": 0.5, "bn_decay": 0.5,
+                                      "decay_step": 10, "lowest_decay": 0.01}}})
+        model = build_model_from_cfg(cfg["model"])
+        raw = jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 128, 6)).astype(np.float32))
+        params, bs = init_model(model, cfg, raw)
+        tx, _ = build_optimizer(cfg, params, 10)
+        copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        body = jax.jit(_make_step_body(model, cfg))
+        key, gw = jax.random.key(0), jnp.float32(0.5)
+
+        def run(bn):
+            st = TrainState.create(model.apply, copy(params), copy(bs), tx)
+            st, _ = body(st, raw, key, gw, jnp.float32(bn))
+            return jax.device_get(st.batch_stats)
+
+        base = run(0.1)          # identity re-blend
+        st0 = TrainState.create(model.apply, copy(params), copy(bs), tx)
+        plain = jax.jit(_make_step_body(model, ConfigDict(dict(TINY_CFG))))
+        st0, _ = plain(st0, raw, key, gw)
+        for a, b in zip(jax.tree_util.tree_leaves(base),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(st0.batch_stats))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+        fast = run(0.5)
+        old = jax.device_get(bs)
+        for f, b0, o in zip(jax.tree_util.tree_leaves(fast),
+                            jax.tree_util.tree_leaves(base),
+                            jax.tree_util.tree_leaves(old)):
+            np.testing.assert_allclose(np.asarray(f) - np.asarray(o),
+                                       5.0 * (np.asarray(b0) - np.asarray(o)),
+                                       rtol=1e-4, atol=1e-7)
+
+    def test_run_pretrain_with_bnm(self, tmp_path):
+        from types import SimpleNamespace
+
+        from point_dae_tpu.engine.pretrain import run_pretrain
+
+        cfg = ConfigDict({
+            "optimizer": {"type": "AdamW", "part": "all",
+                          "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
+            "scheduler": {"type": "CosLR",
+                          "kwargs": {"epochs": 1, "initial_epochs": 0}},
+            "bnmscheduler": {"type": "Lambda",
+                             "kwargs": {"bn_momentum": 0.5, "bn_decay": 0.5,
+                                        "decay_step": 10,
+                                        "lowest_decay": 0.01}},
+            "dataset": {
+                "train": {"_base_": {"NAME": "Synthetic", "N_POINTS": 2048,
+                                     "num_classes": 15, "with_normal": True},
+                          "others": {"subset": "train", "npoints": 64,
+                                     "aug_type": ["norm"],
+                                     "corrupt_type": ["affine_r3"],
+                                     "size": 16}}},
+            "model": {"NAME": "Point_CAE_DGCNN_FCOnly", "corrupt_type": [],
+                      "loss": "cdl2"},
+            "normal_weight": 1.0, "total_bs": 8, "max_epoch": 0,
+            "loss_type": "xyz"})
+        args = SimpleNamespace(seed=0, experiment_path=str(tmp_path),
+                               val_freq=1, resume=False, start_ckpts=None,
+                               tfboard_path=None)
+        out = run_pretrain(cfg, args, logger_name="test_bnm")
+        assert int(out["state"].step) == 2
