@@ -88,6 +88,13 @@ def furthest_point_sample(points: Array, n_samples: int,
     points = points.astype(jnp.float32)
     B, N, _ = points.shape
     if (mask is None and jax.default_backend() == "tpu"
+            and N >= 512 and N % 128 == 0):
+        # batched-layout kernel: N on lanes, whole batch tile per iteration
+        # (8.2x over the per-row kernel at (256, 1024)->64: 13.4 -> 1.6 ms)
+        from .pallas_fps import fps_pallas_batched
+
+        return fps_pallas_batched(points, n_samples)
+    if (mask is None and jax.default_backend() == "tpu"
             and N >= 512 and N % 8 == 0):
         from .pallas_fps import fps_pallas
 

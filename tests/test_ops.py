@@ -182,3 +182,21 @@ class TestPallasFPS:
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(fps_pallas(pts, 32))
         np.testing.assert_array_equal(got, want)
+
+    def test_batched_kernel_matches_xla_path(self, rng):
+        """Batched-layout Pallas FPS (N on lanes, whole batch tile per
+        iteration) == the lax.fori_loop path, including the near-origin
+        exclusion and first-pick-0 conventions; both divisor and fallback
+        batch-tile shapes."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from point_dae_tpu.ops.pallas_fps import fps_pallas_batched
+
+        for B in (4, 3):          # 3 exercises the BT=1 fallback
+            pts = rng.normal(size=(B, 256, 3)).astype(np.float32)
+            pts[0, :5] = 0.0      # near-origin points must never be picked
+            pts = jnp.array(pts)
+            want = np.asarray(ops.furthest_point_sample(pts, 32))
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(fps_pallas_batched(pts, 32, batch_tile=2))
+            np.testing.assert_array_equal(got, want)
