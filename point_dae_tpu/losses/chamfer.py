@@ -107,13 +107,81 @@ def _nn_half_pallas(x: Array, y: Array) -> Tuple[Array, Array]:
     return dist[:, 0, :N], idx[:, 0, :N]
 
 
+def _nn_half_small_pallas(x: Array, y: Array,
+                          lane_tile: int = 2048) -> Tuple[Array, Array]:
+    """Patch-chamfer layout: many tiny point sets (B large, N/M <= ~64).
+
+    The XLA path runs B batched (N, M) matmuls with K=3 — 3 useful lanes and
+    MXU tiles mostly padding. Here coordinates are transposed to (D, N, B) so
+    the BATCH sits on the lane dimension: each of the M (unrolled) iterations
+    does (N, BT)-wide vector ops, computing one candidate distance for every
+    patch at once. ~9x at the flagship patch shape ((16384, 36) vs (.., 32)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = x.shape
+    M = y.shape[1]
+    BT = min(lane_tile, B)
+    pad_b = (-B) % BT
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+        y = jnp.pad(y, ((0, pad_b), (0, 0), (0, 0)), constant_values=1e6)
+    Bp = B + pad_b
+    xt = jnp.transpose(x.astype(jnp.float32), (2, 1, 0))     # (D, N, Bp)
+    yt = jnp.transpose(y.astype(jnp.float32), (2, 1, 0))     # (D, M, Bp)
+
+    def kernel(x_ref, y_ref, dist_ref, idx_ref):
+        ax = [x_ref[d] for d in range(D)]                    # D x (N, BT)
+        md = jnp.full((N, BT), 1e30, jnp.float32)
+        mi = jnp.zeros((N, BT), jnp.int32)
+        for j in range(M):                                   # static unroll
+            d = jnp.zeros((N, BT), jnp.float32)
+            for c in range(D):
+                bc = y_ref[c, j, :][None, :]                 # (1, BT)
+                d = d + (ax[c] - bc) ** 2
+            upd = d < md
+            mi = jnp.where(upd, j, mi)
+            md = jnp.minimum(md, d)
+        dist_ref[...] = md
+        idx_ref[...] = mi
+
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=(Bp // BT,),
+        in_specs=[
+            pl.BlockSpec((D, N, BT), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, M, BT), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N, BT), lambda b: (0, b)),
+            pl.BlockSpec((N, BT), lambda b: (0, b)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((N, Bp), jnp.int32),
+        ],
+    )(xt, yt)
+    return (jnp.maximum(dist.T[:B], 0.0), idx.T[:B].astype(jnp.int32))
+
+
 def _use_pallas(n: int, m: int) -> bool:
     on_tpu = jax.default_backend() == "tpu"
     return on_tpu and (n * m) >= 512 * 512
 
 
+def _use_small_pallas(b: int, n: int, m: int, d: int) -> bool:
+    on_tpu = jax.default_backend() == "tpu"
+    return on_tpu and d == 3 and n <= 64 and m <= 64 and b >= 4096
+
+
 def _nn_half(x: Array, y: Array) -> Tuple[Array, Array]:
-    if _use_pallas(x.shape[1], y.shape[1]):
+    B, N, D = x.shape
+    if _use_small_pallas(B, N, y.shape[1], D):
+        return _nn_half_small_pallas(x, y)
+    if _use_pallas(N, y.shape[1]):
         return _nn_half_pallas(x, y)
     return _nn_half_xla(x, y)
 

@@ -120,3 +120,23 @@ class TestEMD:
         m = np.asarray(losses.emd_approx(x, y))
         np.testing.assert_allclose(m.sum(2), 1.0, atol=0.05)
         np.testing.assert_allclose(m.sum(1), 1.0, atol=0.2)
+
+
+class TestSmallPatchPallas:
+    def test_matches_xla_half(self):
+        """Batch-on-lanes patch-chamfer kernel (interpret mode) == XLA path,
+        incl. the padded-batch tail."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from point_dae_tpu.losses.chamfer import (_nn_half_small_pallas,
+                                                  _nn_half_xla)
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.normal(size=(37, 12, 3)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(37, 8, 3)).astype(np.float32))
+        dx, ix = _nn_half_xla(a, b)
+        with pltpu.force_tpu_interpret_mode():
+            dp, ip = _nn_half_small_pallas(a, b, lane_tile=16)
+        np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dp),
+                                   rtol=1e-5, atol=1e-6)
