@@ -131,22 +131,28 @@ def _nn_half_small_pallas(x: Array, y: Array,
     xt = jnp.transpose(x.astype(jnp.float32), (2, 1, 0))     # (D, N, Bp)
     yt = jnp.transpose(y.astype(jnp.float32), (2, 1, 0))     # (D, M, Bp)
 
-    def kernel(x_ref, y_ref, dist_ref, idx_ref):
+    def kernel(x_ref, y_ref, dist_ref, idx_ref, near_ref):
         ax = [x_ref[d] for d in range(D)]                    # D x (N, BT)
         md = jnp.full((N, BT), 1e30, jnp.float32)
         mi = jnp.zeros((N, BT), jnp.int32)
+        nc = [jnp.zeros((N, BT), jnp.float32) for _ in range(D)]
         for j in range(M):                                   # static unroll
+            bc = [y_ref[c, j, :][None, :] for c in range(D)]  # D x (1, BT)
             d = jnp.zeros((N, BT), jnp.float32)
             for c in range(D):
-                bc = y_ref[c, j, :][None, :]                 # (1, BT)
-                d = d + (ax[c] - bc) ** 2
+                d = d + (ax[c] - bc[c]) ** 2
             upd = d < md
             mi = jnp.where(upd, j, mi)
+            # nearest coords tracked in-kernel: the backward needs
+            # y_{argmin} and this saves it an HBM gather
+            nc = [jnp.where(upd, bc[c], nc[c]) for c in range(D)]
             md = jnp.minimum(md, d)
         dist_ref[...] = md
         idx_ref[...] = mi
+        for c in range(D):
+            near_ref[c] = nc[c]
 
-    dist, idx = pl.pallas_call(
+    dist, idx, near = pl.pallas_call(
         kernel,
         grid=(Bp // BT,),
         in_specs=[
@@ -158,13 +164,16 @@ def _nn_half_small_pallas(x: Array, y: Array,
         out_specs=[
             pl.BlockSpec((N, BT), lambda b: (0, b)),
             pl.BlockSpec((N, BT), lambda b: (0, b)),
+            pl.BlockSpec((D, N, BT), lambda b: (0, 0, b)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, Bp), jnp.float32),
             jax.ShapeDtypeStruct((N, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((D, N, Bp), jnp.float32),
         ],
     )(xt, yt)
-    return (jnp.maximum(dist.T[:B], 0.0), idx.T[:B].astype(jnp.int32))
+    return (jnp.maximum(dist.T[:B], 0.0), idx.T[:B].astype(jnp.int32),
+            jnp.transpose(near, (2, 1, 0))[:B])
 
 
 def _use_pallas(n: int, m: int) -> bool:
@@ -180,7 +189,8 @@ def _use_small_pallas(b: int, n: int, m: int, d: int) -> bool:
 def _nn_half(x: Array, y: Array) -> Tuple[Array, Array]:
     B, N, D = x.shape
     if _use_small_pallas(B, N, y.shape[1], D):
-        return _nn_half_small_pallas(x, y)
+        d, i, _ = _nn_half_small_pallas(x, y)
+        return d, i
     if _use_pallas(N, y.shape[1]):
         return _nn_half_pallas(x, y)
     return _nn_half_xla(x, y)
@@ -200,8 +210,13 @@ def nn_distance(xyz1: Array, xyz2: Array):
 
 
 def _nn_distance_fwd(xyz1, xyz2):
+    if _use_small_pallas(xyz1.shape[0], xyz1.shape[1], xyz2.shape[1],
+                         xyz1.shape[2]):
+        d1, i1, y_near = _nn_half_small_pallas(xyz1, xyz2)
+        d2, i2, x_near = _nn_half_small_pallas(xyz2, xyz1)
+        return (d1, d2, i1, i2), (xyz1, xyz2, i1, i2, y_near, x_near)
     d1, d2, i1, i2 = nn_distance(xyz1, xyz2)
-    return (d1, d2, i1, i2), (xyz1, xyz2, i1, i2)
+    return (d1, d2, i1, i2), (xyz1, xyz2, i1, i2, None, None)
 
 
 def _nn_distance_bwd(res, g):
@@ -213,10 +228,11 @@ def _nn_distance_bwd(res, g):
     B*G = 16k rows) XLA's scatter is the single most expensive op of the
     whole train step (~40 ms/step in traces), so the scatter is rewritten as
     a one-hot matmul that rides the MXU; large sets keep the scatter."""
-    xyz1, xyz2, i1, i2 = res
+    xyz1, xyz2, i1, i2, y_near, x_near = res
     g1, g2, _, _ = g
-    y_near = jnp.take_along_axis(xyz2, i1[..., None], axis=1)   # (B, N, D)
-    x_near = jnp.take_along_axis(xyz1, i2[..., None], axis=1)   # (B, M, D)
+    if y_near is None:
+        y_near = jnp.take_along_axis(xyz2, i1[..., None], axis=1)  # (B, N, D)
+        x_near = jnp.take_along_axis(xyz1, i2[..., None], axis=1)  # (B, M, D)
     diff1 = 2.0 * (xyz1 - y_near)                               # (B, N, D)
     diff2 = 2.0 * (xyz2 - x_near)                               # (B, M, D)
     gx_direct = g1[..., None] * diff1

@@ -125,7 +125,7 @@ class TestEMD:
 class TestSmallPatchPallas:
     def test_matches_xla_half(self):
         """Batch-on-lanes patch-chamfer kernel (interpret mode) == XLA path,
-        incl. the padded-batch tail."""
+        incl. the padded-batch tail and the in-kernel nearest-coord output."""
         from jax.experimental.pallas import tpu as pltpu
 
         from point_dae_tpu.losses.chamfer import (_nn_half_small_pallas,
@@ -136,7 +136,10 @@ class TestSmallPatchPallas:
         b = jnp.asarray(rng.normal(size=(37, 8, 3)).astype(np.float32))
         dx, ix = _nn_half_xla(a, b)
         with pltpu.force_tpu_interpret_mode():
-            dp, ip = _nn_half_small_pallas(a, b, lane_tile=16)
+            dp, ip, near = _nn_half_small_pallas(a, b, lane_tile=16)
         np.testing.assert_array_equal(np.asarray(ix), np.asarray(ip))
         np.testing.assert_allclose(np.asarray(dx), np.asarray(dp),
                                    rtol=1e-5, atol=1e-6)
+        want_near = jnp.take_along_axis(b, ix[..., None], axis=1)
+        np.testing.assert_allclose(np.asarray(near), np.asarray(want_near),
+                                   rtol=1e-6)
