@@ -134,7 +134,14 @@ def main(argv=None):
         from .engine.saliency import vis_saliency_map
 
         return vis_saliency_map(config, args, logger_name=args.log_name)
-    if config.get("model", {}).get("NAME", "").endswith("PartSeg"):
+    # segmentation runner only for ShapeNetPart configs (segmentation/main.py
+    # equivalent) — classification heads that merely use the partseg-style
+    # ENCODER (e.g. DGCNN_PartSeg, PointNetNoT_PartSeg) go through the normal
+    # finetune path like the reference's main.py does
+    _train_base = config.get("dataset", {}).get("train", {}).get("_base_", {})
+    _ds_name = _train_base.get("NAME", "") if isinstance(_train_base, dict) \
+        else str(_train_base)
+    if "ShapeNetPart" in str(_ds_name):
         from .engine.partseg import run_partseg
 
         return run_partseg(config, args, logger_name=args.log_name)

@@ -402,7 +402,14 @@ def corrupt_cloud(key: jax.Array, pts: Array, types: Sequence[str],
     """
     n = pts.shape[0]
     cap = corruption_capacity(n, types)
-    mask = jnp.ones(n, dtype=bool)
+    # statically: affine/jitter corruptions keep every point valid -> the
+    # mask stays None and downstream resampling skips its argsort packing
+    _masking = ("dropout_local", "add_global", "add_local",
+                "nonuniform_density")
+    if any(t.startswith(m) for t in types for m in _masking):
+        mask = jnp.ones(n, dtype=bool)
+    else:
+        mask = None
 
     for i, t in enumerate(types):
         k = jax.random.fold_in(key, i)
@@ -462,7 +469,8 @@ def corrupt_cloud(key: jax.Array, pts: Array, types: Sequence[str],
     if pts.shape[0] < cap:
         pad = cap - pts.shape[0]
         pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], axis=0)
-        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)], axis=0)
+        mask = jnp.concatenate([jnp.ones(n, bool) if mask is None else mask,
+                                jnp.zeros(pad, bool)], axis=0)
     return pts, mask
 
 

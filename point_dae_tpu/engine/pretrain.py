@@ -50,7 +50,7 @@ def device_pipeline(key: jax.Array, raw: Array, aug_type, corrupt_type,
     def per_cloud(k_a, k_c, k1, k2, cloud):
         xyz = C.augment_cloud(k_a, cloud[:, :3], tuple(aug_type))
         full = jnp.concatenate([xyz, cloud[:, 3:]], axis=-1)
-        clean = resample_to(k1, full, jnp.ones(full.shape[0], bool), npoints)
+        clean = resample_to(k1, full, None, npoints)
         corrupted = C.corrupt_and_sample(k_c, xyz, tuple(corrupt_type), npoints)
         return corrupted, clean
 

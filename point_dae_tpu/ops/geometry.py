@@ -209,16 +209,22 @@ def group_neighborhood(xyz: Array, num_group: int, group_size: int,
     return neighborhood, center
 
 
-def resample_to(key: jax.Array, points: Array, mask: Array, num: int) -> Array:
+def resample_to(key: jax.Array, points: Array,
+                mask: Optional[Array], num: int) -> Array:
     """Sample ``num`` points uniformly (with replacement) from the valid subset.
 
     TPU-native stand-in for the reference's ragged-output corruptions followed
     by ``random_sample`` back to a fixed count (``ShapeNet55Dataset.py:76-88``):
     we keep static shapes and resample from the masked set directly.
 
-    points: (N, C), mask: (N,) bool -> (num, C).
+    points: (N, C), mask: (N,) bool -> (num, C). ``mask=None`` means all
+    points are valid and skips the argsort packing (a measurable cost at
+    pipeline scale: the clean-sample path draws straight indices).
     """
     N = points.shape[0]
+    if mask is None:
+        draw = jax.random.randint(key, (num,), 0, N)
+        return points[draw]
     cnt = jnp.maximum(jnp.sum(mask, dtype=jnp.int32), 1)
     # positions of valid points packed to the front, invalid pushed to the end
     order = jnp.argsort(jnp.where(mask, 0, 1), stable=True)
