@@ -67,23 +67,32 @@ def knn_pallas(query: jax.Array, database: jax.Array, k: int,
             _, out_d, out_i = jax.lax.fori_loop(0, k, step, (d, out_d, out_i))
             return out_d, out_i
 
-        def body(j, carry):
-            best_d, best_i = carry                             # (tn, k) each
+        def tile_d(j):
             y = db_ref[0, pl.ds(j * tm, tm), :].astype(jnp.float32)
             yy = jnp.sum(y * y, axis=-1)
-            d = qq - 2.0 * jnp.dot(q, y.T,
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST) \
+            return qq - 2.0 * jnp.dot(q, y.T,
+                                      preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST) \
                 + yy[None, :]                                  # (tn, tm)
-            ids = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
-            td, ti = extract_k(d, ids)                         # tile top-k
-            cat_d = jnp.concatenate([best_d, td], axis=1)
-            cat_i = jnp.concatenate([best_i, ti], axis=1)
-            return extract_k(cat_d, cat_i)                     # merge (tn, 2k)
 
-        init = (jnp.full((tn, k), 1e30, jnp.float32),
-                jnp.zeros((tn, k), jnp.int32))
-        best_d, best_i = jax.lax.fori_loop(0, n_mtiles, body, init)
+        if n_mtiles == 1:
+            # single-tile fast path: extract straight from the distance tile,
+            # no per-tile/merge double extraction
+            ids = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+            best_d, best_i = extract_k(tile_d(0), ids)
+        else:
+            def body(j, carry):
+                best_d, best_i = carry                         # (tn, k) each
+                d = tile_d(j)
+                ids = jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1) + j * tm
+                td, ti = extract_k(d, ids)                     # tile top-k
+                cat_d = jnp.concatenate([best_d, td], axis=1)
+                cat_i = jnp.concatenate([best_i, ti], axis=1)
+                return extract_k(cat_d, cat_i)                 # merge (tn, 2k)
+
+            init = (jnp.full((tn, k), 1e30, jnp.float32),
+                    jnp.zeros((tn, k), jnp.int32))
+            best_d, best_i = jax.lax.fori_loop(0, n_mtiles, body, init)
         dist_ref[0] = best_d
         idx_ref[0] = best_i
 
