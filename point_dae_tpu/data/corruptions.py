@@ -71,32 +71,23 @@ def _sample_ball(key: jax.Array, n: int) -> Array:
 
 
 def _multinomial_sizes(key: jax.Array, total: Array, num_clusters: Array,
-                       max_clusters: int) -> Array:
+                       max_clusters: int, n_max: int = 4096) -> Array:
     """Sizes of ``num_clusters`` equal-probability multinomial bins summing to
     ``total`` (role of _gen_random_cluster_sizes, corrupt_util.py:30-39).
 
-    Sequential binomial decomposition keeps everything fixed-shape:
-    K_i ~ Binomial(remaining, 1/(c - i)). Returns (max_clusters,) with zeros
-    past num_clusters.
+    Sampled as the histogram of ``total`` uniform cluster picks — exactly the
+    Multinomial(total, 1/c) distribution, with no data-dependent control flow
+    (the previous Binomial-chain decomposition hid rejection-sampling `while`
+    loops inside ``jax.random.binomial``, tens of ms per pipeline batch).
+    ``n_max`` is the static draw capacity (>= any possible ``total``).
+    Returns (max_clusters,) with zeros past num_clusters.
     """
-    keys = jax.random.split(key, max_clusters)
-
-    def body(i, carry):
-        remaining, sizes = carry
-        denom = jnp.maximum(num_clusters - i, 1).astype(jnp.float32)
-        is_last = i == (num_clusters - 1)
-        draw = jax.random.binomial(keys[i], remaining.astype(jnp.float32),
-                                   1.0 / denom).astype(jnp.int32)
-        k = jnp.where(i < num_clusters,
-                      jnp.where(is_last, remaining, draw), 0)
-        k = jnp.clip(k, 0, remaining)
-        sizes = sizes.at[i].set(k)
-        return remaining - k, sizes
-
-    _, sizes = jax.lax.fori_loop(
-        0, max_clusters, body,
-        (total.astype(jnp.int32), jnp.zeros(max_clusters, jnp.int32)))
-    return sizes
+    picks = jax.random.randint(key, (n_max,), 0, jnp.maximum(num_clusters, 1))
+    live = jnp.arange(n_max) < total                          # (n_max,)
+    bins = jnp.arange(max_clusters)                           # (C,)
+    sizes = jnp.sum(live[:, None]
+                    & (picks[:, None] == bins[None, :]), axis=0)
+    return sizes.astype(jnp.int32)
 
 
 # --------------------------------------------------------------- affine params
@@ -254,7 +245,8 @@ def dropout_local(key: jax.Array, pts: Array, mask: Array,
     n_valid = jnp.sum(mask, dtype=jnp.int32)
     total = (n_valid.astype(jnp.float32) * ratio).astype(jnp.int32)
     num_clusters = jax.random.randint(k_nc, (), 1, max_clusters)
-    sizes = _multinomial_sizes(k_sizes, total, num_clusters, max_clusters - 1)
+    sizes = _multinomial_sizes(k_sizes, total, num_clusters,
+                               max_clusters - 1, n_max=n)
     seed_keys = jax.random.split(k_seeds, max_clusters - 1)
 
     def body(i, mask):
@@ -315,7 +307,8 @@ def add_local(key: jax.Array, pts: Array, mask: Array, level: Array,
     total = jnp.minimum(
         (n_valid.astype(jnp.float32) * (level + 1.0) * 0.1).astype(jnp.int32), extra)
     num_clusters = jax.random.randint(k_nc, (), 1, max_clusters)
-    sizes = _multinomial_sizes(k_sizes, total, num_clusters, max_clusters - 1)
+    sizes = _multinomial_sizes(k_sizes, total, num_clusters,
+                               max_clusters - 1, n_max=extra)
     cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(sizes)])
     # assign each of the `extra` slots to a cluster id
     slot = jnp.arange(extra)

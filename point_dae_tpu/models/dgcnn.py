@@ -34,13 +34,19 @@ def get_graph_feature(x: Array, k: int = 20, idx: Optional[Array] = None) -> Arr
 
 
 class EdgeConv(nn.Module):
-    """One EdgeConv: graph feature -> pointwise Dense+BN+LeakyReLU -> max_k."""
+    """One EdgeConv: graph feature -> pointwise Dense+BN+LeakyReLU -> max_k.
+
+    ``idx`` lets the caller hoist the kNN out of a remat boundary: the
+    neighbour indices need no gradient, so recomputing them in the backward
+    pass (2x the most expensive op of the layer) is pure waste — passed-in
+    indices become ordinary saved residuals."""
     out_dim: int
     k: int = 20
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
-        h = get_graph_feature(x, self.k)                    # (B, N, k, 2C)
+    def __call__(self, x: Array, train: bool = True,
+                 idx: Optional[Array] = None) -> Array:
+        h = get_graph_feature(x, self.k, idx=idx)           # (B, N, k, 2C)
         h = nn.Dense(self.out_dim, use_bias=False, name="conv")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn")(h)
@@ -63,11 +69,21 @@ class DGCNNEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
-        EC = nn.remat(EdgeConv, static_argnums=(2,)) if self.remat else EdgeConv
-        x1 = EC(64, self.k, name="ec1")(x, train)
-        x2 = EC(64, self.k, name="ec2")(x1, train)
-        x3 = EC(128, self.k, name="ec3")(x2, train)
-        x4 = EC(256, self.k, name="ec4")(x3, train)
+        if self.remat:
+            # kNN hoisted out of the remat boundary (indices carry no
+            # gradient; recomputing them in the bwd doubles the step's most
+            # expensive op), only the gather+conv+max is rematerialized
+            EC = nn.remat(EdgeConv, static_argnums=(2,))
+            nn_idx = lambda h: jax.lax.stop_gradient(knn(h, h, self.k)[1])
+            x1 = EC(64, self.k, name="ec1")(x, train, nn_idx(x))
+            x2 = EC(64, self.k, name="ec2")(x1, train, nn_idx(x1))
+            x3 = EC(128, self.k, name="ec3")(x2, train, nn_idx(x2))
+            x4 = EC(256, self.k, name="ec4")(x3, train, nn_idx(x3))
+        else:
+            x1 = EdgeConv(64, self.k, name="ec1")(x, train)
+            x2 = EdgeConv(64, self.k, name="ec2")(x1, train)
+            x3 = EdgeConv(128, self.k, name="ec3")(x2, train)
+            x4 = EdgeConv(256, self.k, name="ec4")(x3, train)
         h = jnp.concatenate([x1, x2, x3, x4], axis=-1)      # (B, N, 512)
         h = nn.Dense(1024, use_bias=False, name="conv5")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
