@@ -46,6 +46,10 @@ class EdgeConv(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = True,
                  idx: Optional[Array] = None) -> Array:
+        # note: decomposing the conv into pre-gather per-point projections
+        # (W [x_j - x_i; x_i] = u_j + v_i) cuts matmul FLOPs by k but
+        # measured SLOWER in-graph (185 vs 195 c/s) — the step is HBM-bound
+        # and the split adds an elementwise pass; the fused edge tensor stays
         h = get_graph_feature(x, self.k, idx=idx)           # (B, N, k, 2C)
         h = nn.Dense(self.out_dim, use_bias=False, name="conv")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
