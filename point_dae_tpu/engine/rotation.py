@@ -7,9 +7,6 @@ rotation augmentation injected on device.
 from __future__ import annotations
 
 import functools
-import time
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ via a custom VJP (no need to save the distance matrix).
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

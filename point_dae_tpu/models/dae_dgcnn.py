@@ -13,7 +13,7 @@ RNG streams: 'corrupt' (input dropout), 'dropout' (head dropout).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ models/PointCAE_pointnet.py:27-331 and models/PointCAE_pointnet_NoT.py.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

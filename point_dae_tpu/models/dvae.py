@@ -13,7 +13,7 @@ straight-through estimator for ``hard=True``.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,8 @@ import flax.linen as nn
 
 from ..data.corruptions_patch import corrupt_patches_multi
 from ..losses import chamfer_l2, masked_chamfer_l2
-from ..ops import group_neighborhood, furthest_point_sample, gather_points, knn, group_points, three_interpolate, three_nn
+from ..ops import (furthest_point_sample, gather_points, group_points,
+                   knn, three_interpolate, three_nn)
 from ..utils.registry import MODELS
 from .layers import MLP, PatchEncoder, TransformerBlock
 from .transformer import sample_patch_mask

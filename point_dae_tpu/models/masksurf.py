@@ -15,13 +15,10 @@ loss_normal) where clean is (B, N, 6) xyz+normal.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..losses import build_loss_func
 from ..losses.chamfer import (dis_normalized_l1, dis_normalized_l2,
                               dis_normalized_l2_strict,
                               masked_chamfer_l2_withnormal, nn_distance)

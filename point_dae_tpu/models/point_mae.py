@@ -11,10 +11,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..losses import build_loss_func
 from ..ops import group_neighborhood
 from ..utils.registry import MODELS
-from .layers import MLP, PosEmbedMLP, TransformerDecoder
+from .layers import PosEmbedMLP, TransformerDecoder
 from .transformer import (MaskTransformerEncoder, _CAETransformerBase,
                           _FoldingLocalHead, _masked_loss_fn)
 

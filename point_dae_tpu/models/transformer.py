@@ -17,7 +17,7 @@ RNG streams: 'corrupt' (patch affine), 'mask' (patch masking), 'droppath',
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -828,8 +828,6 @@ class PointCAE_transformer_v6_folding_corase2fine_transformer(
     unchanged."""
 
     def setup(self):
-        from .common import folding_grid as _fg  # noqa: F401 (used in call)
-
         S = self.config["group_size"]
         d = self.tcfg["trans_dim"]
         self.MAE_encoder = self._make_encoder()

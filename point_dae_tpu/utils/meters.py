@@ -1,7 +1,7 @@
 """Multi-item running-average meters (role of utils/AverageMeter.py:2)."""
 from __future__ import annotations
 
-from typing import List, Sequence, Union
+from typing import Sequence, Union
 
 
 class AverageMeter:

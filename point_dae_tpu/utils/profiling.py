@@ -7,7 +7,7 @@ Replaces the reference's thop/ptflops imports + commented call sites
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
 
