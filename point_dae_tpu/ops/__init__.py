@@ -10,6 +10,7 @@ from .geometry import (
     three_interpolate,
     group_neighborhood,
     resample_to,
+    separate_point_cloud,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "three_interpolate",
     "group_neighborhood",
     "resample_to",
+    "separate_point_cloud",
 ]

@@ -200,3 +200,31 @@ class TestPallasFPS:
             with pltpu.force_tpu_interpret_mode():
                 got = np.asarray(fps_pallas_batched(pts, 32, batch_tile=2))
             np.testing.assert_array_equal(got, want)
+
+
+class TestSeparatePointCloud:
+    def test_crop_semantics(self, rng):
+        from point_dae_tpu.ops.geometry import separate_point_cloud
+
+        pts = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
+        inp, crop = separate_point_cloud(jax.random.key(0), pts, 16)
+        assert inp.shape == (2, 48, 3) and crop.shape == (2, 16, 3)
+        # crop points are the nearest to SOME unit vector; crop+input = cloud
+        both = np.sort(np.concatenate([np.asarray(inp), np.asarray(crop)],
+                                      axis=1), axis=1)
+        np.testing.assert_allclose(both, np.sort(np.asarray(pts), axis=1),
+                                   rtol=1e-6)
+
+    def test_fixed_point_and_padding(self, rng):
+        from point_dae_tpu.ops.geometry import separate_point_cloud
+
+        pts = jnp.array(rng.normal(size=(1, 64, 3)).astype(np.float32))
+        fp = np.array([1.0, 0.0, 0.0], np.float32)
+        inp, crop = separate_point_cloud(jax.random.key(0), pts, 8,
+                                         fixed_point=fp, padding_zeros=True)
+        assert inp.shape == (1, 64, 3)
+        # zeroed exactly at the 8 points nearest the fixed viewpoint
+        d = np.linalg.norm(fp - np.asarray(pts)[0], axis=-1)
+        near = set(np.argsort(d)[:8].tolist())
+        zeroed = set(np.where(~np.asarray(inp)[0].any(-1))[0].tolist())
+        assert zeroed == near
