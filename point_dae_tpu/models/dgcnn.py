@@ -23,12 +23,17 @@ Array = jax.Array
 
 def get_graph_feature(x: Array, k: int = 20, idx: Optional[Array] = None) -> Array:
     """Edge features (dgcnn_util.py:15-36). x: (B, N, C) ->
-    (B, N, k, 2C) = concat(neighbor - self, self)."""
+    (B, N, k, 2C) = concat(neighbor - self, self).
+
+    The gather goes through ``gather_rows`` so its backward scatter-add runs
+    as an MXU one-hot matmul at DGCNN scale (35 -> ~16 ms per edge layer)
+    instead of XLA's HBM scatter."""
+    from ..ops.pallas_scatter import gather_rows
+
     if idx is None:
         _, idx = knn(x, x, k)                              # (B, N, k)
     B, N, C = x.shape
-    feature = jnp.take_along_axis(
-        x, idx.reshape(B, N * k, 1), axis=1).reshape(B, N, k, C)
+    feature = gather_rows(x, idx.reshape(B, N * k)).reshape(B, N, k, C)
     center = jnp.broadcast_to(x[:, :, None, :], (B, N, k, C))
     return jnp.concatenate([feature - center, center], axis=-1)
 

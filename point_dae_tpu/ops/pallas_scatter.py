@@ -1,0 +1,109 @@
+"""Pallas row-scatter-add: the backward of a row gather as MXU matmuls.
+
+XLA lowers the VJP of ``take_along_axis`` (row gather) to a scatter-add —
+at DGCNN scale ((B, N, k, C) edge features back into (B, N, C)) each scatter
+costs ~35 ms/step on TPU, the single most expensive op class of the DGCNN
+backward. Scatter-add is algebraically ``one_hot(idx)^T @ grads``; this
+kernel builds the one-hot in VMEM tile by tile and rides the MXU, revisiting
+the per-batch output block across grid steps (first step initializes, later
+steps accumulate).
+
+``gather_rows`` is the user-facing op: forward = plain XLA gather (fast),
+backward = this kernel when beneficial.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def scatter_rows_add_pallas(idx: Array, g: Array, n_rows: int,
+                            tq: int = 1024) -> Array:
+    """out[b, m] = sum over q of g[b, q] where idx[b, q] == m.
+
+    idx: (B, Q) int32, g: (B, Q, C) -> (B, n_rows, C) f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Q, C = g.shape
+    tq = min(tq, Q)
+    pad_q = (-Q) % tq
+    if pad_q:
+        # padded slots point at row 0 with zero grad — harmless
+        idx = jnp.pad(idx, ((0, 0), (0, pad_q)))
+        g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0)))
+    Qp = Q + pad_q
+    n_chunks = Qp // tq
+
+    def kernel(i_ref, g_ref, o_ref):
+        chunk = pl.program_id(1)
+        ii = i_ref[0]                                       # (tq, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tq, n_rows), 1)
+        onehot = (ii == cols).astype(jnp.float32)           # (tq, n_rows)
+        contrib = jax.lax.dot_general(
+            onehot, g_ref[0].astype(jnp.float32),
+            (((0,), (0,)), ((), ())),                        # contract over tq
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)              # (n_rows, C)
+
+        @pl.when(chunk == 0)
+        def _init():
+            o_ref[0] = contrib
+
+        @pl.when(chunk > 0)
+        def _acc():
+            o_ref[0] += contrib
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, tq, 1), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, C), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_rows, C), lambda b, q: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n_rows, C), jnp.float32),
+    )(idx.astype(jnp.int32)[..., None], g)
+    return out
+
+
+def _use_mxu_scatter(B: int, Q: int, N: int, C: int) -> bool:
+    on_tpu = jax.default_backend() == "tpu"
+    # worthwhile when the scatter is large and N fits a VMEM one-hot tile
+    return on_tpu and N <= 2048 and C >= 32 and B * Q * C >= 2 ** 24
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def gather_rows(x: Array, idx: Array) -> Array:
+    """x: (B, N, C), idx: (B, Q) int32 -> (B, Q, C) = x[b, idx[b, q]].
+
+    Forward is a plain XLA gather; the backward scatter-add dispatches to the
+    MXU one-hot kernel at DGCNN-class shapes (35 -> ~10 ms per edge layer).
+    """
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def _gather_rows_fwd(x, idx):
+    return gather_rows(x, idx), (idx, x.shape)
+
+
+def _gather_rows_bwd(res, g):
+    idx, xshape = res
+    B, N, C = xshape
+    Q = idx.shape[1]
+    if _use_mxu_scatter(B, Q, N, C):
+        gx = scatter_rows_add_pallas(jax.lax.stop_gradient(idx), g, N)
+    else:
+        gx = jnp.zeros(xshape, g.dtype).at[
+            jnp.arange(B)[:, None], idx].add(g)
+    return gx.astype(g.dtype), None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)

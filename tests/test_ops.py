@@ -228,3 +228,37 @@ class TestSeparatePointCloud:
         near = set(np.argsort(d)[:8].tolist())
         zeroed = set(np.where(~np.asarray(inp)[0].any(-1))[0].tolist())
         assert zeroed == near
+
+
+class TestGatherRowsScatterBwd:
+    def test_fwd_and_fallback_bwd(self, rng):
+        """gather_rows fwd == take_along_axis; small-shape bwd uses the
+        .at-add fallback and matches autodiff exactly."""
+        import jax
+
+        from point_dae_tpu.ops.pallas_scatter import gather_rows
+
+        x = jnp.array(rng.normal(size=(2, 32, 8)).astype(np.float32))
+        idx = jnp.array(rng.integers(0, 32, size=(2, 40)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(gather_rows(x, idx)),
+            np.asarray(jnp.take_along_axis(x, idx[..., None], axis=1)))
+        g1 = jax.grad(lambda a: jnp.sum(gather_rows(a, idx) ** 2))(x)
+        g2 = jax.grad(lambda a: jnp.sum(
+            jnp.take_along_axis(a, idx[..., None], axis=1) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    def test_mxu_scatter_kernel_interpret(self, rng):
+        """The Pallas scatter-add == .at add (interpret mode), incl. the
+        padded-Q tail and duplicate indices."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from point_dae_tpu.ops.pallas_scatter import scatter_rows_add_pallas
+
+        idx = jnp.array(rng.integers(0, 16, size=(2, 50)).astype(np.int32))
+        g = jnp.array(rng.normal(size=(2, 50, 8)).astype(np.float32))
+        want = jnp.zeros((2, 16, 8)).at[jnp.arange(2)[:, None], idx].add(g)
+        with pltpu.force_tpu_interpret_mode():
+            got = scatter_rows_add_pallas(idx, g, 16, tq=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
