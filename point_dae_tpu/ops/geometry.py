@@ -150,10 +150,15 @@ def gather_points(points: Array, idx: Array) -> Array:
 
 
 def group_points(points: Array, idx: Array) -> Array:
-    """points: (B, N, C), idx: (B, M, K) -> (B, M, K, C) (pointnet2 grouping)."""
+    """points: (B, N, C), idx: (B, M, K) -> (B, M, K, C) (pointnet2 grouping).
+
+    Routed through ``gather_rows`` so large backward scatter-adds run as MXU
+    one-hot matmuls (ops/pallas_scatter.py); small shapes keep XLA paths."""
+    from .pallas_scatter import gather_rows
+
     B, N, C = points.shape
     M, K = idx.shape[1], idx.shape[2]
-    flat = jnp.take_along_axis(points, idx.reshape(B, M * K, 1), axis=1)
+    flat = gather_rows(points, idx.reshape(B, M * K))
     return flat.reshape(B, M, K, C)
 
 

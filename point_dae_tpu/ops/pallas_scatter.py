@@ -74,6 +74,45 @@ def scatter_rows_add_pallas(idx: Array, g: Array, n_rows: int,
     return out
 
 
+def gather_rows_pallas(x: Array, idx: Array, tq: int = 1024) -> Array:
+    """out[b, q] = x[b, idx[b, q]] as one_hot(idx) @ x on the MXU.
+
+    x: (B, N, C), idx: (B, Q) -> (B, Q, C) f32. Same one-hot-tile layout as
+    the scatter kernel, opposite contraction."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+    Q = idx.shape[1]
+    tq = min(tq, Q)
+    pad_q = (-Q) % tq
+    if pad_q:
+        idx = jnp.pad(idx, ((0, 0), (0, pad_q)))
+    Qp = Q + pad_q
+
+    def kernel(i_ref, x_ref, o_ref):
+        ii = i_ref[0]                                       # (tq, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tq, N), 1)
+        onehot = (ii == cols).astype(jnp.float32)           # (tq, N)
+        o_ref[0] = jnp.dot(onehot, x_ref[0].astype(jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Qp // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, 1), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, C), lambda b, q: (b, q, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, C), jnp.float32),
+    )(idx.astype(jnp.int32)[..., None], x)
+    return out[:, :Q]
+
+
 def _use_mxu_scatter(B: int, Q: int, N: int, C: int) -> bool:
     on_tpu = jax.default_backend() == "tpu"
     # worthwhile when the scatter is large and N fits a VMEM one-hot tile

@@ -196,3 +196,28 @@ class TestConverterNumeric:
         xl = x.permute(0, 2, 1).numpy()              # channel-last
         out = xl @ flat["increase_dim/kernel"] + flat["increase_dim/bias"]
         np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+class TestGeneratedConfigCorpus:
+    def test_generator_emits_valid_configs(self, tmp_path):
+        """tools/gen_cfgs.py output loads, builds, and resolves corruption
+        names (sampled)."""
+        import subprocess
+        import sys
+
+        out = tmp_path / "gen"
+        r = subprocess.run([sys.executable, "tools/gen_cfgs.py", "--out",
+                            str(out)], capture_output=True, text=True,
+                           cwd=".")
+        assert r.returncode == 0, r.stderr
+        files = sorted(out.glob("*.yaml"))
+        assert len(files) >= 300
+        from point_dae_tpu.data.corruptions import corruption_capacity
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.utils.config import cfg_from_yaml_file
+
+        for f in files[::40]:                       # sample across the corpus
+            cfg = cfg_from_yaml_file(str(f))
+            build_model_from_cfg(cfg["model"])
+            ct = cfg["dataset"]["train"]["others"].get("corrupt_type", [])
+            corruption_capacity(1024, tuple(ct))
