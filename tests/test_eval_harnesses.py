@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from point_dae_tpu.utils.config import ConfigDict
+
 
 class TestRobustnessHarness:
     def test_eval_corrupt_wrapper_metrics(self):
@@ -117,3 +119,60 @@ class TestSaliency:
         g = np.asarray(sal(pts, jnp.asarray([0, 2])))
         assert g.shape == pts.shape
         assert np.abs(g).sum() > 0
+
+
+class TestFewShotPath:
+    def test_fewshot_pkls_end_to_end(self, tmp_path):
+        """Generate {way}way_{shot}shot/{fold}.pkl folds, load them through
+        ModelNetFewShot, and run one finetune epoch over the fold."""
+        import pickle
+        from types import SimpleNamespace
+
+        import numpy as np
+
+        from point_dae_tpu.data.datasets import build_dataset_from_cfg
+        from point_dae_tpu.engine.finetune import run_finetune
+
+        rng = np.random.default_rng(0)
+        way, shot, fold = 4, 4, 0  # 16 train / 8 test: full 8-wide mesh batches
+        root = tmp_path / "fewshot"
+        d = root / f"{way}way_{shot}shot"
+        d.mkdir(parents=True)
+
+        def split(n_per_class):
+            out = []
+            for c in range(way):
+                for _ in range(n_per_class):
+                    pts = rng.normal(size=(256, 3)).astype(np.float32)
+                    pts[:, 0] += 3.0 * c        # separable classes
+                    out.append((pts, c))
+            return out
+
+        with open(d / f"{fold}.pkl", "wb") as f:
+            pickle.dump({"train": split(shot), "test": split(2)}, f)
+
+        base = {"NAME": "ModelNetFewShot", "DATA_PATH": str(root),
+                "N_POINTS": 256, "num_classes": way}
+        others = {"subset": "train", "npoints": 128, "way": way,
+                  "shot": shot, "fold": fold}
+        ds = build_dataset_from_cfg(base, others)
+        assert len(ds) == way * shot
+        assert ds[0]["points"].shape == (256, 3)
+
+        cfg = ConfigDict({
+            "optimizer": {"type": "AdamW", "part": "all",
+                          "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
+            "scheduler": {"type": "CosLR",
+                          "kwargs": {"epochs": 1, "initial_epochs": 0}},
+            "dataset": {
+                "train": {"_base_": dict(base), "others": dict(others)},
+                "val": {"_base_": dict(base),
+                        "others": dict(others, subset="test")}},
+            "model": {"NAME": "PointNet_NoT", "cls_dim": way},
+            "npoints": 128, "total_bs": 8, "max_epoch": 0, "smooth": "True"})
+        args = SimpleNamespace(seed=0, experiment_path=str(tmp_path / "exp"),
+                               val_freq=1, resume=False, start_ckpts=None,
+                               ckpts=None, tfboard_path=None, vote=False,
+                               way=way, shot=shot, fold=fold)
+        out = run_finetune(cfg, args, logger_name="test_fewshot")
+        assert out is not None
