@@ -249,14 +249,16 @@ class _M2AEDecoderMixin:
             x_full = self.h_decoder[i](x_full, pos, deterministic=not train)
 
         x_full = self.decoder_norm(x_full)
-        # reconstruct the mid scale (index -2 after reversal)
+        # reconstruct at the last DECODED scale: the reference runs n-1
+        # decoder stages and rebuilds neighborhoods[-2] (the second-finest
+        # scale) with masks[-2] (Point_M2AE.py:276-321); pairing the target
+        # with the decoded scale index generalizes to any decoder depth
+        last = len(c["decoder_dims"]) - 1
         B, G, _ = x_full.shape
-        S = rn[-2].shape[2] if n > 1 else rn[0].shape[2]
-        target = rn[1] if n > 1 else rn[0]
-        tmask = rm[1] if n > 1 else rm[0]
+        S = rn[last].shape[2]
         rec = self.rec_head(x_full).reshape(B * G, -1, 3)
-        gt = target.reshape(B * G, S, 3)
-        w = tmask.astype(jnp.float32).reshape(-1)
+        gt = rn[last].reshape(B * G, S, 3)
+        w = rm[last].astype(jnp.float32).reshape(-1)
         return masked_chamfer_l2(rec, gt, w)
 
 

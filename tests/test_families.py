@@ -387,3 +387,19 @@ class TestV6Folding:
              "corrupt_type": ["affine_r3"], "group_size": 8, "num_group": 16,
              "loss": "cdl2", "transformer_config": dict(TF)}, C=3)
         assert np.isfinite(float(out[0])) and np.isfinite(float(out[1]))
+
+
+class TestM2AEThreeScale:
+    def test_reference_pyramid_shape(self):
+        """The reference 3-scale pyramid (512x16 -> 256x8 -> 64x8) with an
+        n-1-stage decoder reconstructs the second-finest scale
+        (Point_M2AE.py:276-321); crashed before the decoded-scale/target
+        pairing fix."""
+        out = run_pretrain_model({
+            "NAME": "Point_M2AE",
+            "num_groups": [64, 32, 16], "group_sizes": [8, 8, 8],
+            "encoder_dims": [32, 64, 96], "encoder_depths": [1, 1, 1],
+            "decoder_dims": [96, 64], "decoder_depths": [1, 1],
+            "num_heads": 2, "mask_ratio": 0.8, "loss": "cdl2"},
+            N=256, C=3)
+        assert np.isfinite(float(out[0]))
