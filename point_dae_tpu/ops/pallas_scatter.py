@@ -126,6 +126,9 @@ def gather_rows(x: Array, idx: Array) -> Array:
     Forward is a plain XLA gather; the backward scatter-add dispatches to the
     MXU one-hot kernel at DGCNN-class shapes (35 -> ~10 ms per edge layer).
     """
+    # note: dispatching the FORWARD to gather_rows_pallas was measured
+    # slower in-graph (DGCNN 206 vs 218 c/s) — XLA's gather fwd stays; the
+    # MXU kernel only replaces the far-slower backward scatter
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
