@@ -176,3 +176,40 @@ class TestFewShotPath:
                                way=way, shot=shot, fold=fold)
         out = run_finetune(cfg, args, logger_name="test_fewshot")
         assert out is not None
+
+
+class TestVotingEval:
+    def test_vote_triggers_and_scores(self, tmp_path):
+        """With separable classes the val acc crosses the reference trigger
+        (acc > 92.1, runner_finetune.py:254-262) and the 10-repeat voting
+        eval runs, returning a comparable percentage."""
+        import pickle
+        from types import SimpleNamespace
+
+        import numpy as np
+
+        from point_dae_tpu.engine.finetune import run_finetune
+
+        base = {"NAME": "Synthetic", "N_POINTS": 2048, "num_classes": 15,
+                "with_normal": True}
+        cfg = ConfigDict({
+            "optimizer": {"type": "AdamW", "part": "all",
+                          "kwargs": {"lr": 0.005, "weight_decay": 0.05}},
+            "scheduler": {"type": "CosLR",
+                          "kwargs": {"epochs": 16, "initial_epochs": 0}},
+            "dataset": {
+                "train": {"_base_": dict(base),
+                          "others": {"subset": "train", "npoints": 128,
+                                     "size": 128}},
+                "val": {"_base_": dict(base),
+                        "others": {"subset": "test", "npoints": 128,
+                                   "size": 32, "seed": 1}}},
+            "model": {"NAME": "PointNet_NoT", "cls_dim": 15},
+            "npoints": 128, "total_bs": 16, "max_epoch": 15, "smooth": "True"})
+        args = SimpleNamespace(seed=0, experiment_path=str(tmp_path),
+                               val_freq=1, resume=False, start_ckpts=None,
+                               ckpts=None, tfboard_path=None, vote=True,
+                               way=-1, shot=-1, fold=-1)
+        out = run_finetune(cfg, args, logger_name="test_vote")
+        assert out["best_acc"] > 92.1          # trigger threshold crossed
+        assert out["best_vote"] > 50.0         # voting actually ran + scored
