@@ -76,9 +76,17 @@ def resume_checkpoint(experiment_path: str, state,
 
 
 def load_params(experiment_path: str, name: str = "ckpt-best") -> Dict:
-    """Load only params/batch_stats (the --ckpts warm-start path)."""
-    path = os.path.abspath(os.path.join(experiment_path, name)) \
-        if not os.path.isabs(name) else name
+    """Load only params/batch_stats (the --ckpts warm-start path).
+
+    Accepts either (experiment_dir, ckpt_name) or a full checkpoint path in
+    either argument (callers pass --ckpts straight through)."""
+    if os.path.isabs(name):
+        path = name
+    elif os.path.exists(name) and experiment_path == name:
+        # a relative checkpoint path passed through both arguments
+        path = os.path.abspath(name)
+    else:
+        path = os.path.abspath(os.path.join(experiment_path, name))
     restored = _ckptr().restore(path)
     return restored
 
