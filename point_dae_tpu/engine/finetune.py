@@ -218,6 +218,13 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
         pretrained = load_params(args.ckpts, args.ckpts)
         params = merge_pretrained(params, flatten_keys(pretrained["params"]),
                                   logger=logger_name)
+        # BN running statistics transfer too (the reference loads the full
+        # torch state dict incl. buffers, builder.py:load_model) — essential
+        # for linear probes, whose frozen-BN eval path consumes them
+        if pretrained.get("batch_stats"):
+            batch_stats = merge_pretrained(
+                batch_stats, flatten_keys(pretrained["batch_stats"]),
+                logger=logger_name)
 
     tx, sched = build_optimizer(config, params, steps_per_epoch,
                                 config.get("grad_norm_clip"))

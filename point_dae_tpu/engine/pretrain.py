@@ -277,6 +277,10 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         pre = load_params(args.start_ckpts, args.start_ckpts)
         params = merge_pretrained(params, flatten_keys(pre["params"]),
                                   logger=logger_name)
+        if pre.get("batch_stats"):
+            batch_stats = merge_pretrained(
+                batch_stats, flatten_keys(pre["batch_stats"]),
+                logger=logger_name)
     # MaskFeat-style frozen teacher initialization: copy a pretrained
     # encoder into the 'teacher' subtree (the optimizer already masks it)
     teacher_ckpt = config["model"].get("teacher_ckpt")

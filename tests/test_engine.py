@@ -396,3 +396,59 @@ class TestBNMomentumScheduler:
                                tfboard_path=None)
         out = run_pretrain(cfg, args, logger_name="test_bnm")
         assert int(out["state"].step) == 2
+
+
+class TestWarmStartBatchStats:
+    def test_ckpts_merges_bn_stats(self, tmp_path):
+        """--ckpts must transfer BN running statistics, not just params —
+        linear probes evaluate with frozen running averages."""
+        from types import SimpleNamespace
+
+        import optax
+
+        from point_dae_tpu.engine.finetune import run_finetune
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.utils.checkpoint import save_checkpoint
+
+        # make a 'pretrained' checkpoint with recognizable BN means
+        model = build_model_from_cfg(ConfigDict({"NAME": "PointNet_NoT",
+                                                 "cls_dim": 15}))
+        dummy = jnp.zeros((2, 64, 3), jnp.float32)
+        v = model.init({"params": jax.random.key(0),
+                        "dropout": jax.random.key(1)}, dummy, train=True)
+        marked_bs = jax.tree_util.tree_map(
+            lambda x: jnp.full_like(x, 0.123), v["batch_stats"])
+        tx = optax.adamw(1e-3)
+        st = TrainState.create(model.apply, v["params"], marked_bs, tx)
+        ck = tmp_path / "pre"
+        save_checkpoint(str(ck), "ckpt-best", st, 0, 0.0)
+
+        base = {"NAME": "Synthetic", "N_POINTS": 2048, "num_classes": 15,
+                "with_normal": True}
+        cfg = ConfigDict({
+            "optimizer": {"type": "AdamW", "part": "only_new",
+                          "kwargs": {"lr": 0.01, "weight_decay": 0.0}},
+            "scheduler": {"type": "CosLR",
+                          "kwargs": {"epochs": 1, "initial_epochs": 0}},
+            "dataset": {
+                "train": {"_base_": dict(base),
+                          "others": {"subset": "train", "npoints": 64,
+                                     "size": 16}},
+                "val": {"_base_": dict(base),
+                        "others": {"subset": "test", "npoints": 64,
+                                   "size": 8, "seed": 1}}},
+            "model": {"NAME": "PointNet_NoT", "cls_dim": 15},
+            "npoints": 64, "total_bs": 8, "max_epoch": 0, "smooth": "False"})
+        args = SimpleNamespace(seed=0, experiment_path=str(tmp_path / "exp"),
+                               val_freq=1, resume=False, start_ckpts=None,
+                               ckpts=str(ck / "ckpt-best"),
+                               tfboard_path=None, vote=False,
+                               way=-1, shot=-1, fold=-1)
+        out = run_finetune(cfg, args, logger_name="test_bnmerge")
+        # the marked running means made it into the trained state: the
+        # 'only_new' optimizer freezes the encoder, and BN stats only update
+        # in train mode (1 epoch of updates moves them slightly off 0.123 but
+        # nowhere near the fresh-init 0.0 they'd have without the merge)
+        mean0 = jax.device_get(jax.tree_util.tree_leaves(
+            out["state"].batch_stats)[0])
+        assert np.abs(np.asarray(mean0) - 0.123).max() < 0.12
