@@ -288,9 +288,19 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         from ..utils.checkpoint import flatten_keys, load_params, merge_pretrained
 
         pre = load_params(teacher_ckpt, teacher_ckpt)
-        flat = {f"teacher/{k.split('/', 1)[1] if k.startswith('MAE_encoder/') else k}": v
-                for k, v in flatten_keys(pre["params"]).items()}
-        params = merge_pretrained(params, flat, logger=logger_name)
+
+        def _reprefix(tree):
+            return {f"teacher/{k.split('/', 1)[1] if k.startswith('MAE_encoder/') else k}": v
+                    for k, v in flatten_keys(tree).items()}
+
+        params = merge_pretrained(params, _reprefix(pre["params"]),
+                                  logger=logger_name)
+        # the frozen teacher runs with train=False, i.e. on BN running
+        # averages — its pretrained statistics must come along
+        if pre.get("batch_stats"):
+            batch_stats = merge_pretrained(
+                batch_stats, _reprefix(pre["batch_stats"]),
+                logger=logger_name)
     tx, sched = build_optimizer(config, params, steps_per_epoch,
                                 config.get("grad_norm_clip"))
     state = TrainState.create(model.apply, params, batch_stats, tx)
