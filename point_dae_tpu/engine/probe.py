@@ -124,6 +124,10 @@ def task_affinity(config, args, logger_name="PointDAE",
         variables["params"] = merge_pretrained(
             variables["params"], flatten_keys(pretrained["params"]),
             logger=logger_name)
+        if pretrained.get("batch_stats"):
+            variables["batch_stats"] = merge_pretrained(
+                variables.get("batch_stats", {}),
+                flatten_keys(pretrained["batch_stats"]), logger=logger_name)
     tr_f, tr_l = extract_features(model, variables, train_set, npoints, mesh=mesh)
     te_f, te_l = extract_features(model, variables, test_set, npoints, mesh=mesh)
 

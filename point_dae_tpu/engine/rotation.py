@@ -89,6 +89,10 @@ def run_net_rotation(config, args, logger_name="PointDAE"):
         pre = load_params(args.ckpts, args.ckpts)
         params = merge_pretrained(params, flatten_keys(pre["params"]),
                                   logger=logger_name)
+        if pre.get("batch_stats"):
+            batch_stats = merge_pretrained(
+                batch_stats, flatten_keys(pre["batch_stats"]),
+                logger=logger_name)
     tx, _ = build_optimizer(config, params, max(len(loader), 1),
                             config.get("grad_norm_clip"))
     state = replicate(mesh, TrainState.create(model.apply, params,
