@@ -106,3 +106,38 @@ class TestCLIModes:
         res = test_net_corruption(_cfg(), _args(tmp_path, ckpts=ckpt),
                                   logger_name="t_rob")
         assert res is not None
+
+
+class TestResumeFlow:
+    def test_pretrain_resume_continues_epochs(self, tmp_path):
+        """run_pretrain --resume restores state and continues from the next
+        epoch (runner resume path, builder.py:resume_model role)."""
+        from types import SimpleNamespace
+
+        from point_dae_tpu.engine.pretrain import run_pretrain
+
+        cfg = ConfigDict({
+            "optimizer": {"type": "AdamW", "part": "all",
+                          "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
+            "scheduler": {"type": "CosLR",
+                          "kwargs": {"epochs": 3, "initial_epochs": 0}},
+            "dataset": {
+                "train": {"_base_": dict(BASE), "others": dict(OTH)}},
+            "model": {"NAME": "Point_CAE_DGCNN_FCOnly", "corrupt_type": [],
+                      "loss": "cdl2"},
+            "normal_weight": 1.0, "npoints": 64, "total_bs": 8,
+            "max_epoch": 1, "loss_type": "xyz"})
+        args = SimpleNamespace(seed=0, experiment_path=str(tmp_path),
+                               val_freq=1, resume=False, start_ckpts=None,
+                               tfboard_path=None)
+        out1 = run_pretrain(cfg, args, logger_name="t_resume1")
+        steps_after_first = int(out1["state"].step)
+        assert steps_after_first == 4          # 2 epochs (0..1) x 2 batches
+
+        cfg["max_epoch"] = 2
+        args2 = SimpleNamespace(seed=0, experiment_path=str(tmp_path),
+                                val_freq=1, resume=True, start_ckpts=None,
+                                tfboard_path=None)
+        out2 = run_pretrain(cfg, args2, logger_name="t_resume2")
+        # resumed from epoch 2 only: exactly one more epoch of steps
+        assert int(out2["state"].step) == steps_after_first + 2
