@@ -77,8 +77,15 @@ def cross_entropy(logits: Array, labels: Array) -> Array:
 
 
 def make_finetune_step(model, config, mesh=None, smooth: bool = False,
-                       aug: bool = True) -> Callable:
+                       aug: str = None) -> Callable:
     npoints = int(config.get("npoints", 1024))
+    if aug is None:
+        # reference parity: the standard finetune applies NO train-time point
+        # transform (train_transforms is commented out, runner_finetune.py:180
+        # — only the FPS resample); rotate/scale-translate variants opt in via
+        # config train_aug. Voting/test keep scale_translate
+        # (test_transforms, :53-59).
+        aug = config.get("train_aug", "none")
     loss_fn = functools.partial(smooth_cross_entropy, eps=0.3) if smooth \
         else cross_entropy
     # linear-probe mode freezes pretrained BN statistics (set_bn_eval,
@@ -89,8 +96,16 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
         k_fps, k_aug, k_drop = jax.random.split(key, 3)
         pts = pts[..., :3]  # classification heads consume xyz only
         pts = fps_resample(k_fps, pts, npoints)
-        if aug:
+        if aug == "scale_translate":
             pts = scale_translate(k_aug, pts)
+        elif aug == "rotate":
+            from ..data.corruptions import affine_rotate
+
+            def rot(k, p):
+                a, _ = affine_rotate(k, 0.0)
+                return jnp.matmul(p, a, precision=jax.lax.Precision.HIGHEST)
+
+            pts = jax.vmap(rot)(jax.random.split(k_aug, pts.shape[0]), pts)
 
         def lossf(params):
             logits, mut = state.apply_fn(
