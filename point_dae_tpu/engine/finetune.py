@@ -167,7 +167,9 @@ def make_vote_step(model, config, mesh=None, times: int = 10) -> Callable:
 
         keys = jax.random.split(key, times)
         logits = jax.lax.map(one, keys)          # (times, B, C)
-        return jnp.mean(jax.nn.softmax(logits, -1), axis=0)
+        # reference aggregation: mean of RAW logits, then argmax
+        # (validate_vote, runner_finetune.py:606-609)
+        return jnp.mean(logits, axis=0)
 
     if mesh is None:
         return jax.jit(step)
