@@ -55,6 +55,8 @@ class ShapeNet(PointDataset):
         self.pc_path = _cfg_get(config, "PC_PATH")
         self.subset = _cfg_get(config, "subset", "train")
         self.npoints = int(_cfg_get(config, "npoints", 1024))
+        self.n_points_raw = int(_cfg_get(config, "N_POINTS", 8192))
+        self.with_normal = bool(_cfg_get(config, "with_normal", True))
         self.whole = bool(_cfg_get(config, "whole", False))
         lines: List[str] = []
         list_file = os.path.join(self.data_root, f"{self.subset}.txt")
@@ -82,6 +84,29 @@ class ShapeNet(PointDataset):
         data = np.load(os.path.join(self.pc_path, s["file_path"])).astype(np.float32)
         return dict(points=data, taxonomy_id=s["taxonomy_id"],
                     model_id=s["model_id"])
+
+    def load_batch(self, indices):
+        """Whole-batch load through the native threaded .npy reader
+        (native/pointio.cpp; role of the reference's multi-worker torch
+        DataLoader). Falls back to per-item python loads when the library is
+        missing or any file fails."""
+        from . import native_io
+
+        samples = [self.file_list[i] for i in indices]
+        n_pts = int(getattr(self, "n_points_raw", 8192))
+        n_cols = 6 if getattr(self, "with_normal", True) else 3
+        if native_io.available():
+            paths = [os.path.join(self.pc_path, s["file_path"])
+                     for s in samples]
+            pts, ok = native_io.load_npy_batch(paths, n_pts, n_cols)
+            if bool(ok.all()):
+                return dict(
+                    points=pts,
+                    taxonomy_id=np.asarray([s["taxonomy_id"] for s in samples]),
+                    model_id=np.asarray([s["model_id"] for s in samples]))
+        out = [self[int(i)] for i in indices]
+        return {k: np.stack([o[k] for o in out]) if k == "points"
+                else np.asarray([o[k] for o in out]) for k in out[0]}
 
 
 @DATASETS.register_module()

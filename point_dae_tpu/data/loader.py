@@ -69,12 +69,20 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # datasets exposing load_batch (e.g. ShapeNet's native threaded .npy
+        # reader) hand the whole index slice to C++ instead of per-item python
+        fast = getattr(self.dataset, "load_batch", None)
+
         def worker():
             for b in range(nb):
                 if stop.is_set():
                     return
                 sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(_collate([self.dataset[int(i)] for i in sel]))
+                if fast is not None:
+                    batch = fast([int(i) for i in sel])
+                else:
+                    batch = _collate([self.dataset[int(i)] for i in sel])
+                q.put(batch)
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

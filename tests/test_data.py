@@ -221,3 +221,38 @@ class TestGeneratedConfigCorpus:
             build_model_from_cfg(cfg["model"])
             ct = cfg["dataset"]["train"]["others"].get("corrupt_type", [])
             corruption_capacity(1024, tuple(ct))
+
+
+class TestNativeBatchPath:
+    def test_shapenet_load_batch_matches_getitem(self, tmp_path):
+        """ShapeNet.load_batch (native threaded reader) returns the same
+        clouds as per-item __getitem__, and the DataLoader prefers it."""
+        from point_dae_tpu.data import native_io
+        from point_dae_tpu.data.datasets import build_dataset_from_cfg
+        from point_dae_tpu.data.loader import DataLoader
+
+        rng = np.random.default_rng(0)
+        pc = tmp_path / "pc"
+        pc.mkdir()
+        names = []
+        for i in range(6):
+            nm = f"tax{i % 2}-model{i}.npy"
+            np.save(pc / nm, rng.normal(size=(64, 6)).astype(np.float32))
+            names.append(nm)
+        (tmp_path / "train.txt").write_text("\n".join(names))
+
+        ds = build_dataset_from_cfg(
+            {"NAME": "ShapeNet", "DATA_PATH": str(tmp_path),
+             "PC_PATH": str(pc), "N_POINTS": 64, "with_normal": True},
+            {"subset": "train", "npoints": 32})
+        got = ds.load_batch([0, 3, 5])
+        assert got["points"].shape == (3, 64, 6)
+        for j, i in enumerate([0, 3, 5]):
+            np.testing.assert_allclose(got["points"][j],
+                                       ds[i]["points"], rtol=1e-6)
+        if native_io.available():
+            # loader path uses it end to end
+            loader = DataLoader(ds, 2, shuffle=False)
+            batch = next(iter(loader))
+            np.testing.assert_allclose(np.asarray(batch["points"][0]),
+                                       ds[0]["points"], rtol=1e-6)
