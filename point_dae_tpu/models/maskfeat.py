@@ -72,15 +72,14 @@ class MaskFeat_transformer(_CAETransformerBase):
         neigh, center = group_neighborhood(pts, G, S)
         x_vis, mask = self.MAE_encoder(neigh, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
-        pred = self.increase_dim(x_rec)                       # (B, G, C)
 
         target, _ = self.teacher(neigh, center, noaug=True, train=False)
         target = jax.lax.stop_gradient(target)
 
-        B = pred.shape[0]
-        w = mask.astype(jnp.float32).reshape(-1)
-        loss = _masked_feat_mse(pred.reshape(B * G, -1),
-                                target.reshape(B * G, -1), w)
+        w, x_loc, tgt = self._pack_local(mask, x_rec, target)
+        pred = self.increase_dim(x_loc)                       # (B, M, C)
+        loss = _masked_feat_mse(pred.reshape(w.shape[0], -1),
+                                tgt.reshape(w.shape[0], -1), w)
         return loss, jnp.zeros(())
 
 
@@ -121,16 +120,15 @@ class MaskFeat_dgcnn(_CAETransformerBase):
 
         x_vis, mask = self.MAE_encoder(neigh, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
-        pred = self.increase_dim(x_rec)                       # (B, G, 1024)
 
         _, pointwise = self.teacher(pts, train=False)         # (B, N, 1024)
         pointwise = jax.lax.stop_gradient(pointwise)
         patch_feat = jnp.max(group_points(pointwise, idx), axis=2)  # (B, G, 1024)
 
-        B = pred.shape[0]
-        w = mask.astype(jnp.float32).reshape(-1)
-        loss = _masked_feat_mse(pred.reshape(B * G, -1),
-                                patch_feat.reshape(B * G, -1), w)
+        w, x_loc, tgt = self._pack_local(mask, x_rec, patch_feat)
+        pred = self.increase_dim(x_loc)                       # (B, M, 1024)
+        loss = _masked_feat_mse(pred.reshape(w.shape[0], -1),
+                                tgt.reshape(w.shape[0], -1), w)
         return loss, jnp.zeros(())
 
 

@@ -95,13 +95,13 @@ class MaskSurf(_MaskSurfBase):
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         xyz, attr, center, x_rec, mask = self._run(clean, train)
-        B, G, _ = x_rec.shape
         S = self.config["group_size"]
-        rebuild_pts = self.increase_dim(x_rec).reshape(B * G, S, 3)
-        rebuild_nrm = self.increase_dim2(x_rec).reshape(B * G, S, 3)
-        gt_pts = xyz.reshape(B * G, S, 3)
-        gt_nrm = attr[..., :3].reshape(B * G, S, 3)
-        w = mask.astype(jnp.float32).reshape(-1)
+        w, x_loc, xyz_p, nrm_p = self._pack_local(mask, x_rec, xyz,
+                                                  attr[..., :3])
+        rebuild_pts = self.increase_dim(x_loc).reshape(-1, S, 3)
+        rebuild_nrm = self.increase_dim2(x_loc).reshape(-1, S, 3)
+        gt_pts = xyz_p.reshape(-1, S, 3)
+        gt_nrm = nrm_p.reshape(-1, S, 3)
         return masked_chamfer_l2_withnormal(rebuild_pts, gt_pts, rebuild_nrm,
                                             gt_nrm, w, self.normal_dis)
 
@@ -125,20 +125,20 @@ class MaskSurf_estimated_position(_MaskSurfBase):
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         xyz, attr, center, x_rec, mask = self._run(clean, train)
-        B, G, _ = x_rec.shape
         S = self.config["group_size"]
-        rebuild_pts = self.increase_dim(x_rec).reshape(B * G, S, 3)
-        rebuild_nrm = self.increase_dim2(x_rec).reshape(B * G, S, 3)
-        gt_pts = xyz.reshape(B * G, S, 3)
-        gt_nrm = attr[..., :3].reshape(B * G, S, 3)
-        w = mask.astype(jnp.float32).reshape(-1)
+        w, x_loc, xyz_p, nrm_p, ctr_p = self._pack_local(
+            mask, x_rec, xyz, attr[..., :3], center)
+        rebuild_pts = self.increase_dim(x_loc).reshape(-1, S, 3)
+        rebuild_nrm = self.increase_dim2(x_loc).reshape(-1, S, 3)
+        gt_pts = xyz_p.reshape(-1, S, 3)
+        gt_nrm = nrm_p.reshape(-1, S, 3)
         loss_xyz, loss_normal = masked_chamfer_l2_withnormal(
             rebuild_pts, gt_pts, rebuild_nrm, gt_nrm, w, self.normal_dis)
 
         def unit(v):
             return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
 
-        cflat = center.reshape(B * G, 1, 3)
+        cflat = ctr_p.reshape(-1, 1, 3)
         reb_abs = rebuild_pts + cflat
         gt_abs = gt_pts + cflat
         reb_pos = jnp.abs(jnp.sum(reb_abs * unit(rebuild_nrm), -1))
@@ -160,16 +160,16 @@ class _SurfV2Base(_MaskSurfBase):
         return jnp.abs(jnp.sum(abs_pts * n, -1, keepdims=True))
 
     def _local_losses(self, x_rec, xyz, attr, center, mask):
-        B, G, _ = x_rec.shape
         S = self.config["group_size"]
-        surfel = self.increase_dim(x_rec).reshape(B * G, S, 7)
+        w, x_loc, xyz_p, nrm_p, ctr_p = self._pack_local(
+            mask, x_rec, xyz, attr[..., :3], center)
+        surfel = self.increase_dim(x_loc).reshape(-1, S, 7)
         reb_p, reb_n = surfel[..., :3], surfel[..., 3:6]
         reb_pos = jnp.abs(surfel[..., 6])
-        gt_p = xyz.reshape(B * G, S, 3)
-        gt_n = attr[..., :3].reshape(B * G, S, 3)
-        cflat = center.reshape(B * G, 1, 3)
+        gt_p = xyz_p.reshape(-1, S, 3)
+        gt_n = nrm_p.reshape(-1, S, 3)
+        cflat = ctr_p.reshape(-1, 1, 3)
         gt_pos = self._position(gt_p + cflat, gt_n)[..., 0]
-        w = mask.astype(jnp.float32).reshape(-1)
         loss_xyz, loss_normal = masked_chamfer_l2_withnormal(
             reb_p, gt_p, reb_n, gt_n, w, dis_normalized_l2)
         # position chamfer via the xyz correspondence
@@ -347,19 +347,23 @@ class MaskSurf_v2_token_dis(_MaskSurfBase):
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         xyz, attr, center, x_rec, mask = self._run(clean, train)
-        B, G, _ = x_rec.shape
-        logits = self.increase_dim(x_rec)                      # (B, G, V)
 
+        # teacher tokenizes ALL patches (its DGCNN mixes features across
+        # groups, so it cannot run on a subset); the student's vocab-wide
+        # logits head + CE run only on the packed masked tokens
         gt_logits = self.dvae_teacher.tokenize_groups(xyz, center, train=False)
         labels = jax.lax.stop_gradient(jnp.argmax(gt_logits, -1))  # (B, G)
 
+        if str(self.config.get("all_patch", "False")) == "True":
+            logits = self.increase_dim(x_rec)                  # (B, G, V)
+            w = jnp.ones(labels.shape, jnp.float32).reshape(-1)
+        else:
+            w, x_loc, lbl = self._pack_local(mask, x_rec, labels[..., None])
+            logits = self.increase_dim(x_loc)                  # (B, M, V)
+            labels = lbl[..., 0]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         ce = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
-        if str(self.config.get("all_patch", "False")) == "True":
-            w = jnp.ones_like(ce)
-        else:
-            w = mask.astype(jnp.float32)
-        loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-8)
+        loss = jnp.sum(ce.reshape(-1) * w) / jnp.maximum(jnp.sum(w), 1e-8)
         return loss, jnp.zeros(())
 
 
@@ -400,17 +404,16 @@ class _SurfCurveBase(_MaskSurfBase):
         """Returns (loss_xyz, loss_normal, loss_curve, loss_position), each a
         masked mean; normal/curve/position use the xyz chamfer correspondence
         (ChamferDistanceL2_withnormalcurve semantics)."""
-        B, G, _ = x_rec.shape
         S = self.config["group_size"]
-        surfel = self.increase_dim(x_rec).reshape(B * G, S, 8)
+        w, x_loc, xyz_p, attr_p = self._pack_local(mask, x_rec, xyz, attr)
+        surfel = self.increase_dim(x_loc).reshape(-1, S, 8)
         reb_p, reb_n = surfel[..., :3], surfel[..., 3:6]
         reb_c = jnp.abs(surfel[..., 6])
         reb_pos = jnp.abs(surfel[..., 7])
-        gt_p = xyz.reshape(B * G, S, 3)
-        gt_n = attr[..., :3].reshape(B * G, S, 3)
-        gt_c = attr[..., 3].reshape(B * G, S)
-        gt_pos = attr[..., 4].reshape(B * G, S)
-        w = mask.astype(jnp.float32).reshape(-1)
+        gt_p = xyz_p.reshape(-1, S, 3)
+        gt_n = attr_p[..., :3].reshape(-1, S, 3)
+        gt_c = attr_p[..., 3].reshape(-1, S)
+        gt_pos = attr_p[..., 4].reshape(-1, S)
         loss_xyz, loss_normal = masked_chamfer_l2_withnormal(
             reb_p, gt_p, reb_n, gt_n, w, dis_normalized_l2)
         _, _, i1, i2 = nn_distance(reb_p, gt_p)

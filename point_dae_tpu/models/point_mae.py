@@ -55,10 +55,9 @@ class Point_MAE(_CAETransformerBase):
         neigh, center = group_neighborhood(pts, G, S)
         x_vis, mask = self.MAE_encoder(neigh, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
-        B = x_rec.shape[0]
-        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, mask.astype(jnp.float32).reshape(-1))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.increase_dim(x_loc).reshape(-1, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, jnp.zeros(())
 
     def encode(self, pts: Array, train: bool = False) -> Array:
@@ -101,8 +100,7 @@ class Point_MAE_folding(_CAETransformerBase):
         neigh, center = group_neighborhood(pts, G, S)
         x_vis, mask = self.MAE_encoder(neigh, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
-        B = x_rec.shape[0]
-        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, mask.astype(jnp.float32).reshape(-1))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.fold(x_loc).reshape(gt.shape[0], -1, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, jnp.zeros(())

@@ -88,17 +88,49 @@ class MaskTransformerEncoder(nn.Module):
                  noaug: bool = False, train: bool = True
                  ) -> Tuple[Array, Array]:
         B, G = neighborhood.shape[:2]
-        tokens = self.patch_embed(neighborhood, train=train)     # (B, G, C)
         if noaug:
-            mask = jnp.zeros((B, G), bool)
-        else:
-            mask = sample_patch_mask(self.make_rng("mask"), B, G,
-                                     self.mask_ratio, self.rand_ratio)
-        pos = self.pos_embed(center)
-        vis = jnp.logical_not(mask)
-        x = self.blocks(tokens, pos, key_mask=vis, deterministic=not train)
+            tokens = self.patch_embed(neighborhood, train=train)  # (B, G, C)
+            pos = self.pos_embed(center)
+            x = self.blocks(tokens, pos, deterministic=not train)
+            return self.norm(x), jnp.zeros((B, G), bool)
+
+        mask = sample_patch_mask(self.make_rng("mask"), B, G,
+                                 self.mask_ratio, self.rand_ratio)
+        # Static visible capacity: the mask ratio is >= min_ratio, so at most
+        # V = G - floor(min_ratio*G) tokens are ever visible. Like the
+        # reference (which gathers visible tokens into a shorter sequence,
+        # PointCAE_transformer.py:426-437), patch embedding and the ViT
+        # blocks run only on visible tokens — packed to a fixed-size buffer
+        # so any U(0.5, 0.8) ratio compiles once. Masked-token embeddings are
+        # never consumed downstream (the decoder swaps in the mask token), so
+        # skipping them is exact.
+        min_ratio = 0.5 if self.rand_ratio else self.mask_ratio
+        V = G - int(min_ratio * G)
+        if V >= G:                      # nothing masked statically
+            tokens = self.patch_embed(neighborhood, train=train)
+            pos = self.pos_embed(center)
+            x = self.blocks(tokens, pos, key_mask=jnp.logical_not(mask),
+                            deterministic=not train)
+            return self.norm(x), mask
+
+        order = jnp.argsort(mask, axis=-1, stable=True)   # visible-first
+        vis_idx = order[:, :V]                            # (B, V)
+        pn = jnp.take_along_axis(neighborhood, vis_idx[:, :, None, None],
+                                 axis=1)
+        pc = jnp.take_along_axis(center, vis_idx[:, :, None], axis=1)
+        tokens = self.patch_embed(pn, train=train)        # (B, V, C)
+        pos = self.pos_embed(pc)
+        num_vis = jnp.sum(jnp.logical_not(mask), axis=-1)  # (B,)
+        slot_valid = jnp.arange(V)[None, :] < num_vis[:, None]
+        x = self.blocks(tokens, pos, key_mask=slot_valid,
+                        deterministic=not train)
         x = self.norm(x)
-        return x, mask
+        # Scatter back to all-G layout (contract: masked slots hold no
+        # information — they are zeros here; consumers are mask-aware).
+        x = jnp.where(slot_valid[..., None], x, jnp.zeros((), x.dtype))
+        full = jnp.zeros((B, G, x.shape[-1]), x.dtype)
+        full = full.at[jnp.arange(B)[:, None], vis_idx].set(x)
+        return full, mask
 
 
 class NormalTransformerEncoder(nn.Module):
@@ -227,6 +259,60 @@ class _CAETransformerBase(nn.Module):
             return jnp.ones(mask.shape, jnp.float32).reshape(-1)
         return mask.astype(jnp.float32).reshape(-1)
 
+    def _local_recon_inputs(self, x_rec: Array, neigh: Array, mask: Array):
+        """(decoded tokens, GT patches, loss weights) for the local
+        reconstruction head.
+
+        When only masked patches enter the loss (the reference's default —
+        it folds only the masked tokens, PointCAE_transformer.py:1120-1136),
+        both tensors are packed down to a fixed capacity
+        M = int(max_ratio * G), so the per-token head and the patch chamfer
+        run on ~80% instead of 100% of tokens while any U(0.5, 0.8) ratio
+        still compiles once. Padding slots get zero loss weight; the
+        sum(w*per)/sum(w) normalization makes this exactly equal to the
+        all-token layout with mask weights."""
+        B, G, S = neigh.shape[:3]
+        pack = self._masked_pack_idx(mask)
+        if pack is None:
+            return x_rec, neigh.reshape(B * G, S, 3), self._loss_weights(mask)
+        midx, w = pack
+        x_m = jnp.take_along_axis(x_rec, midx[:, :, None], axis=1)
+        gt = jnp.take_along_axis(neigh, midx[:, :, None, None], axis=1)
+        return x_m, gt.reshape(-1, S, 3), w
+
+    def _masked_pack_idx(self, mask: Array):
+        """(midx (B, M), w (B*M,)) packing masked token slots first (fixed
+        capacity M = int(max_ratio*G)), or None when every token enters the
+        loss and packing would not shrink anything."""
+        B, G = mask.shape
+        t = self.tcfg
+        rand = str(t.get("rand_ratio", "False")) == "True"
+        max_ratio = 0.8 if rand else float(t.get("mask_ratio", 0.6))
+        M = int(max_ratio * G)
+        if (not self.masked_mode) or self.all_patch or M >= G:
+            return None
+        order = jnp.argsort(jnp.logical_not(mask), axis=-1, stable=True)
+        midx = order[:, :M]                                   # masked-first
+        w = jnp.arange(M)[None, :] < jnp.sum(mask, -1)[:, None]
+        return midx, w.astype(jnp.float32).reshape(-1)
+
+    def _pack_local(self, mask: Array, *tensors: Array):
+        """Pack per-token tensors down to the masked-token capacity for the
+        local losses (the reference gathers masked patches into a dense
+        batch); returns (w, packed...). Falls back to the in-place layout
+        with mask weights when packing would not shrink anything (all_patch,
+        or no static bound below G)."""
+        pack = self._masked_pack_idx(mask)
+        if pack is None:
+            return (mask.astype(jnp.float32).reshape(-1),) + tensors
+        midx, w = pack
+
+        def take(a):
+            idx = midx.reshape(midx.shape + (1,) * (a.ndim - 2))
+            return jnp.take_along_axis(a, idx, axis=1)
+
+        return (w,) + tuple(take(a) for a in tensors)
+
     def encode(self, pts: Array, train: bool = False) -> Array:
         """Global feature for SVM probes: masked-max + mean over tokens with
         no masking (return_feat path, PointCAE_transformer.py:1024-1026)."""
@@ -261,11 +347,10 @@ class PointCAE_transformer(_CAETransformerBase):
         neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
         x_vis, mask = self._encode(t_neigh, t_center, train)
         x_rec = self._decode(x_vis, mask, center, train)
-        B, G, _ = x_rec.shape
         S = self.config["group_size"]
-        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.increase_dim(x_loc).reshape(-1, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, jnp.zeros(())
 
 
@@ -309,11 +394,9 @@ class PointCAE_transformer_folding(_CAETransformerBase):
         neigh, center, t_neigh, t_center = self._group_and_corrupt(pts, train)
         x_vis, mask = self._encode(t_neigh, t_center, train)
         x_rec = self._decode(x_vis, mask, center, train)
-        B, G, _ = x_rec.shape
-        S = self.config["group_size"]
-        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.fold(x_loc).reshape(gt.shape[0], -1, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, jnp.zeros(())
 
 
@@ -358,11 +441,9 @@ class PointCAE_transformer_fc_global_folding_local(_CAETransformerBase):
         loss2 = self.global_loss_fn(coarse, center)
 
         x_rec = self._decode(x_vis, mask, center, train)
-        B, G, _ = x_rec.shape
-        S = self.config["group_size"]
-        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.fold(x_loc).reshape(gt.shape[0], -1, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, loss2
 
     def reconstruct(self, clean: Array, train: bool = False):
@@ -406,11 +487,10 @@ class PointCAE_transformer_fc_global_fc_local(_CAETransformerBase):
         loss2 = self.global_loss_fn(coarse, center)
 
         x_rec = self._decode(x_vis, mask, center, train)
-        B, G, _ = x_rec.shape
         S = self.config["group_size"]
-        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.increase_dim(x_loc).reshape(-1, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, loss2
 
 
@@ -443,11 +523,9 @@ class PointCAE_transformer_folding_global_folding_local(_CAETransformerBase):
         loss2 = self.global_loss_fn(coarse, center)
 
         x_rec = self._decode(x_vis, mask, center, train)
-        B, G, _ = x_rec.shape
-        S = self.config["group_size"]
-        rebuild = self.fold(x_rec).reshape(B * G, -1, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.fold(x_loc).reshape(gt.shape[0], -1, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, loss2
 
 
@@ -810,11 +888,10 @@ class PointCAE_transformer_folding_global_fc_local(_CAETransformerBase):
         loss2 = self.global_loss_fn(coarse, center)
 
         x_rec = self._decode(x_vis, mask, center, train)
-        B, G, _ = x_rec.shape
         S = self.config["group_size"]
-        rebuild = self.increase_dim(x_rec).reshape(B * G, S, 3)
-        gt = neigh.reshape(B * G, S, 3)
-        loss1 = self.loss_fn(rebuild, gt, self._loss_weights(mask))
+        x_loc, gt, w = self._local_recon_inputs(x_rec, neigh, mask)
+        rebuild = self.increase_dim(x_loc).reshape(-1, S, 3)
+        loss1 = self.loss_fn(rebuild, gt, w)
         return loss1, loss2
 
 
