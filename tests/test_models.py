@@ -153,6 +153,41 @@ class TestMaskingEquivalence:
             ratios.append(float(jnp.sum(mask[0])) / 64)
         assert 0.45 <= min(ratios) and max(ratios) <= 0.82
 
+    def test_packed_local_loss_equals_inplace(self):
+        """The masked-token packing in _local_recon_inputs must give exactly
+        the loss of the all-token layout with mask weights (same per-patch
+        values, same sum(w*per)/sum(w) normalization)."""
+        from point_dae_tpu.losses import masked_chamfer_l2
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.models.transformer import sample_patch_mask
+
+        cfg = dict(TINY_TF, NAME="PointCAE_transformer")
+        model = build_model_from_cfg(ConfigDict(cfg))
+        B, G, S, C = 2, 16, 4, 8
+        rng = np.random.default_rng(3)
+        x_rec = jnp.asarray(rng.normal(size=(B, G, C)).astype(np.float32))
+        neigh = jnp.asarray(rng.normal(size=(B, G, S, 3)).astype(np.float32))
+        mask = sample_patch_mask(jax.random.key(5), B, G,
+                                 model.tcfg.get("mask_ratio", 0.6),
+                                 str(model.tcfg.get("rand_ratio", "False"))
+                                 == "True")
+
+        # pure config/jnp logic — callable on the unbound module
+        x_m, gt, w = model._local_recon_inputs(x_rec, neigh, mask)
+        assert x_m.shape[1] < G          # packing actually engaged
+        # fabricate a "rebuild" deterministically from the token feature so
+        # packed and in-place paths see identical per-patch point sets
+        def rebuild_from(x):
+            r = jnp.tanh(x[..., : 3 * S]) if x.shape[-1] >= 3 * S else \
+                jnp.tanh(jnp.tile(x, (1, 1, (3 * S) // x.shape[-1] + 1))[..., :3 * S])
+            return r.reshape(-1, S, 3)
+
+        packed = masked_chamfer_l2(rebuild_from(x_m), gt, w)
+        inplace = masked_chamfer_l2(rebuild_from(x_rec),
+                                    neigh.reshape(B * G, S, 3),
+                                    mask.astype(jnp.float32).reshape(-1))
+        np.testing.assert_allclose(float(packed), float(inplace), rtol=1e-6)
+
 
 class TestFinetuneHeads:
     def test_point_transformer_cls(self):
