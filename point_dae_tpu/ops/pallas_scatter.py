@@ -113,6 +113,75 @@ def gather_rows_pallas(x: Array, idx: Array, tq: int = 1024) -> Array:
     return out[:, :Q]
 
 
+def gather_rows_small_c_pallas(x: Array, idx: Array, tq: int = 1024) -> Array:
+    """Row gather for TINY channel counts (C <= 8), e.g. xyz coordinates.
+
+    XLA's TPU gather moves 12-byte rows one by one (measured ~5.5 ms for
+    (256, 1024, 3) -> (256, 2048, 3) inside the flagship step). Here the
+    gather is out^T = x^T @ one_hot(idx)^T on the MXU with the TINY dim as
+    the output *rows* (sublanes), so the 128-lane dimension carries query
+    positions instead of the 3-wide channel axis — no lane waste. The
+    one-hot is exact in f32 and each output element is a single selected
+    product, so the result is bit-exact regardless of matmul passes.
+
+    x: (B, N, C), idx: (B, Q) -> (B, Q, C), same dtype as x (f32).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+    Q = idx.shape[1]
+    tq = min(tq, Q)
+    pad_q = (-Q) % tq
+    if pad_q:
+        idx = jnp.pad(idx, ((0, 0), (0, pad_q)))
+    Qp = Q + pad_q
+    tn = min(N, 2048)                   # one-hot tile height: VMEM-bounded
+    assert N % tn == 0, "N must be a multiple of the 2048 source tile"
+    xt = jnp.swapaxes(x, 1, 2)                              # (B, C, N)
+
+    def kernel(i_ref, xt_ref, o_ref):
+        n_chunk = pl.program_id(2)
+        ii = i_ref[0]                                       # (1, tq)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tn, tq), 0) \
+            + n_chunk * tn
+        onehot_t = (rows == ii).astype(jnp.float32)         # (tn, tq)
+        contrib = jnp.dot(xt_ref[0].astype(jnp.float32), onehot_t,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+        @pl.when(n_chunk == 0)
+        def _init():
+            o_ref[0] = contrib
+
+        @pl.when(n_chunk > 0)
+        def _acc():
+            o_ref[0] += contrib
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Qp // tq, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq), lambda b, q, n: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tn), lambda b, q, n: (b, 0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, tq), lambda b, q, n: (b, 0, q)),
+        out_shape=jax.ShapeDtypeStruct((B, C, Qp), jnp.float32),
+    )(idx.astype(jnp.int32)[:, None, :], xt)
+    return jnp.swapaxes(out[:, :, :Q], 1, 2).astype(x.dtype)
+
+
+def _use_mxu_small_c_gather(B: int, Q: int, N: int, C: int,
+                            dtype) -> bool:
+    on_tpu = jax.default_backend() == "tpu"
+    # the one-hot tile (tn<=2048, tq) streams through VMEM; wins only when
+    # the gather is large enough that XLA's per-row movement dominates
+    return (on_tpu and C <= 8 and N % min(N, 2048) == 0
+            and dtype == jnp.float32 and B * Q >= 2 ** 18)
+
+
 def _use_mxu_scatter(B: int, Q: int, N: int, C: int) -> bool:
     on_tpu = jax.default_backend() == "tpu"
     # worthwhile when the scatter is large and N fits a VMEM one-hot tile
@@ -126,9 +195,14 @@ def gather_rows(x: Array, idx: Array) -> Array:
     Forward is a plain XLA gather; the backward scatter-add dispatches to the
     MXU one-hot kernel at DGCNN-class shapes (35 -> ~10 ms per edge layer).
     """
-    # note: dispatching the FORWARD to gather_rows_pallas was measured
-    # slower in-graph (DGCNN 206 vs 218 c/s) — XLA's gather fwd stays; the
-    # MXU kernel only replaces the far-slower backward scatter
+    # note: dispatching the FORWARD to gather_rows_pallas (wide-C layout)
+    # was measured slower in-graph (DGCNN 206 vs 218 c/s) — XLA's gather fwd
+    # stays for wide rows; the MXU kernel only replaces the far-slower
+    # backward scatter. TINY-C rows (xyz) are the exception: XLA moves them
+    # 12 bytes at a time, so the transposed one-hot kernel wins there.
+    B, N, C = x.shape
+    if _use_mxu_small_c_gather(B, idx.shape[1], N, C, x.dtype):
+        return gather_rows_small_c_pallas(x, idx)
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 

@@ -248,6 +248,36 @@ class TestGatherRowsScatterBwd:
             jnp.take_along_axis(a, idx[..., None], axis=1) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
 
+    def test_small_c_gather_kernel_interpret(self, rng):
+        """The transposed one-hot gather (tiny C) == take_along_axis
+        bit-exactly (selection products have a single nonzero term), incl.
+        the padded-Q tail and duplicate indices."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from point_dae_tpu.ops.pallas_scatter import gather_rows_small_c_pallas
+
+        x = jnp.array(rng.normal(size=(2, 16, 3)).astype(np.float32))
+        idx = jnp.array(rng.integers(0, 16, size=(2, 50)).astype(np.int32))
+        want = jnp.take_along_axis(x, idx[..., None], axis=1)
+        with pltpu.force_tpu_interpret_mode():
+            got = gather_rows_small_c_pallas(x, idx, tq=16)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_small_c_gather_kernel_tiled_n_interpret(self, rng):
+        """N-tiled accumulation path (N > the 2048 source tile) is exact.
+
+        Uses a patched tile height via big-N shape divisible by tile."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from point_dae_tpu.ops import pallas_scatter as ps
+
+        x = jnp.array(rng.normal(size=(1, 4096, 6)).astype(np.float32))
+        idx = jnp.array(rng.integers(0, 4096, size=(1, 64)).astype(np.int32))
+        want = jnp.take_along_axis(x, idx[..., None], axis=1)
+        with pltpu.force_tpu_interpret_mode():
+            got = ps.gather_rows_small_c_pallas(x, idx, tq=64)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
     def test_mxu_scatter_kernel_interpret(self, rng):
         """The Pallas scatter-add == .at add (interpret mode), incl. the
         padded-Q tail and duplicate indices."""

@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Paper-style result figures from experiment logs (role of the reference's
+``plot.py``, the 1.7k-LoC figure generator, and
+``plot_results_dataset_variants.py``).
+
+Three figure modes, all scraped from the same log-line formats that
+``tools/parse_results.py`` consumes (the log formats are an API,
+SURVEY.md §5):
+
+  accuracy   — final/best accuracy per experiment directory, bar chart
+               (mean ± std across seed subdirs, like parse_test_res.py).
+  corruption — per-corruption OA heatmap (corruption x level) from
+               ``[Corruption] <name> level <l>: OA = ...`` lines
+               (engine/robustness.py).
+  curves     — validation-accuracy-vs-epoch training curves from
+               ``[Validation] EPOCH: <e> acc = ...`` lines, one line per
+               experiment.
+
+Usage:
+  python tools/plot_results.py accuracy   experiments/finetune_* -o acc.png
+  python tools/plot_results.py corruption experiments/<exp> -o corr.png
+  python tools/plot_results.py curves     experiments/pretrain_* -o curves.png
+
+Matplotlib is optional at import time (headless Agg backend); figures are
+PNG files, matching the reference's offline-analysis workflow.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+_VAL = re.compile(r"\[Validation\] EPOCH:\s*(\d+)\s+acc = ([0-9.]+)")
+_TEST = re.compile(r"\[TEST\] acc = ([0-9.]+)")
+_CORR = re.compile(r"\[Corruption\] (\w+) level (\d+): OA = ([0-9.]+)")
+
+
+def _logs_under(path: str):
+    return sorted(glob.glob(os.path.join(path, "**", "*.log"), recursive=True))
+
+
+def _scan(path: str, regex):
+    hits = []
+    for log in _logs_under(path):
+        with open(log, errors="replace") as f:
+            for line in f:
+                m = regex.search(line)
+                if m:
+                    hits.append(m.groups())
+    return hits
+
+
+def _best_acc(path: str) -> list:
+    """Best accuracy per seed-run log under ``path`` (TEST preferred,
+    else max Validation), mirroring parse_test_res.py's per-directory max."""
+    out = []
+    for log in _logs_under(path):
+        vals = []
+        with open(log, errors="replace") as f:
+            for line in f:
+                m = _TEST.search(line)
+                if m:
+                    vals.append(float(m.group(1)))
+                    continue
+                m = _VAL.search(line)
+                if m:
+                    vals.append(float(m.group(2)))
+        if vals:
+            out.append(max(vals))
+    return out
+
+
+def _fig():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def plot_accuracy(dirs, out):
+    plt = _fig()
+    names, means, stds = [], [], []
+    for d in dirs:
+        accs = _best_acc(d)
+        if not accs:
+            print(f"# no accuracy lines under {d}", file=sys.stderr)
+            continue
+        names.append(os.path.basename(os.path.normpath(d)))
+        means.append(float(np.mean(accs)))
+        stds.append(float(np.std(accs)))
+    if not names:
+        raise SystemExit("nothing to plot")
+    fig, ax = plt.subplots(figsize=(max(6, 0.9 * len(names)), 4))
+    x = np.arange(len(names))
+    ax.bar(x, means, yerr=stds, capsize=3)
+    ax.set_xticks(x)
+    ax.set_xticklabels(names, rotation=30, ha="right", fontsize=8)
+    ax.set_ylabel("accuracy")
+    lo = min(m - s for m, s in zip(means, stds))
+    ax.set_ylim(max(0.0, lo - 0.05), 1.0)
+    for xi, m in zip(x, means):
+        ax.text(xi, m, f"{m:.3f}", ha="center", va="bottom", fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({len(names)} experiments)")
+
+
+def plot_corruption(dirs, out):
+    plt = _fig()
+    table = defaultdict(dict)
+    for d in dirs:
+        for name, lv, oa in _scan(d, _CORR):
+            table[name][int(lv)] = float(oa)
+    if not table:
+        raise SystemExit("no [Corruption] lines found")
+    names = sorted(table)
+    levels = sorted({lv for r in table.values() for lv in r})
+    mat = np.full((len(names), len(levels)), np.nan)
+    for i, n in enumerate(names):
+        for j, lv in enumerate(levels):
+            if lv in table[n]:
+                mat[i, j] = table[n][lv]
+    fig, ax = plt.subplots(figsize=(1.2 * len(levels) + 3, 0.45 * len(names) + 2))
+    im = ax.imshow(mat, aspect="auto", cmap="viridis", vmin=0, vmax=1)
+    ax.set_xticks(range(len(levels)))
+    ax.set_xticklabels([f"L{lv}" for lv in levels])
+    ax.set_yticks(range(len(names)))
+    ax.set_yticklabels(names, fontsize=8)
+    for i in range(len(names)):
+        for j in range(len(levels)):
+            if np.isfinite(mat[i, j]):
+                ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
+                        fontsize=7,
+                        color="white" if mat[i, j] < 0.6 else "black")
+    ax.set_title("OA per corruption / level")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({len(names)} corruptions x {len(levels)} levels)")
+
+
+def plot_curves(dirs, out):
+    plt = _fig()
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    plotted = 0
+    for d in dirs:
+        hits = _scan(d, _VAL)
+        if not hits:
+            continue
+        by_epoch = defaultdict(list)
+        for e, a in hits:
+            by_epoch[int(e)].append(float(a))
+        xs = sorted(by_epoch)
+        ys = [float(np.mean(by_epoch[e])) for e in xs]
+        ax.plot(xs, ys, marker=".", markersize=3,
+                label=os.path.basename(os.path.normpath(d)))
+        plotted += 1
+    if not plotted:
+        raise SystemExit("no [Validation] lines found")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("validation acc")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({plotted} curves)")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("mode", choices=["accuracy", "corruption", "curves"])
+    p.add_argument("dirs", nargs="+", help="experiment directories (globs ok)")
+    p.add_argument("-o", "--out", default="figure.png")
+    args = p.parse_args()
+    dirs = []
+    for d in args.dirs:
+        dirs.extend(sorted(glob.glob(d)) or [d])
+    {"accuracy": plot_accuracy,
+     "corruption": plot_corruption,
+     "curves": plot_curves}[args.mode](dirs, args.out)
+
+
+if __name__ == "__main__":
+    main()
