@@ -86,6 +86,17 @@ def main():
     ok += 1
     print(f"chamfer custom-VJP vs autodiff: maxdiff {err:.2e}")
 
+    # --- small-C transposed one-hot gather vs XLA take_along_axis
+    from point_dae_tpu.ops.pallas_scatter import gather_rows_small_c_pallas
+
+    src = jnp.asarray(rng.normal(size=(64, 1024, 3)).astype("f4"))
+    gidx = jnp.asarray(rng.integers(0, 1024, size=(64, 2048)).astype("i4"))
+    want = jnp.take_along_axis(src, gidx[..., None], axis=1)
+    got = jax.jit(gather_rows_small_c_pallas)(src, gidx)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    ok += 1
+    print("gather_rows_small_c_pallas: bit-exact parity")
+
     # --- one flagship train step end-to-end
     from __graft_entry__ import FLAGSHIP_CONFIG
     from point_dae_tpu.engine.pretrain import init_model, make_train_step
@@ -108,7 +119,7 @@ def main():
     print(f"flagship train step: loss_xyz={lx:.4f} "
           f"({time.perf_counter() - t0:.1f}s incl. compile)")
 
-    print(f"TPU smoke: {ok}/5 checks passed")
+    print(f"TPU smoke: {ok}/6 checks passed")
 
 
 if __name__ == "__main__":
