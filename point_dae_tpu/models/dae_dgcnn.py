@@ -23,7 +23,7 @@ from ..losses import build_loss_func
 from ..utils.registry import MODELS
 from .common import apply_input_dropout, folding_grid
 from .dgcnn import DGCNNEncoder
-from .layers import MLP, leaky_relu02
+from .layers import MLP, SplitMLP, leaky_relu02
 
 Array = jax.Array
 
@@ -89,7 +89,10 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
-        self.folding2 = MLP((512, 512, 3), name="folding2")
+        # fine folding over concat([grid, point, global]): the global feature
+        # is broadcast over every fine point -> first Dense factorized
+        self.folding2 = SplitMLP((512, 512, 3), shared_last=True,
+                                 name="folding2")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         clean = clean[..., :3]
@@ -98,14 +101,14 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
         coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
 
         g2 = self.grid_size ** 2
-        num_fine = g2 * self.num_coarse
         grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
                                         (-self.grid_scale, self.grid_scale)))
         grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))   # (B, F, 2)
         point_feat = jnp.repeat(coarse, g2, axis=1)                  # (B, F, 3)
-        global_feat = jnp.broadcast_to(feat[:, None, :], (B, num_fine, feat.shape[-1]))
-        h = jnp.concatenate([grid_feat, point_feat, global_feat], axis=-1)
-        fine = self.folding2(h) + point_feat
+        # first Dense over concat([grid, point, global]) with the global
+        # feature broadcast over all F fine points — factorized (exact)
+        fine = self.folding2(feat, jnp.concatenate(
+            [grid_feat, point_feat], -1)) + point_feat
         return self.loss_func(coarse, clean), self.loss_func(fine, clean)
 
 
@@ -117,19 +120,18 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     name="dgcnn_encoder")
-        self.folding1 = MLP((1024, 1024, 3), name="folding1")
-        self.folding2 = MLP((1024, 1024, 3), name="folding2")
+        # both stages consume concat([broadcast global feature, per-point]);
+        # the shared half of each first Dense is factorized (exact)
+        self.folding1 = SplitMLP((1024, 1024, 3), name="folding1")
+        self.folding2 = SplitMLP((1024, 1024, 3), name="folding2")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         clean = clean[..., :3]
         feat = self._encode_corrupted(corrupted, train)     # (B, 1024)
         B, C = feat.shape
         grid = jnp.asarray(folding_grid((32, 32), (-0.3, 0.3)))      # (1024, 2)
-        n = grid.shape[0]
-        featn = jnp.broadcast_to(feat[:, None, :], (B, n, C))
-        f1 = self.folding1(jnp.concatenate(
-            [featn, jnp.tile(grid[None], (B, 1, 1))], -1))
-        f2 = self.folding2(jnp.concatenate([featn, f1], -1))
+        f1 = self.folding1(feat, jnp.tile(grid[None], (B, 1, 1)))
+        f2 = self.folding2(feat, f1)
         loss = self.loss_func(f2, clean)
         return loss, jnp.zeros(())
 
@@ -220,7 +222,10 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
                                     name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
-        self.folding2 = MLP((512, 512, 3), name="folding2")
+        # fine folding over concat([grid, point, global]): the global feature
+        # is broadcast over every fine point -> first Dense factorized
+        self.folding2 = SplitMLP((512, 512, 3), shared_last=True,
+                                 name="folding2")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         clean = clean[..., :3]
@@ -228,14 +233,12 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
         B = feat.shape[0]
         coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
         g2 = self.grid_size ** 2
-        num_fine = g2 * self.num_coarse
         grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
                                         (-self.grid_scale, self.grid_scale)))
         grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))
         point_feat = jnp.repeat(coarse, g2, axis=1)
-        gfeat = jnp.broadcast_to(feat[:, None, :], (B, num_fine, feat.shape[-1]))
-        h = jnp.concatenate([grid_feat, point_feat, gfeat], -1)
-        fine = self.folding2(h) + point_feat
+        fine = self.folding2(feat, jnp.concatenate(
+            [grid_feat, point_feat], -1)) + point_feat
         return self.loss_func(coarse, clean), self.loss_func(fine, clean)
 
 
@@ -294,20 +297,21 @@ class Point_CAE_DGCNN_PartSeg(_DGCNNPartSegDAEBase):
 
         self.encoder = DGCNNPartSegEncoder(name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
-        self.folding2 = MLP((512, 512, 3), name="folding2")
+        # fine folding over concat([grid, point, global]): the global feature
+        # is broadcast over every fine point -> first Dense factorized
+        self.folding2 = SplitMLP((512, 512, 3), shared_last=True,
+                                 name="folding2")
 
     def _pcn_decode(self, feat: Array):
         B = feat.shape[0]
         coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
         g2 = self.grid_size ** 2
-        num_fine = g2 * self.num_coarse
         grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
                                         (-self.grid_scale, self.grid_scale)))
         grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))
         point_feat = jnp.repeat(coarse, g2, axis=1)
-        gfeat = jnp.broadcast_to(feat[:, None, :], (B, num_fine, feat.shape[-1]))
-        h = jnp.concatenate([grid_feat, point_feat, gfeat], axis=-1)
-        fine = self.folding2(h) + point_feat
+        fine = self.folding2(feat, jnp.concatenate(
+            [grid_feat, point_feat], -1)) + point_feat
         return coarse, fine
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):

@@ -23,7 +23,7 @@ from ..ops import (ball_query, furthest_point_sample, gather_points,
                    group_points, three_interpolate, three_nn)
 from ..utils.registry import MODELS
 from .common import apply_input_dropout, folding_grid
-from .layers import MLP
+from .layers import MLP, SplitMLP
 
 Array = jax.Array
 
@@ -143,7 +143,10 @@ class Point_CAE_PointNetv2(_PN2Base):
     def setup(self):
         self.encoder = PointNet2Encoder(name="pointnetv2_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
-        self.folding2 = MLP((512, 512, 3), name="folding2")
+        # first Dense over concat([grid, point, global]): global feature
+        # broadcast over all fine points -> factorized (exact)
+        self.folding2 = SplitMLP((512, 512, 3), shared_last=True,
+                                 name="folding2")
 
     def __call__(self, corrupted, clean, train: bool = True):
         clean = clean[..., :3]
@@ -151,14 +154,12 @@ class Point_CAE_PointNetv2(_PN2Base):
         B = feat.shape[0]
         coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
         g2 = self.grid_size ** 2
-        num_fine = g2 * self.num_coarse
         grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
                                         (-self.grid_scale, self.grid_scale)))
         grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))
         point_feat = jnp.repeat(coarse, g2, axis=1)
-        gfeat = jnp.broadcast_to(feat[:, None, :], (B, num_fine, feat.shape[-1]))
-        h = jnp.concatenate([grid_feat, point_feat, gfeat], -1)
-        fine = self.folding2(h) + point_feat
+        fine = self.folding2(feat, jnp.concatenate(
+            [grid_feat, point_feat], -1)) + point_feat
         return self.loss_func(coarse, clean), self.loss_func(fine, clean)
 
 
@@ -242,7 +243,8 @@ class Point_CAE_PointNetv2_Proj(_PN2Base):
         self.encoder = PointNet2Encoder(name="pointnetv2_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
-        self.folding2 = MLP((512, 512, 3), name="folding2")
+        self.folding2 = SplitMLP((512, 512, 3), shared_last=True,
+                                 name="folding2")
 
     def __call__(self, corrupted, clean, train: bool = True):
         from .common import folding_grid
@@ -252,15 +254,12 @@ class Point_CAE_PointNetv2_Proj(_PN2Base):
         B = feat.shape[0]
         coarse = self.folding1(feat).reshape(B, self.num_coarse, 3)
         g2 = self.grid_size ** 2
-        num_fine = g2 * self.num_coarse
         grid = jnp.asarray(folding_grid((self.grid_size, self.grid_size),
                                         (-self.grid_scale, self.grid_scale)))
         grid_feat = jnp.tile(grid[None], (B, self.num_coarse, 1))
         point_feat = jnp.repeat(coarse, g2, axis=1)
-        gfeat = jnp.broadcast_to(feat[:, None, :],
-                                 (B, num_fine, feat.shape[-1]))
-        fine = self.folding2(jnp.concatenate(
-            [grid_feat, point_feat, gfeat], -1)) + point_feat
+        fine = self.folding2(feat, jnp.concatenate(
+            [grid_feat, point_feat], -1)) + point_feat
         return self.loss_func(coarse, clean), self.loss_func(fine, clean)
 
 
@@ -278,8 +277,10 @@ class _MA2EPN2Base(_PN2Base):
         self.pos_embed = MLP((128, 1024), act=nn.gelu, name="pos_embed")
         self.coarse_pred = MLP((1024, 1024, self.num_coarse * 3),
                                name="coarse_pred")
-        self.folding1 = MLP((512, 512, 3), name="folding1")
-        self.folding2 = MLP((512, 512, 3), name="folding2")
+        # per-patch token is shared across the 6x6 grid -> first Dense of
+        # each folding stage factorized (exact)
+        self.folding1 = SplitMLP((512, 512, 3), name="folding1")
+        self.folding2 = SplitMLP((512, 512, 3), name="folding2")
 
     def _heads(self, corrupted, clean, train):
         from ..ops import group_neighborhood
@@ -295,14 +296,12 @@ class _MA2EPN2Base(_PN2Base):
 
         g2 = self.grid_n ** 2
         tok = feat[:, None, :] + self.pos_embed(center)      # (B, M, 1024)
-        tok = jnp.broadcast_to(tok[:, :, None, :],
-                               (B, self.num_coarse, g2, 1024))
         grid = jnp.asarray(folding_grid((self.grid_n, self.grid_n),
                                         (-0.3, 0.3)))        # (36, 2)
         gridb = jnp.broadcast_to(grid[None, None],
                                  (B, self.num_coarse, g2, 2))
-        f1 = self.folding1(jnp.concatenate([tok, gridb], -1))
-        f2 = self.folding2(jnp.concatenate([tok, f1], -1))
+        f1 = self.folding1(tok, gridb)
+        f2 = self.folding2(tok, f1)
         rebuild = f2.reshape(B * self.num_coarse, g2, 3)
         gt = neigh.reshape(B * self.num_coarse, self.group_size, 3)
         loss_fine = self.loss_func(rebuild, gt)

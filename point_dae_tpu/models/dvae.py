@@ -21,7 +21,7 @@ import flax.linen as nn
 
 from ..ops import group_neighborhood, knn
 from ..utils.registry import MODELS
-from .layers import MLP, PatchEncoder
+from .layers import MLP, PatchEncoder, SplitDense
 
 Array = jax.Array
 
@@ -88,15 +88,17 @@ class FoldingPatchDecoder(nn.Module):
                                 (B * G, num_coarse, gs * gs, 2))
         pt = jnp.broadcast_to(coarse[:, :, None, :],
                               (B * G, num_coarse, gs * gs, 3))
-        gf = jnp.broadcast_to(f[:, None, None, :],
-                              (B * G, num_coarse, gs * gs, C))
-        h = jnp.concatenate([gf, seed, pt], -1).reshape(B * G, self.num_fine,
-                                                        C + 5)
-        for i, d in enumerate((512, 512)):
-            h = nn.Dense(d, name=f"final{i}")(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"final_bn{i}")(h)
-            h = nn.relu(h)
+        # first Dense over concat([gf broadcast over num_fine, seed, pt]) —
+        # the shared-feature half factorized out of the fine axis (exact)
+        pp = jnp.concatenate([seed, pt], -1).reshape(B * G, self.num_fine, 5)
+        h = SplitDense(512, name="final0")(f, pp)   # [gf, seed, pt] order
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="final_bn0")(h)
+        h = nn.relu(h)
+        h = nn.Dense(512, name="final1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="final_bn1")(h)
+        h = nn.relu(h)
         fine = nn.Dense(3, name="final_out")(h) + pt.reshape(
             B * G, self.num_fine, 3)
         return (coarse.reshape(B, G, num_coarse, 3),

@@ -67,6 +67,65 @@ class MLP(nn.Module):
         return x
 
 
+class SplitDense(nn.Module):
+    """``nn.Dense`` over ``concat([shared, per_point], -1)`` (or the
+    ``[per_point, shared]`` order with ``shared_last``) factorized by
+    linearity: the shared operand has one fewer axis than ``per_point`` and
+    its projection is computed once and broadcast-added over the extra axis.
+
+    Folding/PCN decoders broadcast a global or per-token feature over every
+    grid point before the first Dense — that half of the matmul is identical
+    across the broadcast axis, so factorizing removes up to a
+    broadcast-width multiple of the FLOPs. Parameter name/shape/init match
+    ``nn.Dense`` on the concat exactly (kernel ``(C+E, F)`` lecun_normal,
+    bias zeros): checkpoints are unaffected.
+    """
+    features: int
+    shared_last: bool = False
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, shared: Array, per_point: Array) -> Array:
+        C = shared.shape[-1]
+        E = per_point.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (C + E, self.features))
+        dt = self.dtype or jnp.result_type(shared.dtype, kernel.dtype)
+        if self.shared_last:
+            ke, ks = kernel[:E], kernel[E:]
+        else:
+            ks, ke = kernel[:C], kernel[C:]
+        sp = shared.astype(dt) @ ks.astype(dt)        # (..., F)
+        pp = per_point.astype(dt) @ ke.astype(dt)     # (..., n, F)
+        out = pp + sp[..., None, :]
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,))
+            out = out + bias.astype(dt)
+        return out
+
+
+class SplitMLP(nn.Module):
+    """``MLP`` whose first Dense consumes a broadcast-shared operand
+    concatenated with per-point channels — the first layer runs as
+    ``SplitDense``; the rest are plain ``Dense``. Same param tree
+    (``dense{i}``) as ``MLP`` over the explicit concat."""
+    features: Sequence[int]
+    act: Callable = nn.relu
+    shared_last: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, shared: Array, per_point: Array) -> Array:
+        x = SplitDense(self.features[0], shared_last=self.shared_last,
+                       dtype=self.dtype, name="dense0")(shared, per_point)
+        for i, f in enumerate(self.features[1:], start=1):
+            x = self.act(x)
+            x = nn.Dense(f, dtype=self.dtype, name=f"dense{i}")(x)
+        return x
+
+
 def drop_path(key: jax.Array, x: Array, rate: float, deterministic: bool) -> Array:
     """Stochastic depth per sample (timm DropPath used by ViT blocks)."""
     if deterministic or rate == 0.0:

@@ -15,7 +15,7 @@ import flax.linen as nn
 
 from ..ops import group_neighborhood, three_interpolate, three_nn
 from ..utils.registry import MODELS
-from .layers import (PatchEncoder, PosEmbedMLP, TransformerBlock,
+from .layers import (PatchEncoder, PosEmbedMLP, SplitDense, TransformerBlock,
                      leaky_relu02)
 
 Array = jax.Array
@@ -76,8 +76,6 @@ class PointTransformerPartSeg(nn.Module):
                                 epsilon=1e-5, name="label_bn")(cls_feat)
         cls_feat = leaky_relu02(cls_feat)
         global_feat = jnp.concatenate([x_max, x_avg, cls_feat], -1)  # (B, 2368)
-        global_feat = jnp.broadcast_to(global_feat[:, None, :],
-                                       (B, N, global_feat.shape[-1]))
 
         # propagation_0: interpolate token features from centers to points,
         # skip-connect the raw xyz (in_channel = 1152 + 3)
@@ -90,8 +88,9 @@ class PointTransformerPartSeg(nn.Module):
                              epsilon=1e-5, name=f"prop_bn{i}")(h)
             h = nn.relu(h)
 
-        h = jnp.concatenate([h, global_feat], -1)            # (B, N, 3392)
-        h = nn.Dense(512, name="convs1")(h)
+        # convs1 over concat([h, global_feat broadcast over N]) — the shared
+        # global half (70% of the matmul) factorized out of the point axis
+        h = SplitDense(512, shared_last=True, name="convs1")(global_feat, h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bns1")(h)
         h = nn.relu(h)
@@ -129,14 +128,19 @@ class DGCNNPartSeg(nn.Module):
                            epsilon=1e-5, name="label_bn")(lab)
         lab = leaky_relu02(lab)
         glob = jnp.concatenate([gfeat, lab], -1)
-        glob = jnp.broadcast_to(glob[:, None, :], (B, N, glob.shape[-1]))
-        h = jnp.concatenate([pointwise, glob], -1)
-        for i, d in enumerate((512, 256)):
-            h = nn.Dense(d, use_bias=False, name=f"convs{i}")(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bns{i}")(h)
-            h = leaky_relu02(h)
-            h = nn.Dropout(0.5, name=f"dp{i}")(h, deterministic=not train)
+        # convs0 over concat([pointwise, glob broadcast over N]) — shared
+        # half factorized out of the point axis (exact)
+        h = SplitDense(512, shared_last=True, use_bias=False,
+                       name="convs0")(glob, pointwise)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bns0")(h)
+        h = leaky_relu02(h)
+        h = nn.Dropout(0.5, name="dp0")(h, deterministic=not train)
+        h = nn.Dense(256, use_bias=False, name="convs1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bns1")(h)
+        h = leaky_relu02(h)
+        h = nn.Dropout(0.5, name="dp1")(h, deterministic=not train)
         h = nn.Dense(parts, name="head")(h)
         return jax.nn.log_softmax(h, axis=-1)
 
@@ -163,9 +167,14 @@ class PointNetNoTPartSeg(nn.Module):
         gfeat = jnp.max(h, axis=1)                          # (B, 2048)
         lab = nn.Dense(64, name="label_fc")(cls_label)
         glob = jnp.concatenate([gfeat, lab], -1)
-        glob = jnp.broadcast_to(glob[:, None, :], (B, N, glob.shape[-1]))
-        h = jnp.concatenate(feats[:4] + [glob], -1)
-        for i, d in enumerate((256, 256, 128)):
+        # seg0 over concat([pointwise feats, glob broadcast]) — shared half
+        # factorized out of the point axis (exact)
+        h = SplitDense(256, shared_last=True, name="seg0")(
+            glob, jnp.concatenate(feats[:4], -1))
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="segbn0")(h)
+        h = nn.relu(h)
+        for i, d in ((1, 256), (2, 128)):
             h = nn.Dense(d, name=f"seg{i}")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"segbn{i}")(h)

@@ -28,8 +28,8 @@ from ..losses import build_loss_func, masked_chamfer_l1, masked_chamfer_l2
 from ..ops import group_neighborhood
 from ..utils.registry import MODELS
 from .common import folding_grid
-from .layers import (MLP, PatchEncoder, PosEmbedMLP, TransformerDecoder,
-                     TransformerEncoder)
+from .layers import (MLP, PatchEncoder, PosEmbedMLP, SplitMLP,
+                     TransformerDecoder, TransformerEncoder)
 
 Array = jax.Array
 
@@ -354,53 +354,12 @@ class PointCAE_transformer(_CAETransformerBase):
         return loss1, jnp.zeros(())
 
 
-class _SplitDense(nn.Module):
-    """``nn.Dense`` over ``concat([shared, per_point])`` factorized by
-    linearity: ``shared @ K[:C]`` is computed once per token (not once per
-    grid point) and broadcast-added to ``per_point @ K[C:] + b``. Parameter
-    names/shapes/init are identical to the concat Dense (kernel
-    ``(C+E, F)`` lecun_normal, bias zeros), so checkpoints are unaffected —
-    only the FLOPs factorize (36x less on the shared half)."""
-    features: int
-    dtype: object = None
-
-    @nn.compact
-    def __call__(self, shared: Array, per_point: Array) -> Array:
-        C = shared.shape[-1]
-        E = per_point.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (C + E, self.features))
-        bias = self.param("bias", nn.initializers.zeros_init(),
-                          (self.features,))
-        dt = self.dtype or jnp.result_type(shared.dtype, kernel.dtype)
-        sp = shared.astype(dt) @ kernel[:C].astype(dt)        # (B, G, F)
-        pp = per_point.astype(dt) @ kernel[C:].astype(dt)     # (B, G, n, F)
-        return pp + sp[:, :, None, :] + bias.astype(dt)
-
-
-class _FoldStage(nn.Module):
-    """One folding stage (Dense->relu->Dense->relu->Dense(3)) whose first
-    Dense input is concat([broadcast token feature, per-grid-point channels])
-    — computed via _SplitDense. Same param tree as MLP(name=...)."""
-    trans_dim: int
-    dtype: object = None
-
-    @nn.compact
-    def __call__(self, feat: Array, per_point: Array) -> Array:
-        x = _SplitDense(self.trans_dim, dtype=self.dtype,
-                        name="dense0")(feat, per_point)
-        x = nn.relu(x)
-        x = nn.Dense(self.trans_dim, dtype=self.dtype, name="dense1")(x)
-        x = nn.relu(x)
-        return nn.Dense(3, dtype=self.dtype, name="dense2")(x)
-
-
 class _FoldingLocalHead(nn.Module):
     """Two-stage folding over a 6x6 grid per token
     (PointCAE_transformer.py:789-803,859-878). Math identical to the
-    reference's Dense-on-concat; the shared-feature half of each stage's
-    first matmul is factorized out of the grid axis (exact, see
-    _SplitDense)."""
+    reference's Dense-on-concat; the shared token-feature half of each
+    stage's first matmul is factorized out of the grid axis (exact, see
+    layers.SplitDense)."""
     trans_dim: int
     dtype: object = None
 
@@ -411,10 +370,10 @@ class _FoldingLocalHead(nn.Module):
         n = grid.shape[0]
         gridb = jnp.broadcast_to(grid[None, None], (B, G, n, 2))
         gridb = gridb.astype(self.dtype or x_rec.dtype)
-        f1 = _FoldStage(self.trans_dim, dtype=self.dtype,
-                        name="folding1")(x_rec, gridb)
-        f2 = _FoldStage(self.trans_dim, dtype=self.dtype,
-                        name="folding2")(x_rec, f1)
+        f1 = SplitMLP((self.trans_dim, self.trans_dim, 3), dtype=self.dtype,
+                      name="folding1")(x_rec, gridb)
+        f2 = SplitMLP((self.trans_dim, self.trans_dim, 3), dtype=self.dtype,
+                      name="folding2")(x_rec, f1)
         return f2.astype(jnp.float32)                            # (B, G, 36, 3)
 
 
@@ -854,12 +813,9 @@ class PointCAE_transformer_fold_all(_CAETransformerBase):
         grid = jnp.asarray(folding_grid((32, 32), (-0.3, 0.3)))
         B, C = gfeat.shape
         n = grid.shape[0]
-        feat = jnp.broadcast_to(gfeat[:, None, :], (B, n, C))
         g = jnp.broadcast_to(grid[None], (B, n, 2))
-        f1 = MLP((1024, 1024, 3), name="folding1")(
-            jnp.concatenate([feat, g], -1))
-        return MLP((1024, 1024, 3), name="folding2")(
-            jnp.concatenate([feat, f1], -1))
+        f1 = SplitMLP((1024, 1024, 3), name="folding1")(gfeat, g)
+        return SplitMLP((1024, 1024, 3), name="folding2")(gfeat, f1)
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         pts = clean[..., :3]
@@ -951,8 +907,8 @@ class PointCAE_transformer_v6_folding_corase2fine_transformer(
         S = self.config["group_size"]
         d = self.tcfg["trans_dim"]
         self.MAE_encoder = self._make_encoder()
-        self.folding1 = MLP((d, d, 3), name="folding1")
-        self.folding2 = MLP((d, d, 3), name="folding2")
+        self.folding1 = SplitMLP((d, d, 3), name="folding1")
+        self.folding2 = SplitMLP((d, d, 3), name="folding2")
         self.decoder_pos_embed = PosEmbedMLP(d, name="decoder_pos_embed")
         self.MAE_decoder = self._make_decoder()
         if self.masked_mode:
@@ -978,10 +934,9 @@ class PointCAE_transformer_v6_folding_corase2fine_transformer(
         side = int(round(M ** 0.5))
         assert side * side == M, "v6_folding needs a square num_group"
         grid = jnp.asarray(folding_grid((side, side), (-0.3, 0.3)))
-        tok = jnp.broadcast_to(gfeat[:, None, :], (B, M, C))
         gridb = jnp.broadcast_to(grid[None], (B, M, 2))
-        f1 = self.folding1(jnp.concatenate([tok, gridb], -1))
-        coarse = self.folding2(jnp.concatenate([tok, f1], -1))  # (B, 64, 3)
+        f1 = self.folding1(gfeat, gridb)
+        coarse = self.folding2(gfeat, f1)                       # (B, 64, 3)
 
         pos = self.decoder_pos_embed(coarse)
         x_rec = self.MAE_decoder(x_vis, pos, deterministic=not train)

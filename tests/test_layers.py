@@ -80,3 +80,61 @@ class TestBf16Policy:
         # params stay f32
         assert all(p.dtype == jnp.float32
                    for p in jax.tree_util.tree_leaves(v["params"]))
+
+
+class TestSplitDense:
+    """SplitDense/SplitMLP must equal the Dense/MLP over the explicit concat
+    — same params (names, shapes, init), same math (linearity)."""
+
+    def test_equals_concat_dense_shared_first(self):
+        from point_dae_tpu.models.layers import SplitDense
+
+        rng = np.random.default_rng(0)
+        shared = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+        pp = jnp.asarray(rng.normal(size=(2, 5, 7, 3)).astype(np.float32))
+        m = SplitDense(8)
+        v = m.init(jax.random.key(0), shared, pp)
+        assert v["params"]["kernel"].shape == (19, 8)
+        got = m.apply(v, shared, pp)
+        cat = jnp.concatenate(
+            [jnp.broadcast_to(shared[:, :, None, :], (2, 5, 7, 16)), pp], -1)
+        want = cat @ v["params"]["kernel"] + v["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_equals_concat_dense_shared_last_nobias(self):
+        from point_dae_tpu.models.layers import SplitDense
+
+        rng = np.random.default_rng(1)
+        shared = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+        pp = jnp.asarray(rng.normal(size=(4, 9, 5)).astype(np.float32))
+        m = SplitDense(8, shared_last=True, use_bias=False)
+        v = m.init(jax.random.key(0), shared, pp)
+        assert "bias" not in v["params"]
+        got = m.apply(v, shared, pp)
+        cat = jnp.concatenate(
+            [pp, jnp.broadcast_to(shared[:, None, :], (4, 9, 16))], -1)
+        want = cat @ v["params"]["kernel"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_split_mlp_param_tree_matches_mlp(self):
+        from point_dae_tpu.models.layers import MLP, SplitMLP
+
+        rng = np.random.default_rng(2)
+        shared = jnp.asarray(rng.normal(size=(2, 6)).astype(np.float32))
+        pp = jnp.asarray(rng.normal(size=(2, 4, 2)).astype(np.float32))
+        sm = SplitMLP((8, 8, 3))
+        vs = sm.init(jax.random.key(0), shared, pp)
+        cat = jnp.concatenate(
+            [jnp.broadcast_to(shared[:, None, :], (2, 4, 6)), pp], -1)
+        ml = MLP((8, 8, 3))
+        vm = ml.init(jax.random.key(0), cat)
+        ts = jax.tree_util.tree_map(lambda a: a.shape, vs["params"])
+        tm = jax.tree_util.tree_map(lambda a: a.shape, vm["params"])
+        assert ts == tm
+        # same params -> same output
+        got = sm.apply(vm, shared, pp)
+        want = ml.apply(vm, cat)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
