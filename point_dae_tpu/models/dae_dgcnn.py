@@ -37,6 +37,14 @@ class _DGCNNDAEBase(nn.Module):
         return tuple(self.config.get("corrupt_type", ()))
 
     @property
+    def compute_dtype(self):
+        """Optional bf16 encoder compute ('dtype': 'bf16' in the model cfg):
+        edge tensors + convs in bf16, kNN geometry / BN statistics / decoder
+        losses in f32. Default None = full f32 (reference parity)."""
+        d = self.config.get("dtype")
+        return jnp.bfloat16 if str(d) in ("bf16", "bfloat16") else None
+
+    @property
     def loss_func(self):
         return build_loss_func(self.config.get("loss", "cdl2"))
 
@@ -62,6 +70,7 @@ class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
 
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    dtype=self.compute_dtype,
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -87,6 +96,7 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
 
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    dtype=self.compute_dtype,
                                     name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         # fine folding over concat([grid, point, global]): the global feature
@@ -119,6 +129,7 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
 
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    dtype=self.compute_dtype,
                                     name="dgcnn_encoder")
         # both stages consume concat([broadcast global feature, per-point]);
         # the shared half of each first Dense is factorized (exact)
@@ -144,6 +155,7 @@ class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
 
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    dtype=self.compute_dtype,
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -219,6 +231,7 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
 
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
+                                    dtype=self.compute_dtype,
                                     name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")

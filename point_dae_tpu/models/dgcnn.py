@@ -21,18 +21,26 @@ from .layers import leaky_relu02
 Array = jax.Array
 
 
-def get_graph_feature(x: Array, k: int = 20, idx: Optional[Array] = None) -> Array:
+def get_graph_feature(x: Array, k: int = 20, idx: Optional[Array] = None,
+                      dtype: Optional[jnp.dtype] = None) -> Array:
     """Edge features (dgcnn_util.py:15-36). x: (B, N, C) ->
     (B, N, k, 2C) = concat(neighbor - self, self).
 
     The gather goes through ``gather_rows`` so its backward scatter-add runs
     as an MXU one-hot matmul at DGCNN scale (35 -> ~16 ms per edge layer)
-    instead of XLA's HBM scatter."""
+    instead of XLA's HBM scatter.
+
+    ``dtype`` (e.g. bf16) applies to the gathered edge tensor only — the kNN
+    selection always runs on the f32 coordinates/features (geometry stays
+    full-precision, DESIGN.md §5); the (B, N, k, 2C) edge tensor dominates
+    the layer's HBM traffic, so halving its bytes is the big lever."""
     from ..ops.pallas_scatter import gather_rows
 
     if idx is None:
         _, idx = knn(x, x, k)                              # (B, N, k)
     B, N, C = x.shape
+    if dtype is not None:
+        x = x.astype(dtype)
     feature = gather_rows(x, idx.reshape(B, N * k)).reshape(B, N, k, C)
     center = jnp.broadcast_to(x[:, :, None, :], (B, N, k, C))
     return jnp.concatenate([feature - center, center], axis=-1)
@@ -47,6 +55,7 @@ class EdgeConv(nn.Module):
     indices become ordinary saved residuals."""
     out_dim: int
     k: int = 20
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True,
@@ -55,10 +64,14 @@ class EdgeConv(nn.Module):
         # (W [x_j - x_i; x_i] = u_j + v_i) cuts matmul FLOPs by k but
         # measured SLOWER in-graph (185 vs 195 c/s) — the step is HBM-bound
         # and the split adds an elementwise pass; the fused edge tensor stays
-        h = get_graph_feature(x, self.k, idx=idx)           # (B, N, k, 2C)
-        h = nn.Dense(self.out_dim, use_bias=False, name="conv")(h)
+        h = get_graph_feature(x, self.k, idx=idx, dtype=self.dtype)
+        h = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                     name="conv")(h)                        # (B, N, k, D)
+        # BatchNorm statistics always f32 (explicit dtype: under the bf16
+        # policy the convert fuses into the stats/normalize passes — the
+        # materialized buffers stay bf16)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn")(h)
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(h)
         h = leaky_relu02(h)
         return jnp.max(h, axis=2)                           # (B, N, out_dim)
 
@@ -75,6 +88,7 @@ class DGCNNEncoder(nn.Module):
     """
     k: int = 20
     remat: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
@@ -84,19 +98,19 @@ class DGCNNEncoder(nn.Module):
             # expensive op), only the gather+conv+max is rematerialized
             EC = nn.remat(EdgeConv, static_argnums=(2,))
             nn_idx = lambda h: jax.lax.stop_gradient(knn(h, h, self.k)[1])
-            x1 = EC(64, self.k, name="ec1")(x, train, nn_idx(x))
-            x2 = EC(64, self.k, name="ec2")(x1, train, nn_idx(x1))
-            x3 = EC(128, self.k, name="ec3")(x2, train, nn_idx(x2))
-            x4 = EC(256, self.k, name="ec4")(x3, train, nn_idx(x3))
+            x1 = EC(64, self.k, self.dtype, name="ec1")(x, train, nn_idx(x))
+            x2 = EC(64, self.k, self.dtype, name="ec2")(x1, train, nn_idx(x1))
+            x3 = EC(128, self.k, self.dtype, name="ec3")(x2, train, nn_idx(x2))
+            x4 = EC(256, self.k, self.dtype, name="ec4")(x3, train, nn_idx(x3))
         else:
-            x1 = EdgeConv(64, self.k, name="ec1")(x, train)
-            x2 = EdgeConv(64, self.k, name="ec2")(x1, train)
-            x3 = EdgeConv(128, self.k, name="ec3")(x2, train)
-            x4 = EdgeConv(256, self.k, name="ec4")(x3, train)
+            x1 = EdgeConv(64, self.k, self.dtype, name="ec1")(x, train)
+            x2 = EdgeConv(64, self.k, self.dtype, name="ec2")(x1, train)
+            x3 = EdgeConv(128, self.k, self.dtype, name="ec3")(x2, train)
+            x4 = EdgeConv(256, self.k, self.dtype, name="ec4")(x3, train)
         h = jnp.concatenate([x1, x2, x3, x4], axis=-1)      # (B, N, 512)
-        h = nn.Dense(1024, use_bias=False, name="conv5")(h)
+        h = nn.Dense(1024, use_bias=False, dtype=self.dtype, name="conv5")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn5")(h)
+                         epsilon=1e-5, dtype=jnp.float32, name="bn5")(h)
         h = leaky_relu02(h)
         return jnp.max(h, axis=1), h
 
