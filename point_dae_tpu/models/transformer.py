@@ -1,16 +1,17 @@
 """Transformer-backbone Point-DAE models (reference: models/PointCAE_transformer.py)
 and the Point-MAE-style fine-tune heads (models/Point_MAE.py:578-1092).
 
-Static-shape MAE design (the key TPU departure from the reference): instead of
-gathering visible tokens into a shorter sequence (dynamic shapes under a
-random mask ratio ~ U(0.5, 0.8)), all G tokens stay in place and masked tokens
-are excluded as attention *keys* in the encoder. Visible-token activations are
-mathematically identical to the reference's gathered run (attention is
-permutation-equivariant; LayerNorm/MLP are per-token); the decoder then swaps
-masked positions for the learned mask token and attends over everything, which
-matches the reference decoder over [visible ++ mask] tokens. Reconstruction
-losses are weighted by the mask instead of sliced. The result compiles once
-for any mask ratio.
+Static-shape MAE design (the key TPU departure from the reference): the mask
+ratio is bounded (~U(0.5, 0.8) when rand_ratio), so visible tokens are packed
+into a FIXED-capacity buffer (V = G - floor(min_ratio*G)) — patch embed and
+the ViT blocks run only on visible tokens, like the reference's gathered run,
+but every ratio compiles once; the few padding slots are excluded as
+attention keys and zeroed on the scatter back to the all-G layout. The
+decoder swaps masked positions for the learned mask token and attends over
+all G tokens (matching the reference decoder over [visible ++ mask]), and
+local reconstruction heads pack down to the masked-token capacity
+(M = floor(max_ratio*G)) with zero-weight padding — exactly equal to mask-
+weighted losses under the sum(w*per)/sum(w) normalization.
 
 RNG streams: 'corrupt' (patch affine), 'mask' (patch masking), 'droppath',
 'dropout'.
@@ -580,8 +581,11 @@ class PointTransformer(nn.Module):
 
     def setup(self):
         c = self.config
+        dt = jnp.bfloat16 if str(c.get("dtype")) in ("bf16", "bfloat16") \
+            else None
         self.group_divider_args = (c["num_group"], c["group_size"])
-        self.patch_embed = PatchEncoder(c["encoder_dims"], name="encoder")
+        self.patch_embed = PatchEncoder(c["encoder_dims"], dtype=dt,
+                                        name="encoder")
         self.pos_embed = PosEmbedMLP(c["trans_dim"], name="pos_embed")
         self.cls_token = self.param("cls_token",
                                     nn.initializers.truncated_normal(0.02),
@@ -592,6 +596,7 @@ class PointTransformer(nn.Module):
         self.blocks = TransformerEncoder(c["trans_dim"], c["depth"],
                                          c["num_heads"],
                                          drop_path_rate=c.get("drop_path_rate", 0.1),
+                                         dtype=dt,
                                          name="blocks")
         self.norm = nn.LayerNorm(name="norm")
         self.head = _FinetuneHead((512, 256), c["cls_dim"],
