@@ -274,3 +274,22 @@ class TestPartSeg:
         assert logp.shape == (2, 128, 50)
         target = jnp.zeros((2, 128), jnp.int32)
         assert np.isfinite(float(seg_nll_loss(logp, target)))
+
+
+class TestDGCNNBf16Policy:
+    def test_bf16_loss_close_to_f32(self):
+        """The bf16 encoder policy (edge tensors + convs bf16; kNN, BN stats,
+        losses f32) must track the f32 forward closely on identical params."""
+        cfg = {"NAME": "Point_CAE_DGCNN_FCOnly", "corrupt_type": [],
+               "loss": "cdl2"}
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0)}
+
+        m32 = build_model_from_cfg(ConfigDict(cfg))
+        v = m32.init(rngs, pts, pts, train=False)
+        (l32, _) = m32.apply(v, pts, pts, train=False)
+
+        m16 = build_model_from_cfg(ConfigDict(dict(cfg, dtype="bf16")))
+        (l16, _) = m16.apply(v, pts, pts, train=False)   # same params
+        assert abs(float(l16) - float(l32)) / max(abs(float(l32)), 1e-8) < 0.02
