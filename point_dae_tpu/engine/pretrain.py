@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import corruptions as C
-from ..ops import resample_to
+
 from ..parallel import get_mesh, data_sharding, replicate, shard_batch
 from ..utils.logger import ScalarWriter, print_log
 from ..utils.meters import AverageMeter
@@ -44,18 +44,26 @@ def device_pipeline(key: jax.Array, raw: Array, aug_type, corrupt_type,
     clean (B, npoints, C)); replicates ShapeNet55Dataset.__getitem__:90-119:
     augment xyz, corrupt the FULL cloud, then independently resample both.
     Normals (columns 3:) ride along with the clean sample."""
-    B = raw.shape[0]
-    k_aug, k_cor, k_s1, k_s2 = jax.random.split(key, 4)
+    from ..ops.pallas_scatter import gather_rows
 
-    def per_cloud(k_a, k_c, k1, k2, cloud):
+    B, nraw = raw.shape[:2]
+    k_aug, k_cor, k_s1 = jax.random.split(key, 3)
+
+    def per_cloud(k_a, k_c, cloud):
         xyz = C.augment_cloud(k_a, cloud[:, :3], tuple(aug_type))
         full = jnp.concatenate([xyz, cloud[:, 3:]], axis=-1)
-        clean = resample_to(k1, full, None, npoints)
         corrupted = C.corrupt_and_sample(k_c, xyz, tuple(corrupt_type), npoints)
-        return corrupted, clean
+        return corrupted, full
 
-    keys = [jax.random.split(k, B) for k in (k_aug, k_cor, k_s1, k_s2)]
-    return jax.vmap(per_cloud)(keys[0], keys[1], keys[2], keys[3], raw)
+    keys_a = jax.random.split(k_aug, B)
+    keys_c = jax.random.split(k_cor, B)
+    corrupted, full = jax.vmap(per_cloud)(keys_a, keys_c, raw)
+    # clean stream: batched uniform with-replacement resample (same
+    # distribution as the per-sample resample_to; batched so the gather can
+    # ride the MXU one-hot kernel instead of a per-row vmap gather)
+    draws = jax.random.randint(k_s1, (B, npoints), 0, nraw)
+    clean = gather_rows(full, draws)
+    return corrupted, clean
 
 
 def compute_loss(loss_type: str, loss_xyz: Array, loss_normal: Array,
