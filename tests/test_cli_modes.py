@@ -141,3 +141,29 @@ class TestResumeFlow:
         out2 = run_pretrain(cfg, args2, logger_name="t_resume2")
         # resumed from epoch 2 only: exactly one more epoch of steps
         assert int(out2["state"].step) == steps_after_first + 2
+
+
+class TestPlotResults:
+    def test_three_modes_from_fabricated_logs(self, tmp_path):
+        """tools/plot_results.py consumes the log-line API and writes PNGs."""
+        import subprocess
+        import sys
+
+        exp = tmp_path / "exp_a"
+        exp.mkdir()
+        (exp / "run.log").write_text(
+            "x [Validation] EPOCH: 0  acc = 0.5000\n"
+            "x [Validation] EPOCH: 1  acc = 0.7000\n"
+            "x [TEST] acc = 0.7100\n"
+            "x [Corruption] jitter level 0: OA = 0.9000\n"
+            "x [Corruption] jitter level 1: OA = 0.8000\n"
+            "x [Corruption] scale level 0: OA = 0.8500\n")
+        for mode, out in (("accuracy", "a.png"), ("corruption", "c.png"),
+                          ("curves", "v.png")):
+            r = subprocess.run(
+                [sys.executable, "tools/plot_results.py", mode, str(exp),
+                 "-o", str(tmp_path / out)],
+                capture_output=True, text=True, cwd=".",
+                env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+            assert r.returncode == 0, r.stderr
+            assert (tmp_path / out).stat().st_size > 1000
