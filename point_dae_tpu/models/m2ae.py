@@ -135,18 +135,45 @@ class HEncoder(nn.Module):
         x_carry = None
         for i in range(n):
             if i == 0:
-                tokens = self.token_embeds[i](neighborhoods[i], train=train)
+                embed_in = neighborhoods[i]
             else:
                 # token merging: gather previous-scale features by kNN idx
-                merged = group_points(x_carry, idxs[i])      # (B, G_i, S_i, C)
-                tokens = self.token_embeds[i](merged, train=train)
-            pos = self.pos_embeds[i](centers[i])
-            x = self.stages[i](tokens, pos, vis_list[i],
-                               deterministic=not train)
-            # visible slots carry encoded features onward; masked slots keep
-            # their raw embedding (Point_M2AE.py:176-178)
-            x_carry = jnp.where(vis_list[i][..., None], x, tokens)
-            feats.append(self.norms[i](x))
+                embed_in = group_points(x_carry, idxs[i])    # (B, G_i, S_i, C)
+
+            # Coarsest stage: the top mask has a FIXED count
+            # (floor(ratio*G), rand_ratio=False), so like the reference's
+            # gathered visible run the embed + blocks can pack down to the
+            # V visible tokens (static shape). Finer scales have
+            # data-dependent visible counts (back-propagated membership) and
+            # stay in-place with the key-mask. x_carry is never consumed
+            # after the last stage, and decoder consumers read feats only
+            # through where(vis, ...), so zeros at masked slots are exact.
+            G_i = centers[i].shape[1]
+            V = G_i - int(self.mask_ratio * G_i)
+            if i == n - 1 and not noaug and V < G_i:
+                vis = vis_list[i]
+                order = jnp.argsort(jnp.logical_not(vis), axis=-1,
+                                    stable=True)             # visible-first
+                vis_idx = order[:, :V]
+                pe = jnp.take_along_axis(embed_in,
+                                         vis_idx[:, :, None, None], axis=1)
+                tokens = self.token_embeds[i](pe, train=train)
+                pos = self.pos_embeds[i](
+                    jnp.take_along_axis(centers[i], vis_idx[:, :, None], 1))
+                x = self.stages[i](tokens, pos, None,
+                                   deterministic=not train)
+                x = self.norms[i](x)
+                full = jnp.zeros((B, G_i, x.shape[-1]), x.dtype)
+                feats.append(full.at[jnp.arange(B)[:, None], vis_idx].set(x))
+            else:
+                tokens = self.token_embeds[i](embed_in, train=train)
+                pos = self.pos_embeds[i](centers[i])
+                x = self.stages[i](tokens, pos, vis_list[i],
+                                   deterministic=not train)
+                # visible slots carry encoded features onward; masked slots
+                # keep their raw embedding (Point_M2AE.py:176-178)
+                x_carry = jnp.where(vis_list[i][..., None], x, tokens)
+                feats.append(self.norms[i](x))
         masks = [jnp.logical_not(v) for v in vis_list]
         return feats, masks
 
