@@ -48,22 +48,60 @@ class _MlEncoder(nn.Module):
     def __call__(self, neighborhood, center, noaug: bool = False,
                  train: bool = True):
         B, G = neighborhood.shape[:2]
-        tokens = self.patch_embed(neighborhood, train=train)
         if noaug:
-            mask = jnp.zeros((B, G), bool)
-        else:
-            mask = sample_patch_mask(self.make_rng("mask"), B, G,
-                                     self.mask_ratio, self.rand_ratio)
-        pos = self.pos_embed(center)
-        vis = jnp.logical_not(mask)
+            tokens = self.patch_embed(neighborhood, train=train)
+            pos = self.pos_embed(center)
+            x = tokens
+            feats: List[Array] = []
+            for i, block in enumerate(self.inner):
+                x = block(x + pos, deterministic=not train)
+                if i in self.fetch_idx:
+                    feats.append(self.norm(x))
+            return feats, jnp.zeros((B, G), bool), tokens
+
+        mask = sample_patch_mask(self.make_rng("mask"), B, G,
+                                 self.mask_ratio, self.rand_ratio)
+        min_ratio = 0.5 if self.rand_ratio else self.mask_ratio
+        V = G - int(min_ratio * G)
+        if V >= G:                      # nothing masked statically
+            tokens = self.patch_embed(neighborhood, train=train)
+            pos = self.pos_embed(center)
+            vis = jnp.logical_not(mask)
+            x = tokens
+            feats = []
+            for i, block in enumerate(self.inner):
+                x = block(x + pos, key_mask=vis, deterministic=not train)
+                if i in self.fetch_idx:
+                    feats.append(self.norm(x))
+            return feats, mask, tokens
+
+        # masked path: pack to the static visible capacity (same design as
+        # MaskTransformerEncoder); every returned tensor scatters back to
+        # the all-G layout with zeros at masked slots — all consumers are
+        # mask-aware (feats only read through where(mask, ...), student
+        # tokens unused; XLA DCEs unconsumed scatters)
+        order = jnp.argsort(mask, axis=-1, stable=True)   # visible-first
+        vis_idx = order[:, :V]
+        pn = jnp.take_along_axis(neighborhood, vis_idx[:, :, None, None], 1)
+        pc = jnp.take_along_axis(center, vis_idx[:, :, None], 1)
+        tokens = self.patch_embed(pn, train=train)        # (B, V, C)
+        pos = self.pos_embed(pc)
+        num_vis = jnp.sum(jnp.logical_not(mask), axis=-1)
+        slot_valid = jnp.arange(V)[None, :] < num_vis[:, None]
+        rows = jnp.arange(B)[:, None]
+
+        def scatter(z):
+            z = jnp.where(slot_valid[..., None], z, jnp.zeros((), z.dtype))
+            return jnp.zeros((B, G, z.shape[-1]), z.dtype).at[
+                rows, vis_idx].set(z)
+
         x = tokens
-        feats: List[Array] = []
+        feats = []
         for i, block in enumerate(self.inner):
-            x = block(x + pos, key_mask=None if noaug else vis,
-                      deterministic=not train)
+            x = block(x + pos, key_mask=slot_valid, deterministic=not train)
             if i in self.fetch_idx:
-                feats.append(self.norm(x))
-        return feats, mask, tokens
+                feats.append(scatter(self.norm(x)))
+        return feats, mask, scatter(tokens)
 
 
 class _MlDecoder(nn.Module):
