@@ -65,12 +65,27 @@ class _Detr3Base(_CAETransformerBase):
         t = self.tcfg
         center, tokens = self.pre_encoder(pts, train=train)
         B, G = tokens.shape[:2]
+        rand = str(t.get("rand_ratio", "False")) == "True"
         mask = sample_patch_mask(self.make_rng("mask"), B, G,
-                                 t.get("mask_ratio", 0.6),
-                                 str(t.get("rand_ratio", "False")) == "True")
-        x = self.blocks(tokens, key_mask=jnp.logical_not(mask),
-                        deterministic=not train)
-        return x, mask, center
+                                 t.get("mask_ratio", 0.6), rand)
+        # pack the PE-free encoder blocks to the static visible capacity
+        # (same design as MaskTransformerEncoder); consumers are mask-aware
+        min_ratio = 0.5 if rand else float(t.get("mask_ratio", 0.6))
+        V = G - int(min_ratio * G)
+        if V >= G:
+            x = self.blocks(tokens, key_mask=jnp.logical_not(mask),
+                            deterministic=not train)
+            return x, mask, center
+        order = jnp.argsort(mask, axis=-1, stable=True)   # visible-first
+        vis_idx = order[:, :V]
+        pt = jnp.take_along_axis(tokens, vis_idx[:, :, None], axis=1)
+        num_vis = jnp.sum(jnp.logical_not(mask), axis=-1)
+        slot_valid = jnp.arange(V)[None, :] < num_vis[:, None]
+        x = self.blocks(pt, key_mask=slot_valid, deterministic=not train)
+        x = jnp.where(slot_valid[..., None], x, jnp.zeros((), x.dtype))
+        full = jnp.zeros((B, G, x.shape[-1]), x.dtype)
+        full = full.at[jnp.arange(B)[:, None], vis_idx].set(x)
+        return full, mask, center
 
 
 @MODELS.register_module()

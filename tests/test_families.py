@@ -403,3 +403,35 @@ class TestM2AEThreeScale:
             "num_heads": 2, "mask_ratio": 0.8, "loss": "cdl2"},
             N=256, C=3)
         assert np.isfinite(float(out[0]))
+
+
+class TestDetr3:
+    def test_fc_global_fc_local_3detr(self):
+        cfg = {"NAME": "PointCAE_transformer_fc_global_fc_local_3detr",
+               "corrupt_type": ["affine_r3", "Drop-Patch"],
+               "all_patch": "False", "group_size": 8, "num_group": 16,
+               "loss": "cdl2", "transformer_config": dict(TF)}
+        out = run_pretrain_model(cfg)
+        assert np.isfinite(float(out[0])) and np.isfinite(float(out[1]))
+
+    def test_encodernope_alias(self):
+        cfg = {"NAME":
+               "PointCAE_transformer_fc_global_fc_local_3detr_encodernope",
+               "corrupt_type": ["affine_r3", "Drop-Patch"],
+               "all_patch": "False", "group_size": 8, "num_group": 16,
+               "loss": "cdl2", "transformer_config": dict(TF)}
+        out = run_pretrain_model(cfg)
+        assert np.isfinite(float(out[0]))
+
+    def test_encode_feature_path(self):
+        cfg = {"NAME": "PointCAE_transformer_fc_global_fc_local_3detr",
+               "corrupt_type": ["affine_r3", "Drop-Patch"],
+               "all_patch": "False", "group_size": 8, "num_group": 16,
+               "loss": "cdl2", "transformer_config": dict(TF)}
+        model = build_model_from_cfg(ConfigDict(cfg))
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        v = model.init(RNGS, pts, pts, train=True)
+        feat = jax.jit(lambda v, p: model.apply(
+            v, p, train=False, method="encode"))(v, pts)
+        assert feat.shape == (2, TF["trans_dim"])
