@@ -435,3 +435,34 @@ class TestDetr3:
         feat = jax.jit(lambda v, p: model.apply(
             v, p, train=False, method="encode"))(v, pts)
         assert feat.shape == (2, TF["trans_dim"])
+
+
+class TestMlMAEPackingInvariance:
+    def test_visible_feats_independent_of_masked(self):
+        """MlMAE's packed student encoder: visible-slot features must not
+        depend on masked patches' contents (they are never embedded)."""
+        from point_dae_tpu.models.mlmae import _MlEncoder
+
+        enc = _MlEncoder(trans_dim=32, depth=4, num_heads=2, encoder_dims=32,
+                         drop_path_rate=0.0, mask_ratio=0.5, rand_ratio=False,
+                         fetch_idx=(1, 3))
+        rng = np.random.default_rng(0)
+        neigh = jnp.asarray(rng.normal(size=(1, 8, 4, 3)).astype(np.float32))
+        center = jnp.asarray(rng.normal(size=(1, 8, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "mask": jax.random.key(1)}
+
+        @jax.jit
+        def run(neigh):
+            v = enc.init(rngs, neigh, center, train=False)
+            return enc.apply(v, neigh, center, train=False,
+                             rngs={"mask": jax.random.key(7)})
+
+        feats1, mask, _ = run(neigh)
+        m = np.asarray(mask)[0]
+        neigh2 = np.asarray(neigh).copy()
+        neigh2[0, m] += 100.0
+        feats2, mask2, _ = run(jnp.asarray(neigh2))
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask2))
+        for f1, f2 in zip(feats1, feats2):
+            np.testing.assert_allclose(np.asarray(f1)[0, ~m],
+                                       np.asarray(f2)[0, ~m], atol=2e-4)
