@@ -13,12 +13,13 @@ import sys
 import time
 
 
-def _wait_for_healthy_device(min_tflops: float = 20.0, tries: int = 8,
+def _wait_for_healthy_device(min_tflops: float = 20.0, tries: int = 45,
                              sleep_s: float = 60.0) -> None:
     """The axon TPU tunnel occasionally degrades transiently (observed
-    ~1.5-4 TFLOP/s on a 4k bf16 matmul vs ~150 healthy). Benchmarking a
-    degraded device records a meaningless number, so probe with a calibration
-    matmul and wait (bounded) for recovery."""
+    ~1.5-4 TFLOP/s on a 4k bf16 matmul vs ~150 healthy, sometimes for
+    hours). Benchmarking a degraded device records a meaningless number, so
+    probe with a calibration matmul and wait (bounded, ~45 min) for
+    recovery."""
     import jax
     import jax.numpy as jnp
     import numpy as np
