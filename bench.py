@@ -13,19 +13,22 @@ import sys
 import time
 
 
-def _wait_for_healthy_device(min_tflops: float = 20.0, tries: int = 45,
-                             sleep_s: float = 60.0) -> None:
+def _wait_for_healthy_device(min_tflops: float = 20.0, tries: int = 8,
+                             sleep_s: float = 45.0) -> float:
     """The axon TPU tunnel occasionally degrades transiently (observed
     ~1.5-4 TFLOP/s on a 4k bf16 matmul vs ~150 healthy, sometimes for
     hours). Benchmarking a degraded device records a meaningless number, so
-    probe with a calibration matmul and wait (bounded, ~45 min) for
-    recovery."""
+    probe with a calibration matmul and wait (bounded to ~6 min so the whole
+    bench always fits the driver's timeout — a degraded-but-reported number
+    beats a timeout with no number). Returns the last probed TFLOP/s so the
+    caller can flag the output as degraded instead of suppressing it."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     x = jnp.ones((4096, 4096), jnp.bfloat16)
     f = jax.jit(lambda a: a @ a)
+    tflops = 0.0
     for attempt in range(tries):
         y = f(x)
         _ = float(np.asarray(y)[0, 0])
@@ -35,12 +38,14 @@ def _wait_for_healthy_device(min_tflops: float = 20.0, tries: int = 45,
         _ = float(np.asarray(y)[0, 0])
         tflops = 2 * 4096 ** 3 * 20 / (time.perf_counter() - t0) / 1e12
         if tflops >= min_tflops:
-            return
+            return tflops
         print(f"# device degraded ({tflops:.1f} TFLOP/s), waiting...",
               file=sys.stderr)
-        time.sleep(sleep_s)
+        if attempt < tries - 1:
+            time.sleep(sleep_s)
     print(f"# WARNING: device still degraded after {tries} tries; "
-          f"benchmarking anyway", file=sys.stderr)
+          f"benchmarking anyway and flagging output", file=sys.stderr)
+    return tflops
 
 
 def main():
@@ -51,7 +56,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    _wait_for_healthy_device()
+    t_start = time.perf_counter()
+    probe_tflops = _wait_for_healthy_device()
+    print(f"# health gate done at t={time.perf_counter() - t_start:.0f}s "
+          f"({probe_tflops:.0f} TFLOP/s)", file=sys.stderr, flush=True)
 
     sys.path.insert(0, ".")
     from __graft_entry__ import FLAGSHIP_CONFIG
@@ -77,17 +85,23 @@ def main():
     # same rate — async dispatch already hides launch latency when steps are
     # enqueued back-to-back, so the simpler single-step loop is kept here
 
+    print(f"# init done at t={time.perf_counter() - t_start:.0f}s",
+          file=sys.stderr, flush=True)
     key = jax.random.key(0)
     gw = jnp.float32(0.5)
     # warmup / compile
     state, m = step(state, raw, key, gw)
     _ = float(m["loss_xyz"])
+    print(f"# compile+warmup done at t={time.perf_counter() - t_start:.0f}s",
+          file=sys.stderr, flush=True)
 
     # best of 3 rounds: remote-device tunnels occasionally degrade
-    # transiently; the best round reflects steady-state capability
+    # transiently; the best round reflects steady-state capability.
+    # On a degraded device, shrink the measurement so a number is still
+    # reported inside the driver's budget.
+    rounds, iters = (3, 16) if probe_tflops >= 20.0 else (1, 4)
     best_dt = float("inf")
-    for _ in range(3):
-        iters = 16
+    for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
             key, sub = jax.random.split(key)
@@ -98,13 +112,28 @@ def main():
         best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
     cps = B / best_dt
 
-    print(json.dumps({
+    out = {
         "metric": "pretrain_throughput_flagship_transformer",
         "value": round(cps, 2),
         "unit": "clouds/sec/chip",
         "vs_baseline": None,
-    }))
+    }
+    if probe_tflops < 20.0:
+        out["degraded"] = True
+        out["probe_tflops"] = round(probe_tflops, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit the one JSON line the driver parses
+        print(json.dumps({
+            "metric": "pretrain_throughput_flagship_transformer",
+            "value": 0.0,
+            "unit": "clouds/sec/chip",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        sys.stdout.flush()
+        raise
