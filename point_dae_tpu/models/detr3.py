@@ -20,7 +20,7 @@ from ..utils.registry import MODELS
 from .dae_pointnet2 import SetAbstraction
 from .layers import MLP, PosEmbedMLP, TransformerBlock
 from .transformer import (_CAETransformerBase, _masked_loss_fn,
-                          sample_patch_mask)
+                          sample_patch_mask, static_num_masked)
 
 Array = jax.Array
 
@@ -71,7 +71,7 @@ class _Detr3Base(_CAETransformerBase):
         # pack the PE-free encoder blocks to the static visible capacity
         # (same design as MaskTransformerEncoder); consumers are mask-aware
         min_ratio = 0.5 if rand else float(t.get("mask_ratio", 0.6))
-        V = G - int(min_ratio * G)
+        V = G - static_num_masked(min_ratio, G)
         if V >= G:
             x = self.blocks(tokens, key_mask=jnp.logical_not(mask),
                             deterministic=not train)

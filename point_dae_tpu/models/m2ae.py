@@ -30,7 +30,7 @@ from ..ops import (furthest_point_sample, gather_points, group_points,
                    knn, three_interpolate, three_nn)
 from ..utils.registry import MODELS
 from .layers import MLP, PatchEncoder, TransformerBlock
-from .transformer import sample_patch_mask
+from .transformer import sample_patch_mask, static_num_masked
 
 Array = jax.Array
 
@@ -149,7 +149,7 @@ class HEncoder(nn.Module):
             # after the last stage, and decoder consumers read feats only
             # through where(vis, ...), so zeros at masked slots are exact.
             G_i = centers[i].shape[1]
-            V = G_i - int(self.mask_ratio * G_i)
+            V = G_i - static_num_masked(self.mask_ratio, G_i)
             if i == n - 1 and not noaug and V < G_i:
                 vis = vis_list[i]
                 order = jnp.argsort(jnp.logical_not(vis), axis=-1,
@@ -160,9 +160,16 @@ class HEncoder(nn.Module):
                 tokens = self.token_embeds[i](pe, train=train)
                 pos = self.pos_embeds[i](
                     jnp.take_along_axis(centers[i], vis_idx[:, :, None], 1))
-                x = self.stages[i](tokens, pos, None,
+                # guard against any count drift: padding slots (beyond the
+                # true visible count) are excluded as attention keys, same
+                # as MaskTransformerEncoder's packed path
+                num_vis = jnp.sum(vis, axis=-1)
+                slot_valid = jnp.arange(V)[None, :] < num_vis[:, None]
+                x = self.stages[i](tokens, pos, slot_valid,
                                    deterministic=not train)
                 x = self.norms[i](x)
+                x = jnp.where(slot_valid[..., None], x,
+                              jnp.zeros((), x.dtype))
                 full = jnp.zeros((B, G_i, x.shape[-1]), x.dtype)
                 feats.append(full.at[jnp.arange(B)[:, None], vis_idx].set(x))
             else:

@@ -20,7 +20,8 @@ from ..losses import masked_chamfer_l2
 from ..ops import group_neighborhood
 from ..utils.registry import MODELS
 from .layers import PatchEncoder, PosEmbedMLP, TransformerBlock
-from .transformer import _CAETransformerBase, sample_patch_mask
+from .transformer import (_CAETransformerBase, sample_patch_mask,
+                          static_num_masked)
 
 Array = jax.Array
 
@@ -62,7 +63,7 @@ class _MlEncoder(nn.Module):
         mask = sample_patch_mask(self.make_rng("mask"), B, G,
                                  self.mask_ratio, self.rand_ratio)
         min_ratio = 0.5 if self.rand_ratio else self.mask_ratio
-        V = G - int(min_ratio * G)
+        V = G - static_num_masked(min_ratio, G)
         if V >= G:                      # nothing masked statically
             tokens = self.patch_embed(neighborhood, train=train)
             pos = self.pos_embed(center)
@@ -79,7 +80,10 @@ class _MlEncoder(nn.Module):
         # MaskTransformerEncoder); every returned tensor scatters back to
         # the all-G layout with zeros at masked slots — all consumers are
         # mask-aware (feats only read through where(mask, ...), student
-        # tokens unused; XLA DCEs unconsumed scatters)
+        # tokens unused; XLA DCEs unconsumed scatters). Documented
+        # approximation: PatchEncoder BatchNorm batch stats are computed
+        # over the ~V visible patches instead of all G (see
+        # MaskTransformerEncoder for details).
         order = jnp.argsort(mask, axis=-1, stable=True)   # visible-first
         vis_idx = order[:, :V]
         pn = jnp.take_along_axis(neighborhood, vis_idx[:, :, None, None], 1)

@@ -23,6 +23,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 from ..data.corruptions_patch import corrupt_patches
 from ..losses import build_loss_func, masked_chamfer_l1, masked_chamfer_l2
@@ -43,17 +44,36 @@ def _masked_loss_fn(loss_type: str):
     raise NotImplementedError(loss_type)
 
 
+def static_num_masked(ratio: float, num_group: int) -> int:
+    """Static mirror of sample_patch_mask's in-graph masked-token count.
+
+    Both floors MUST agree, in the same float32 arithmetic: a Python-float64
+    ``int(ratio * G)`` disagrees for legal configs (e.g. ratio=0.53, G=100:
+    f32 floor is 53, f64 floor is 52), which would silently drop a visible
+    token from the packed encoder buffer or leak a masked one in. Every
+    static V/M capacity derives from this single function."""
+    return int(np.floor(np.float32(ratio) * np.float32(num_group)))
+
+
 def sample_patch_mask(key: jax.Array, batch: int, num_group: int,
                       mask_ratio: float, rand_ratio: bool) -> Array:
     """Random patch mask (MaskTransformer._mask_center_rand,
     PointCAE_transformer.py:395-422): if ``rand_ratio``, ratio ~ U(0.5, 0.8)
-    drawn once per call; exactly int(ratio*G) patches masked per sample."""
+    drawn once per call; exactly int(ratio*G) patches masked per sample.
+
+    The masked count is clamped to the static [min_ratio, max_ratio]
+    capacities so packed encoders/decoders (which size their buffers with
+    static_num_masked) can never over/under-flow by a float-rounding ulp."""
     k_ratio, k_perm = jax.random.split(key)
     if rand_ratio:
         ratio = jax.random.uniform(k_ratio, (), minval=0.5, maxval=0.8)
+        lo = static_num_masked(0.5, num_group)
+        hi = static_num_masked(0.8, num_group)
     else:
         ratio = jnp.float32(mask_ratio)
-    num_mask = jnp.floor(ratio * num_group).astype(jnp.int32)
+        lo = hi = static_num_masked(mask_ratio, num_group)
+    num_mask = jnp.clip(jnp.floor(ratio * num_group).astype(jnp.int32),
+                        lo, hi)
     r = jax.random.uniform(k_perm, (batch, num_group))
     order = jnp.argsort(r, axis=-1)
     rank = jnp.zeros((batch, num_group), jnp.int32).at[
@@ -104,9 +124,14 @@ class MaskTransformerEncoder(nn.Module):
         # blocks run only on visible tokens — packed to a fixed-size buffer
         # so any U(0.5, 0.8) ratio compiles once. Masked-token embeddings are
         # never consumed downstream (the decoder swaps in the mask token), so
-        # skipping them is exact.
+        # skipping them is exact per-token. One documented approximation:
+        # the reference embeds ALL G patches before gathering
+        # (PointCAE_transformer.py:440), so PatchEncoder's BatchNorm batch
+        # statistics (and the running averages used at eval/noaug) are here
+        # computed over the ~V-patch random subset instead of all G — a
+        # small, unbiased difference since masking is uniform.
         min_ratio = 0.5 if self.rand_ratio else self.mask_ratio
-        V = G - int(min_ratio * G)
+        V = G - static_num_masked(min_ratio, G)
         if V >= G:                      # nothing masked statically
             tokens = self.patch_embed(neighborhood, train=train)
             pos = self.pos_embed(center)
@@ -289,7 +314,7 @@ class _CAETransformerBase(nn.Module):
         t = self.tcfg
         rand = str(t.get("rand_ratio", "False")) == "True"
         max_ratio = 0.8 if rand else float(t.get("mask_ratio", 0.6))
-        M = int(max_ratio * G)
+        M = static_num_masked(max_ratio, G)
         if (not self.masked_mode) or self.all_patch or M >= G:
             return None
         order = jnp.argsort(jnp.logical_not(mask), axis=-1, stable=True)

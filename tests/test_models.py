@@ -144,6 +144,35 @@ class TestMaskingEquivalence:
         counts = np.asarray(jnp.sum(mask, -1))
         np.testing.assert_array_equal(counts, 38)  # floor(0.6*64)
 
+    def test_mask_count_matches_static_capacity(self):
+        """Regression: the in-graph masked count (f32 floor) and the static
+        V/M capacities must agree for every legal fixed ratio — a Python
+        float64 floor disagrees for e.g. ratio=0.53 G=100 (would drop a
+        visible token) and 0.7 G=90 (would leak a masked one)."""
+        from point_dae_tpu.models.transformer import (sample_patch_mask,
+                                                      static_num_masked)
+
+        for G in (64, 90, 100, 128):
+            for ratio in np.round(np.arange(0.40, 0.91, 0.01), 2):
+                ratio = float(ratio)
+                mask = sample_patch_mask(jax.random.key(1), 1, G, ratio,
+                                         False)
+                n = int(jnp.sum(mask))
+                assert n == static_num_masked(ratio, G), (ratio, G)
+
+    def test_rand_ratio_mask_within_static_capacity(self):
+        """rand_ratio masked counts always fit the packed-buffer capacities
+        derived from the 0.5/0.8 endpoints."""
+        from point_dae_tpu.models.transformer import (sample_patch_mask,
+                                                      static_num_masked)
+
+        G = 64
+        lo, hi = static_num_masked(0.5, G), static_num_masked(0.8, G)
+        for i in range(50):
+            mask = sample_patch_mask(jax.random.key(i), 2, G, 0.6, True)
+            n = int(jnp.sum(mask[0]))
+            assert lo <= n <= hi
+
     def test_rand_ratio_range(self):
         from point_dae_tpu.models.transformer import sample_patch_mask
 
