@@ -117,11 +117,12 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
             return loss, (acc, mut["batch_stats"])
 
-        grads, (acc, new_bs) = jax.grad(lossf, has_aux=True)(state.params)
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(
+            lossf, has_aux=True)(state.params)
         if freeze_bn:
             new_bs = state.batch_stats
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
-        return state, {"loss": jnp.zeros(()), "acc": acc * 100.0}
+        return state, {"loss": loss, "acc": acc * 100.0}
 
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
@@ -261,13 +262,22 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
 
     for epoch in range(start_epoch, max_epoch + 1):
         loader.set_epoch(epoch)
-        meters = AverageMeter(["acc"])
+        meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
         for batch in loader:
             key, sub = jax.random.split(key)
             pts = shard_batch(mesh, jnp.asarray(batch["points"], jnp.float32))
             labels = shard_batch(mesh, jnp.asarray(batch["label"]))
             state, metrics = train_step(state, pts, labels, sub)
+            meters.update([float(metrics["loss"]), float(metrics["acc"])])
+        # training loss/acc are first-class signals like the reference's
+        # (runner_finetune.py:205-216 logs + TB scalars both)
+        writer.add_scalar("Loss/Epoch/loss", meters.avg(0), epoch)
+        writer.add_scalar("Metric/TrainACC", meters.avg(1), epoch)
+        print_log(f"[Training] EPOCH: {epoch} EpochTime = "
+                  f"{time.time() - t0:.3f} (s) "
+                  f"Losses = ['{meters.avg(0):.4f}', '{meters.avg(1):.4f}']",
+                  logger=logger_name)
         acc = evaluate(eval_step, state, val_loader_fn(), mesh, total_bs)
         writer.add_scalar("Metric/ACC", acc, epoch)
         print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f} "

@@ -20,6 +20,7 @@ import numpy as np
 from ..models.partseg import seg_nll_loss
 from ..parallel import data_sharding, get_mesh, replicate, shard_batch
 from ..utils.logger import print_log
+from ..utils.meters import AverageMeter
 from .train_state import TrainState, build_optimizer
 
 SEG_CLASSES = {
@@ -55,9 +56,10 @@ def make_seg_train_step(model, config, mesh=None):
             acc = jnp.mean(jnp.argmax(logp, -1) == seg)
             return loss, (acc, mut["batch_stats"])
 
-        grads, (acc, new_bs) = jax.grad(lossf, has_aux=True)(state.params)
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(
+            lossf, has_aux=True)(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
-        return state, {"acc": acc}
+        return state, {"loss": loss, "acc": acc}
 
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
@@ -153,6 +155,7 @@ def run_partseg(config, args, logger_name="PointDAE"):
 
     for epoch in range(int(config.get("max_epoch", 300)) + 1):
         loader.set_epoch(epoch)
+        meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
         for batch in loader:
             key, sub = jax.random.split(key)
@@ -160,8 +163,13 @@ def run_partseg(config, args, logger_name="PointDAE"):
                                                 jnp.float32))
             onehot = jax.nn.one_hot(jnp.asarray(batch["label"]), 16)
             seg = shard_batch(mesh, jnp.asarray(batch["seg"]))
-            state, _ = train_step(state, pts, shard_batch(mesh, onehot),
-                                  seg, sub)
+            state, metrics = train_step(state, pts, shard_batch(mesh, onehot),
+                                        seg, sub)
+            meters.update([float(metrics["loss"]), float(metrics["acc"])])
+        # train loss/acc logged like the reference (segmentation/main.py
+        # logs "Train accuracy" and the loss meter per epoch)
+        print_log(f"Epoch {epoch} train loss = {meters.avg(0):.5f} "
+                  f"train acc = {meters.avg(1):.5f}", logger=logger_name)
         # eval
         preds, gts, names = [], [], []
         ev = DataLoader(test_set, total_bs, shuffle=False, drop_last=False)
