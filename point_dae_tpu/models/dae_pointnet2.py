@@ -185,12 +185,14 @@ class _PN2ClsHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Dense(512, use_bias=False, name="fc1")(x)
+        # biased Dense like the reference nn.Linear (PointCAE_pointnetv2.py
+        # :757-767) so converted checkpoints land bit-for-bit
+        x = nn.Dense(512, name="fc1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, name="dp1")(x, deterministic=not train)
-        x = nn.Dense(256, use_bias=False, name="fc2")(x)
+        x = nn.Dense(256, name="fc2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn2")(x)
         x = nn.relu(x)

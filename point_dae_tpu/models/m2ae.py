@@ -29,7 +29,7 @@ from ..losses import chamfer_l2, masked_chamfer_l2
 from ..ops import (furthest_point_sample, gather_points, group_points,
                    knn, three_interpolate, three_nn)
 from ..utils.registry import MODELS
-from .layers import MLP, PatchEncoder, TransformerBlock
+from .layers import MLP, TransformerBlock
 from .transformer import sample_patch_mask, static_num_masked
 
 Array = jax.Array
@@ -60,6 +60,38 @@ def backprop_mask(vis_coarse: Array, idx: Array, g_fine: int) -> Array:
     vis = jnp.zeros((B, g_fine), bool)
     member_vis = jnp.broadcast_to(vis_coarse[:, :, None], idx.shape)
     return vis.at[jnp.arange(B)[:, None, None], idx].max(member_vis)
+
+
+class TokenEmbed(nn.Module):
+    """Mini-PointNet token embedding with the reference's width rule
+    (Token_Embed, Point_M2AE_modules.py:169-215): for 3-channel input the
+    PatchEncoder wiring (3->128->256 | 512->512->out); for merged-feature
+    input (in_c > 3) the in_c-preserving wiring
+    (in_c->in_c->in_c | 2*in_c->out->out). Matching these widths exactly is
+    what lets reference M2AE checkpoints convert layer-for-layer."""
+    out_c: int
+
+    @nn.compact
+    def __call__(self, groups: Array, train: bool = True) -> Array:
+        B, G, S, C = groups.shape
+        x = groups.reshape(B * G, S, C)
+        if C == 3:
+            w1, w2, w3 = 128, 256, 512
+        else:
+            w1, w2, w3 = C, C, self.out_c
+        h = nn.Dense(w1, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(w2, name="conv2")(h)
+        g = jnp.max(h, axis=1, keepdims=True)
+        h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
+        h = nn.Dense(w3, name="conv3")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.out_c, name="conv4")(h)
+        return jnp.max(h, axis=1).reshape(B, G, self.out_c)
 
 
 class EncoderStage(nn.Module):
@@ -96,8 +128,8 @@ class HEncoder(nn.Module):
 
     def setup(self):
         n = len(self.encoder_dims)
-        self.token_embeds = [PatchEncoder(self.encoder_dims[i],
-                                          name=f"token_embed{i}")
+        self.token_embeds = [TokenEmbed(self.encoder_dims[i],
+                                        name=f"token_embed{i}")
                              for i in range(n)]
         self.pos_embeds = [MLP((self.encoder_dims[i], self.encoder_dims[i]),
                                act=nn.gelu, name=f"pos_embed{i}")

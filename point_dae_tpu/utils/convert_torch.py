@@ -127,9 +127,151 @@ _DGCNN_RULES = [
     (r"^folding2\.4\.(weight|bias)$", "folding2/dense2"),
 ]
 
+# masksurf shares the transformer module naming (MaskSurf_v2.py MaskTransformer
+# uses Encoder/pos_embed/blocks/norm exactly like PointCAE_transformer); extras:
+_MASKSURF_RULES = _TRANSFORMER_RULES + [
+    (r"^increase_dim2\.0\.(weight|bias)$", "increase_dim2"),
+    (r"^increase_dim2\.(weight|bias)$", "increase_dim2"),
+    (r"^loss_weight$", "loss_weight"),
+]
+
+
+def _stn_rules(prefix: str, dst: str):
+    """STN3d/STNkd naming (pointnet_util.py:18-92): conv1-3 + bn1-3 point
+    stack, fc1-2 + bn4-5 head, fc3 output."""
+    return [
+        (prefix + r"conv1\.(.*)$", dst + "/c1_fc"),
+        (prefix + r"bn1\.(.*)$", dst + "/c1_bn"),
+        (prefix + r"conv2\.(.*)$", dst + "/c2_fc"),
+        (prefix + r"bn2\.(.*)$", dst + "/c2_bn"),
+        (prefix + r"conv3\.(.*)$", dst + "/c3_fc"),
+        (prefix + r"bn3\.(.*)$", dst + "/c3_bn"),
+        (prefix + r"fc1\.(.*)$", dst + "/f1_fc"),
+        (prefix + r"bn4\.(.*)$", dst + "/f1_bn"),
+        (prefix + r"fc2\.(.*)$", dst + "/f2_fc"),
+        (prefix + r"bn5\.(.*)$", dst + "/f2_bn"),
+        (prefix + r"fc3\.(.*)$", dst + "/f3"),
+    ]
+
+
+# ---- PointNet family (pointnet_util.py STN3d/STNkd/PointNetEncoder +
+# PointCAE_pointnet.py heads). Torch path root: pointnet_encoder.
+_POINTNET_RULES = (
+    _stn_rules(r"^pointnet_encoder\.stn\.", "pointnet_encoder/stn")
+    + _stn_rules(r"^pointnet_encoder\.fstn\.", "pointnet_encoder/fstn")
+    + [
+        (r"^pointnet_encoder\.conv1\.(.*)$", "pointnet_encoder/c1_fc"),
+        (r"^pointnet_encoder\.bn1\.(.*)$", "pointnet_encoder/c1_bn"),
+        (r"^pointnet_encoder\.conv2\.(.*)$", "pointnet_encoder/c2_fc"),
+        (r"^pointnet_encoder\.bn2\.(.*)$", "pointnet_encoder/c2_bn"),
+        (r"^pointnet_encoder\.conv3\.(.*)$", "pointnet_encoder/c3_fc"),
+        (r"^pointnet_encoder\.bn3\.(.*)$", "pointnet_encoder/c3_bn"),
+        # DAE FC decoder (reference names it folding1, a 3-Linear stack)
+        (r"^folding1\.0\.(weight|bias)$", "recfc/dense0"),
+        (r"^folding1\.2\.(weight|bias)$", "recfc/dense1"),
+        (r"^folding1\.4\.(weight|bias)$", "recfc/dense2"),
+        # cls head (PointCAE_pointnet.py:145-154: Linear BN ReLU Dropout
+        # Linear BN ReLU Linear)
+        (r"^cls_head_finetune\.0\.(.*)$", "cls_head/fc1"),
+        (r"^cls_head_finetune\.1\.(.*)$", "cls_head/bn1"),
+        (r"^cls_head_finetune\.4\.(.*)$", "cls_head/fc2"),
+        (r"^cls_head_finetune\.5\.(.*)$", "cls_head/bn2"),
+        (r"^cls_head_finetune\.7\.(.*)$", "cls_head/cls"),
+        (r"^cls\.(weight|bias)$", "cls"),     # linear-probe heads
+    ])
+
+# ---- PointNet++ family (pointnetv2_util.py:319-345 encoder built on the
+# pointnet2_ops wheel: sa{j}.mlps.0.layer{i}.conv / .bn.bn (SharedMLP +
+# _BNBase nesting, extensions/pointnet2/pytorch_utils.py:8-62) +
+# PointCAE_pointnetv2.py heads). Torch path root: pointnetv2_encoder.
+_POINTNET2_RULES = [
+    (r"^pointnetv2_encoder\.sa(\d+)\.mlps\.0\.layer(\d+)\.conv\.(weight|bias)$",
+     "pointnetv2_encoder/sa{0}/mlp{1}_fc"),
+    (r"^pointnetv2_encoder\.sa(\d+)\.mlps\.0\.layer(\d+)\.bn\.bn\.(.*)$",
+     "pointnetv2_encoder/sa{0}/mlp{1}_bn"),
+    # PCN decoder (folding1 Linear stack, folding2 Conv1d stack — our
+    # SplitMLP keeps nn.Dense-on-concat kernel layout so a straight
+    # transpose converts; concat orders match the reference forward)
+    (r"^folding1\.0\.(weight|bias)$", "folding1/dense0"),
+    (r"^folding1\.2\.(weight|bias)$", "folding1/dense1"),
+    (r"^folding1\.4\.(weight|bias)$", "folding1/dense2"),
+    (r"^folding2\.0\.(weight|bias)$", "folding2/dense0"),
+    (r"^folding2\.2\.(weight|bias)$", "folding2/dense1"),
+    (r"^folding2\.4\.(weight|bias)$", "folding2/dense2"),
+    # MA2E heads (PointCAE_pointnetv2.py:186-220)
+    (r"^pos_embed\.0\.(weight|bias)$", "pos_embed/dense0"),
+    (r"^pos_embed\.2\.(weight|bias)$", "pos_embed/dense1"),
+    (r"^coarse_pred\.0\.(weight|bias)$", "coarse_pred/dense0"),
+    (r"^coarse_pred\.2\.(weight|bias)$", "coarse_pred/dense1"),
+    (r"^coarse_pred\.4\.(weight|bias)$", "coarse_pred/dense2"),
+    # projection head (PointCAE_pointnetv2.py:631-746)
+    (r"^proj\.0\.(weight|bias)$", "proj/dense0"),
+    (r"^proj\.2\.(weight|bias)$", "proj/dense1"),
+    # cls head (PointCAE_pointnetv2.py:757-767: Linear BN ReLU Dropout
+    # Linear BN ReLU Dropout Linear)
+    (r"^cls_head_finetune\.0\.(.*)$", "cls_head/fc1"),
+    (r"^cls_head_finetune\.1\.(.*)$", "cls_head/bn1"),
+    (r"^cls_head_finetune\.4\.(.*)$", "cls_head/fc2"),
+    (r"^cls_head_finetune\.5\.(.*)$", "cls_head/bn2"),
+    (r"^cls_head_finetune\.8\.(.*)$", "cls_head/cls"),
+    (r"^cls\.(weight|bias)$", "cls"),
+]
+
+# ---- Point-M2AE family (Point_M2AE.py H_Encoder: token_embed /
+# encoder_pos_embeds / encoder_blocks.{i}.blocks.{j} / encoder_norms;
+# Token_Embed naming from Point_M2AE_modules.py:169-215).
+_M2AE_RULES = [
+    (r"^h_encoder\.token_embed\.(\d+)\.first_conv\.0\.(weight|bias)$",
+     "h_encoder/token_embed{0}/conv1"),
+    (r"^h_encoder\.token_embed\.(\d+)\.first_conv\.1\.(.*)$",
+     "h_encoder/token_embed{0}/bn1"),
+    (r"^h_encoder\.token_embed\.(\d+)\.first_conv\.3\.(weight|bias)$",
+     "h_encoder/token_embed{0}/conv2"),
+    (r"^h_encoder\.token_embed\.(\d+)\.second_conv\.0\.(weight|bias)$",
+     "h_encoder/token_embed{0}/conv3"),
+    (r"^h_encoder\.token_embed\.(\d+)\.second_conv\.1\.(.*)$",
+     "h_encoder/token_embed{0}/bn2"),
+    (r"^h_encoder\.token_embed\.(\d+)\.second_conv\.3\.(weight|bias)$",
+     "h_encoder/token_embed{0}/conv4"),
+    (r"^h_encoder\.encoder_pos_embeds\.(\d+)\.0\.(weight|bias)$",
+     "h_encoder/pos_embed{0}/dense0"),
+    (r"^h_encoder\.encoder_pos_embeds\.(\d+)\.2\.(weight|bias)$",
+     "h_encoder/pos_embed{0}/dense1"),
+    (r"^h_encoder\.encoder_blocks\.(\d+)\.blocks\.(\d+)\.norm1\.(.*)$",
+     "h_encoder/stage{0}/block{1}/norm1"),
+    (r"^h_encoder\.encoder_blocks\.(\d+)\.blocks\.(\d+)\.norm2\.(.*)$",
+     "h_encoder/stage{0}/block{1}/norm2"),
+    (r"^h_encoder\.encoder_blocks\.(\d+)\.blocks\.(\d+)\.attn\.qkv\.(.*)$",
+     "h_encoder/stage{0}/block{1}/attn/qkv"),
+    (r"^h_encoder\.encoder_blocks\.(\d+)\.blocks\.(\d+)\.attn\.proj\.(.*)$",
+     "h_encoder/stage{0}/block{1}/attn/proj"),
+    (r"^h_encoder\.encoder_blocks\.(\d+)\.blocks\.(\d+)\.mlp\.fc1\.(.*)$",
+     "h_encoder/stage{0}/block{1}/mlp_fc1"),
+    (r"^h_encoder\.encoder_blocks\.(\d+)\.blocks\.(\d+)\.mlp\.fc2\.(.*)$",
+     "h_encoder/stage{0}/block{1}/mlp_fc2"),
+    (r"^h_encoder\.encoder_norms\.(\d+)\.(.*)$", "h_encoder/norm{0}"),
+    # fc-center pretrain heads (Point_M2AE.py:343-366)
+    (r"^coarse_pred_(\d+)\.0\.(weight|bias)$", "coarse_pred{0}/dense0"),
+    (r"^coarse_pred_(\d+)\.2\.(weight|bias)$", "coarse_pred{0}/dense1"),
+    (r"^coarse_pred_(\d+)\.4\.(weight|bias)$", "coarse_pred{0}/dense2"),
+    (r"^mask_token$", "mask_token"),
+    (r"^rec_head\.(weight|bias)$", "rec_head"),
+    # finetune head (Point_M2AE.py _Finetune: Linear BN ReLU Dropout
+    # Linear BN ReLU Dropout Linear)
+    (r"^cls_head_finetune\.0\.(.*)$", "cls_head_finetune/fc0"),
+    (r"^cls_head_finetune\.1\.(.*)$", "cls_head_finetune/bn0"),
+    (r"^cls_head_finetune\.4\.(.*)$", "cls_head_finetune/fc1"),
+    (r"^cls_head_finetune\.5\.(.*)$", "cls_head_finetune/bn1"),
+    (r"^cls_head_finetune\.8\.(.*)$", "cls_head_finetune/cls"),
+]
+
 _FAMILIES = {
     "transformer": _TRANSFORMER_RULES,
     "dgcnn": _DGCNN_RULES,
+    "masksurf": _MASKSURF_RULES,
+    "pointnet": _POINTNET_RULES,
+    "pointnet2": _POINTNET2_RULES,
+    "m2ae": _M2AE_RULES,
 }
 
 

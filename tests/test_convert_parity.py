@@ -1,9 +1,12 @@
-"""Converter round-trip parity: an independently written torch twin of the
-reference's module layout (mini-PointNet patch embed + pre-norm ViT block +
-pos-embed MLP, torch naming conventions) is converted through
-``convert_torch.convert_state_dict`` and must produce the same forward values
-as our flax modules. This validates the exact path released .pth checkpoints
-take into the framework (names, transposes, BN/LN leaf mapping).
+"""Converter round-trip parity: independently written torch twins of the
+reference's module layouts (mini-PointNet patch embed, ViT block, pos-embed
+MLP, PointNet STN/encoder, PointNet++ SharedMLP SA, M2AE Token_Embed, cls
+heads — torch naming conventions) are serialized to REAL .pth files and
+driven through the full import pipeline
+``load_torch_checkpoint -> convert_state_dict -> merge_pretrained`` and must
+produce the same forward values as our flax modules. This validates the
+exact path released .pth checkpoints take into the framework (names,
+transposes, BN/LN leaf mapping, prefix strip rules).
 """
 import numpy as np
 import jax
@@ -14,8 +17,34 @@ import torch.nn as tnn
 
 from point_dae_tpu.models.layers import (PatchEncoder, PosEmbedMLP,
                                          TransformerBlock)
-from point_dae_tpu.utils.checkpoint import flatten_keys, merge_pretrained
+from point_dae_tpu.utils.checkpoint import (flatten_keys, load_torch_checkpoint,
+                                            merge_pretrained)
 from point_dae_tpu.utils.convert_torch import convert_state_dict
+
+
+def _split_flat(flat, prefix=""):
+    """Split converted flat keys into (params, batch_stats) dicts, optionally
+    keeping only keys under ``prefix`` (which is stripped)."""
+    p, bs = {}, {}
+    for k, v in flat.items():
+        if prefix:
+            if not k.startswith(prefix):
+                continue
+            k = k[len(prefix):]
+        if k.endswith(("/mean", "/var")):
+            bs[k] = v
+        else:
+            p[k] = v
+    return p, bs
+
+
+def _via_pth(tmp_path, sd, family, wrap="module."):
+    """torch.save a real .pth (reference layout: {'base_model': sd} with
+    'module.' DDP prefixes) and run the full import path."""
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"base_model": {wrap + k: torch.as_tensor(v)
+                               for k, v in sd.items()}}, path)
+    return convert_state_dict(load_torch_checkpoint(path), family)
 
 
 class TorchPatchEmbed(tnn.Module):
@@ -142,3 +171,289 @@ class TestForwardParity:
             k.split("/", 1)[1]: val for k, val in flat.items()})
         got = np.asarray(fm.apply({"params": params}, jnp.asarray(x.numpy())))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TorchSTN(tnn.Module):
+    """STN3d/STNkd twin (pointnet_util.py:18-92 dataflow: three conv+bn+relu,
+    max-pool, two fc+bn+relu, fc to k*k, +identity)."""
+
+    def __init__(self, k=3):
+        super().__init__()
+        self.k = k
+        self.conv1 = tnn.Conv1d(k, 64, 1)
+        self.conv2 = tnn.Conv1d(64, 128, 1)
+        self.conv3 = tnn.Conv1d(128, 1024, 1)
+        self.fc1 = tnn.Linear(1024, 512)
+        self.fc2 = tnn.Linear(512, 256)
+        self.fc3 = tnn.Linear(256, k * k)
+        self.bn1 = tnn.BatchNorm1d(64)
+        self.bn2 = tnn.BatchNorm1d(128)
+        self.bn3 = tnn.BatchNorm1d(1024)
+        self.bn4 = tnn.BatchNorm1d(512)
+        self.bn5 = tnn.BatchNorm1d(256)
+
+    def forward(self, x):                                # (B, C, N)
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = torch.relu(self.bn2(self.conv2(h)))
+        h = torch.relu(self.bn3(self.conv3(h)))
+        h = torch.max(h, 2)[0]
+        h = torch.relu(self.bn4(self.fc1(h)))
+        h = torch.relu(self.bn5(self.fc2(h)))
+        h = self.fc3(h)
+        return h.view(-1, self.k, self.k) + torch.eye(self.k)
+
+
+class TorchPointNetEncoder(tnn.Module):
+    """PointNetEncoder twin (pointnet_util.py:94-153): STN input transform,
+    conv+bn stack, final max WITHOUT relu on the last conv."""
+
+    def __init__(self):
+        super().__init__()
+        self.stn = TorchSTN(3)
+        self.conv1 = tnn.Conv1d(3, 64, 1)
+        self.conv2 = tnn.Conv1d(64, 128, 1)
+        self.conv3 = tnn.Conv1d(128, 1024, 1)
+        self.bn1 = tnn.BatchNorm1d(64)
+        self.bn2 = tnn.BatchNorm1d(128)
+        self.bn3 = tnn.BatchNorm1d(1024)
+
+    def forward(self, x):                                # (B, 3, N)
+        trans = self.stn(x)
+        x = torch.bmm(x.transpose(2, 1), trans).transpose(2, 1)
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.relu(self.bn2(self.conv2(x)))
+        x = self.bn3(self.conv3(x))
+        return torch.max(x, 2)[0]
+
+
+class TestPointNetFamily:
+    def test_encoder_pth_roundtrip_parity(self, tmp_path):
+        from point_dae_tpu.models.dae_pointnet import PointNetEncoder
+
+        torch.manual_seed(3)
+        tm = TorchPointNetEncoder().eval()
+        pts = torch.randn(2, 3, 16)
+        want = tm(pts).detach().numpy()
+
+        sd = {f"pointnet_encoder.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "pointnet")
+        pf, bsf = _split_flat(flat, "pointnet_encoder/")
+
+        fm = PointNetEncoder(use_tnet=True)
+        x = jnp.asarray(pts.numpy().transpose(0, 2, 1))   # (B, N, 3)
+        v = fm.init(jax.random.key(0), x, train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
+                                  x, train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_cls_head_parity(self, tmp_path):
+        from point_dae_tpu.models.dae_pointnet import _PointNetClsHead
+
+        torch.manual_seed(4)
+        tm = tnn.Sequential(
+            tnn.Linear(1024, 512), tnn.BatchNorm1d(512), tnn.ReLU(),
+            tnn.Dropout(0.3), tnn.Linear(512, 256), tnn.BatchNorm1d(256),
+            tnn.ReLU(), tnn.Linear(256, 15)).eval()
+        x = torch.randn(4, 1024)
+        want = tm(x).detach().numpy()
+        sd = {f"cls_head_finetune.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "pointnet")
+        pf, bsf = _split_flat(flat, "cls_head/")
+        fm = _PointNetClsHead(15)
+        v = fm.init(jax.random.key(0), jnp.asarray(x.numpy()), train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
+                                  jnp.asarray(x.numpy()), train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TorchSharedMLPSA(tnn.Module):
+    """Group-all SA twin: the pointnet2_ops wheel layout
+    (sa.mlps.0.layer{i}.conv Conv2d-k1 bias-free + .bn.bn BatchNorm2d,
+    pytorch_utils.py SharedMLP/_ConvBase/_BNBase nesting), applied to
+    cat([xyz, features]) over all points then max-pooled."""
+
+    def __init__(self, dims=(259, 64, 128)):
+        super().__init__()
+        layers = {}
+        for i in range(len(dims) - 1):
+            conv = tnn.Conv2d(dims[i], dims[i + 1], 1, bias=False)
+            bn = tnn.BatchNorm2d(dims[i + 1])
+            layers[f"layer{i}"] = (conv, bn)
+            self.add_module(f"conv{i}", conv)
+            self.add_module(f"bn{i}", bn)
+        self._n = len(dims) - 1
+
+    def state_dict_wheel(self, prefix="pointnetv2_encoder.sa3."):
+        out = {}
+        for i in range(self._n):
+            conv = getattr(self, f"conv{i}")
+            bn = getattr(self, f"bn{i}")
+            out[f"{prefix}mlps.0.layer{i}.conv.weight"] = \
+                conv.weight.detach().numpy()
+            for leaf, v in bn.state_dict().items():
+                out[f"{prefix}mlps.0.layer{i}.bn.bn.{leaf}"] = \
+                    np.asarray(v.detach() if hasattr(v, "detach") else v)
+        return out
+
+    def forward(self, grouped):                          # (B, C, 1, N)
+        h = grouped
+        for i in range(self._n):
+            h = torch.relu(getattr(self, f"bn{i}")(
+                getattr(self, f"conv{i}")(h)))
+        return torch.max(h, 3)[0][:, :, 0]               # (B, C_out)
+
+
+class TestPointNet2Family:
+    def test_group_all_sa_pth_roundtrip_parity(self, tmp_path):
+        from point_dae_tpu.models.dae_pointnet2 import SetAbstraction
+
+        torch.manual_seed(5)
+        tm = TorchSharedMLPSA((259, 64, 128)).eval()
+        B, N = 2, 12
+        xyz = torch.randn(B, N, 3)
+        feats = torch.randn(B, N, 256)
+        grouped = torch.cat([xyz, feats], -1).transpose(2, 1)[:, :, None, :]
+        want = tm(grouped).detach().numpy()
+
+        flat = _via_pth(tmp_path, tm.state_dict_wheel(), "pointnet2")
+        pf, bsf = _split_flat(flat, "pointnetv2_encoder/sa3/")
+
+        fm = SetAbstraction(None, None, None, (64, 128))
+        v = fm.init(jax.random.key(0), jnp.asarray(xyz.numpy()),
+                    jnp.asarray(feats.numpy()), train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        _, got = fm.apply({"params": params, "batch_stats": bs},
+                          jnp.asarray(xyz.numpy()), jnp.asarray(feats.numpy()),
+                          train=False)
+        np.testing.assert_allclose(np.asarray(got)[:, 0], want,
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_cls_head_parity(self, tmp_path):
+        from point_dae_tpu.models.dae_pointnet2 import _PN2ClsHead
+
+        torch.manual_seed(6)
+        tm = tnn.Sequential(
+            tnn.Linear(1024, 512), tnn.BatchNorm1d(512), tnn.ReLU(),
+            tnn.Dropout(0.5), tnn.Linear(512, 256), tnn.BatchNorm1d(256),
+            tnn.ReLU(), tnn.Dropout(0.5), tnn.Linear(256, 15)).eval()
+        x = torch.randn(4, 1024)
+        want = tm(x).detach().numpy()
+        sd = {f"cls_head_finetune.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "pointnet2")
+        pf, bsf = _split_flat(flat, "cls_head/")
+        fm = _PN2ClsHead(15)
+        v = fm.init(jax.random.key(0), jnp.asarray(x.numpy()), train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
+                                  jnp.asarray(x.numpy()), train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TorchTokenEmbed(tnn.Module):
+    """Token_Embed twin (Point_M2AE_modules.py:169-215): width rule depends
+    on in_c; global-max concat between the two conv stacks."""
+
+    def __init__(self, in_c, out_c):
+        super().__init__()
+        if in_c == 3:
+            self.first_conv = tnn.Sequential(
+                tnn.Conv1d(in_c, 128, 1), tnn.BatchNorm1d(128),
+                tnn.ReLU(), tnn.Conv1d(128, 256, 1))
+            self.second_conv = tnn.Sequential(
+                tnn.Conv1d(512, 512, 1), tnn.BatchNorm1d(512),
+                tnn.ReLU(), tnn.Conv1d(512, out_c, 1))
+        else:
+            self.first_conv = tnn.Sequential(
+                tnn.Conv1d(in_c, in_c, 1), tnn.BatchNorm1d(in_c),
+                tnn.ReLU(), tnn.Conv1d(in_c, in_c, 1))
+            self.second_conv = tnn.Sequential(
+                tnn.Conv1d(in_c * 2, out_c, 1), tnn.BatchNorm1d(out_c),
+                tnn.ReLU(), tnn.Conv1d(out_c, out_c, 1))
+
+    def forward(self, groups):                           # (B, G, S, C)
+        b, g, s, c = groups.shape
+        x = groups.reshape(b * g, s, c).transpose(2, 1)
+        f = self.first_conv(x)
+        fg = torch.max(f, dim=2, keepdim=True)[0]
+        f = torch.cat([fg.expand(-1, -1, s), f], dim=1)
+        f = self.second_conv(f)
+        return torch.max(f, dim=2)[0].reshape(b, g, -1)
+
+
+class TestM2AEFamily:
+    @pytest.mark.parametrize("in_c,out_c,stage", [(3, 48, 0), (48, 96, 1)])
+    def test_token_embed_pth_roundtrip_parity(self, tmp_path, in_c, out_c,
+                                              stage):
+        from point_dae_tpu.models.m2ae import TokenEmbed
+
+        torch.manual_seed(7)
+        tm = TorchTokenEmbed(in_c, out_c).eval()
+        groups = torch.randn(2, 4, 6, in_c)
+        want = tm(groups).detach().numpy()
+
+        sd = {f"h_encoder.token_embed.{stage}.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "m2ae")
+        pf, bsf = _split_flat(flat, f"h_encoder/token_embed{stage}/")
+
+        fm = TokenEmbed(out_c)
+        v = fm.init(jax.random.key(0), jnp.asarray(groups.numpy()),
+                    train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
+                                  jnp.asarray(groups.numpy()), train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_stage_block_and_norm_rules(self, tmp_path):
+        """encoder_blocks.{i}.blocks.{j} + encoder_norms.{i} +
+        encoder_pos_embeds.{i} land in our stage{i}/block{j}, norm{i},
+        pos_embed{i} trees."""
+        torch.manual_seed(8)
+        tm = TorchBlock(32, 2).eval()
+        x = torch.randn(2, 5, 32)
+        want = tm(x).detach().numpy()
+        sd = {f"h_encoder.encoder_blocks.1.blocks.0.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "m2ae")
+        fm = TransformerBlock(32, 2)
+        v = fm.init(jax.random.key(0), jnp.asarray(x.numpy()))
+        params = merge_pretrained(v["params"], {
+            k.split("/", 3)[3]: val for k, val in flat.items()
+            if k.startswith("h_encoder/stage1/block0/")})
+        got = np.asarray(fm.apply({"params": params}, jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestPthPipeline:
+    def test_module_and_mae_encoder_prefixes_stripped(self, tmp_path):
+        """Full reference ckpt layout: {'base_model': {'module.MAE_encoder.'
+        prefixed keys}} must strip both prefixes on load (the
+        models/Point_MAE.py:646-655 rules)."""
+        torch.manual_seed(9)
+        tm = TorchPatchEmbed(32).eval()
+        groups = torch.randn(2, 3, 6, 3)
+        want = tm(groups).detach().numpy()
+
+        sd = {f"encoder.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "transformer",
+                        wrap="module.MAE_encoder.")
+        pf, bsf = _split_flat(flat, "encoder/")
+        fm = PatchEncoder(32)
+        v = fm.init(jax.random.key(0), jnp.asarray(groups.numpy()),
+                    train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
+                                  jnp.asarray(groups.numpy()), train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
