@@ -42,6 +42,9 @@ def get_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--test_corruption", action="store_true")
+    # pre-generated ModelNet-C directory (clean.h5 + {corruption}_{level}.h5,
+    # the modelnetc_utils layout); default mirrors its ./data/modelnet_c
+    p.add_argument("--modelnet_c_root", type=str, default=None)
     p.add_argument("--so3_rotation", action="store_true")
     p.add_argument("--finetune_model", action="store_true")
     p.add_argument("--svm_classification", action="store_true")

@@ -2,18 +2,28 @@
 (reference: tools/runner_finetune.py:637-683 + the external ``modelnetc_utils``
 ``eval_corrupt_wrapper``: per-corruption/per-level OA, mCE / RmCE / mOA).
 
-The reference loads pre-generated ModelNet-C h5 files; this harness can do
-that when the data is mounted, and can alternatively *generate* the
-corruptions on device with our keyed corruption library (same families:
-scale, jitter, rotate, dropout_global, dropout_local, add_global, add_local),
-which removes the offline data dependency.
+Two data paths, benchmark-faithful first:
 
-mCE/RmCE follow the ModelNet-C protocol: error rates normalised by the DGCNN
-reference error rates per corruption/level (run.sh:70-114 embeds a sample
-eval log with the same metric names).
+1. **Pre-generated ModelNet-C h5 files** (the published-benchmark path): a
+   directory holding ``clean.h5`` and ``{corruption}_{level}.h5`` for the 7
+   corruption families x 5 levels, each with ``data``/``label`` datasets —
+   the exact files ``modelnetc_utils.ModelNetC`` reads. Numbers computed on
+   these files are directly comparable to the reference's published table
+   (run.sh:70-114).
+2. **On-device generation** (explicit no-data fallback, TPU-native
+   addition): corruptions generated with our keyed corruption library; NOT
+   number-comparable to the benchmark (the severity calibration differs)
+   and logged as such.
+
+mCE/RmCE follow the ModelNet-C protocol: ``CE_c = sum_l ER_{c,l} / sum_l
+ER^DGCNN_{c,l}`` and ``RmCE_c = sum_l (ER_{c,l} - ER_clean) / sum_l
+(ER^DGCNN_{c,l} - ER^DGCNN_clean)`` — equal, term re-arranged, to the
+mean-ER ratios used below, so storing the DGCNN table as per-corruption
+mean ER is exact, not an approximation.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, Optional, Sequence
 
 import jax
@@ -26,13 +36,16 @@ from ..utils.logger import print_log
 CORRUPTIONS = ("scale", "jitter", "rotate", "dropout_global",
                "dropout_local", "add_global", "add_local")
 
-# DGCNN reference error rates on ModelNet-C (from the ModelNet-C paper /
-# embedded eval log run.sh:70-114): clean ER and per-corruption mean ER.
+# Official DGCNN baseline mean error rates on ModelNet-C (the mCE=1.0
+# anchor of the benchmark). Derived exactly from the reference's embedded
+# eval log (run.sh:70-114): each CE there is meanER/refER, so
+# refER = meanER/CE; cross-checked against the RCE lines (clean ER 0.074
+# = OA 0.926, the published DGCNN clean score).
 DGCNN_REF_ER = {
     "clean": 0.074,
-    "scale": 0.120, "jitter": 0.333, "rotate": 0.146,
-    "dropout_global": 0.166, "dropout_local": 0.191,
-    "add_global": 0.351, "add_local": 0.184,
+    "scale": 0.094, "jitter": 0.316, "rotate": 0.215,
+    "dropout_global": 0.248, "dropout_local": 0.207,
+    "add_global": 0.295, "add_local": 0.275,
 }
 
 
@@ -85,19 +98,72 @@ def corrupt_batch_level(key, pts, name: str, level: int):
     return jax.vmap(lambda k, p: _corrupt_level(k, p, name, level))(keys, pts)
 
 
+def load_modelnet_c_split(data_root: str, split: str):
+    """Read one ModelNet-C h5 file (``modelnetc_utils.ModelNetC`` layout:
+    ``{data_root}/{split}.h5`` with ``data`` (N, 1024, 3) float32 and
+    ``label`` (N,) or (N, 1))."""
+    import h5py
+
+    with h5py.File(os.path.join(data_root, f"{split}.h5"), "r") as f:
+        data = np.asarray(f["data"][:], np.float32)
+        label = np.asarray(f["label"][:]).reshape(-1).astype(np.int64)
+    return data, label
+
+
+def has_modelnet_c(data_root: Optional[str]) -> bool:
+    return bool(data_root) and os.path.isfile(
+        os.path.join(data_root, "clean.h5"))
+
+
+def _batched_accuracy(eval_fn, pts: np.ndarray, labels: np.ndarray,
+                      batch_size: int) -> float:
+    correct = 0
+    for s in range(0, len(pts), batch_size):
+        chunk = pts[s:s + batch_size]
+        n = chunk.shape[0]
+        if n < batch_size:
+            chunk = np.concatenate([chunk, np.zeros(
+                (batch_size - n,) + chunk.shape[1:], np.float32)])
+        logits = np.asarray(eval_fn(jnp.asarray(chunk)))[:n]
+        correct += int((np.argmax(logits, -1) == labels[s:s + n]).sum())
+    return correct / max(len(pts), 1)
+
+
 def eval_corrupt_wrapper(eval_fn: Callable[[np.ndarray], np.ndarray],
                          dataset, batch_size: int,
                          corruptions: Sequence[str] = CORRUPTIONS,
                          levels: int = 5, seed: int = 0,
+                         data_root: Optional[str] = None,
                          logger=None) -> Dict[str, float]:
     """Evaluate a classifier under every corruption x severity.
 
-    ``eval_fn(points (B, N, 3)) -> logits``. Returns OA per cell + clean OA +
-    mOA / mCE / RmCE vs the DGCNN reference table.
+    ``eval_fn(points (B, N, 3)) -> logits``. When ``data_root`` holds the
+    pre-generated ModelNet-C h5 files, cells are evaluated on those exact
+    files (number-comparable to the published benchmark, and ``dataset``
+    may be None); otherwise corruptions are generated on device from
+    ``dataset`` (explicit fallback, NOT benchmark-comparable). Returns OA
+    per cell + clean OA + mOA / mCE / RmCE vs the official DGCNN table.
+    Log lines mirror ``modelnetc_utils.eval_corrupt_wrapper``'s dict format
+    (the embedded sample at run.sh:70-114).
     """
-    from ..data.loader import DataLoader
+    use_files = has_modelnet_c(data_root)
+    if use_files:
+        print_log(f"[Corruption] evaluating pre-generated ModelNet-C files "
+                  f"at {data_root}", logger=logger)
+    else:
+        print_log("[Corruption] no ModelNet-C files found - generating "
+                  "corruptions on device (NOT comparable to the published "
+                  "benchmark numbers)", logger=logger)
 
     def accuracy(corrupt: Optional[tuple]):
+        if use_files:
+            split = "clean" if corrupt is None else \
+                f"{corrupt[0]}_{corrupt[1]}"
+            pts, labels = load_modelnet_c_split(data_root, split)
+            return _batched_accuracy(eval_fn, pts[..., :3], labels,
+                                     batch_size)
+        from ..data.loader import DataLoader
+
         loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
         correct = total = 0
         key = jax.random.key(seed)
@@ -117,36 +183,63 @@ def eval_corrupt_wrapper(eval_fn: Callable[[np.ndarray], np.ndarray],
             total += n
         return correct / max(total, 1)
 
-    results: Dict[str, float] = {}
     oa_clean = accuracy(None)
-    results["clean_OA"] = oa_clean
-    print_log(f"[Corruption] clean OA = {oa_clean:.4f}", logger=logger)
+    print_log(f"{{'OA': {round(oa_clean, 3)}, 'corruption': 'clean', "
+              f"'level': 'Overall'}}", logger=logger)
 
-    ce_list, rce_list, oa_list = [], [], []
+    per_level: Dict[str, list] = {}
     for name in corruptions:
-        oas = []
+        per_level[name] = []
         for lv in range(levels):
             oa = accuracy((name, lv))
-            results[f"{name}_{lv}_OA"] = oa
-            oas.append(oa)
-            print_log(f"[Corruption] {name} level {lv}: OA = {oa:.4f}",
-                      logger=logger)
-        mean_oa = float(np.mean(oas))
-        oa_list.append(mean_oa)
+            per_level[name].append(oa)
+            print_log(f"{{'acc': {oa}, 'corruption': '{name}', "
+                      f"'level': {lv}}}", logger=logger)
+
+    results = corruption_metrics(per_level, oa_clean)
+    for name in corruptions:
+        print_log(f"{{'CE': {round(results[f'{name}_CE'], 3)}, "
+                  f"'OA': {round(results[f'{name}_OA'], 3)}, "
+                  f"'RCE': {round(results[f'{name}_RCE'], 3)}, "
+                  f"'corruption': '{name}', 'level': 'Overall'}}",
+                  logger=logger)
+    print_log(f"{{'RmCE': {round(results['RmCE'], 3)}, "
+              f"'mCE': {round(results['mCE'], 3)}, "
+              f"'mOA': {round(results['mOA'], 3)}}}", logger=logger)
+    return results
+
+
+def corruption_metrics(per_level_oa: Dict[str, Sequence[float]],
+                       clean_oa: float) -> Dict[str, float]:
+    """ModelNet-C aggregation: ``CE_c = sum_l ER_{c,l} / sum_l refER_{c,l}``
+    (== meanER/ref-meanER), ``RCE_c = sum_l(ER_{c,l} - ER_clean) /
+    sum_l(refER_{c,l} - refER_clean)``; mCE/RmCE/mOA are means over
+    corruptions. Golden-tested against the reference's embedded eval log
+    (run.sh:70-114)."""
+    # modelnetc_utils rounds every OA to 3 decimals BEFORE the CE/RCE
+    # ratios (verified: with that rule each CE/RCE/mCE/RmCE line of the
+    # run.sh log reproduces exactly; without it, e.g. scale CE is 0.959
+    # instead of the published 0.957) — mirror it for number parity.
+    results: Dict[str, float] = {"clean_OA": clean_oa}
+    clean_er = 1.0 - round(clean_oa, 3)
+    ce_list, rce_list, oa_list = [], [], []
+    for name, oas in per_level_oa.items():
+        for lv, oa in enumerate(oas):
+            results[f"{name}_{lv}_OA"] = float(oa)
+        mean_oa = round(float(np.mean(oas)), 3)
         er = 1.0 - mean_oa
         ref = DGCNN_REF_ER.get(name, 0.2)
         ce = er / ref
-        rce = (er - (1.0 - oa_clean)) / max(ref - DGCNN_REF_ER["clean"], 1e-6)
+        rce = (er - clean_er) / max(ref - DGCNN_REF_ER["clean"], 1e-6)
+        oa_list.append(mean_oa)
         ce_list.append(ce)
         rce_list.append(rce)
         results[f"{name}_OA"] = mean_oa
         results[f"{name}_CE"] = ce
+        results[f"{name}_RCE"] = rce
     results["mOA"] = float(np.mean(oa_list))
     results["mCE"] = float(np.mean(ce_list))
     results["RmCE"] = float(np.mean(rce_list))
-    print_log(f"[Corruption] mOA = {results['mOA']:.4f} "
-              f"mCE = {results['mCE']:.4f} RmCE = {results['RmCE']:.4f}",
-              logger=logger)
     return results
 
 
@@ -190,5 +283,10 @@ def test_net_corruption(config, args, logger_name="PointDAE"):
     def eval_fn(pts):
         return jax.device_get(eval_step(state, shard_batch(mesh, pts)))
 
+    # benchmark-faithful when the pre-generated files are mounted; the
+    # reference's modelnetc_utils reads ./data/modelnet_c by convention
+    data_root = (getattr(args, "modelnet_c_root", None)
+                 or config.get("modelnet_c_root")
+                 or "data/modelnet_c")
     return eval_corrupt_wrapper(eval_fn, test_set, total_bs,
-                                logger=logger_name)
+                                data_root=data_root, logger=logger_name)

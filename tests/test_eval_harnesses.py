@@ -42,6 +42,95 @@ class TestRobustnessHarness:
         # corrupting changes the checksum -> accuracy collapses
         assert res["jitter_0_OA"] < 0.5
 
+    def test_metrics_reproduce_reference_log(self):
+        """Golden: feeding the per-level OAs from the reference's embedded
+        ModelNet-C eval log (run.sh:70-114) must reproduce its published
+        aggregates mOA=0.801 mCE=0.857 RmCE=0.838 and every per-corruption
+        CE/RCE line — this pins the protocol (per-level ER sums over the
+        official DGCNN table)."""
+        from point_dae_tpu.engine.robustness import corruption_metrics
+
+        per_level = {
+            "scale": [0.9141004862236629, 0.916936790923825,
+                      0.9088330632090762, 0.9051863857374393,
+                      0.9043760129659644],
+            "jitter": [0.9258508914100486, 0.893030794165316,
+                       0.8160453808752026, 0.5935980551053485,
+                       0.37560777957860614],
+            "rotate": [0.9278768233387358, 0.9193679092382496,
+                       0.8841166936790924, 0.7787682333873582,
+                       0.6693679092382496],
+            "dropout_global": [0.9145056726094003, 0.8877633711507293,
+                               0.8338735818476499, 0.6815235008103727,
+                               0.3521069692058347],
+            "dropout_local": [0.9124797406807131, 0.8889789303079416,
+                              0.8622366288492707, 0.7893030794165316,
+                              0.6770664505672609],
+            "add_global": [0.8375202593192869, 0.8091572123176661,
+                           0.796191247974068, 0.7860615883306321,
+                           0.7856564019448946],
+            "add_local": [0.8630470016207455, 0.8140194489465153,
+                          0.779578606158833, 0.7317666126418152,
+                          0.6904376012965965],
+        }
+        res = corruption_metrics(per_level, clean_oa=0.9307131280388979)
+        # per-corruption lines from the log
+        want = {"scale": (0.957, 0.91, 1.05), "jitter": (0.883, 0.721, 0.868),
+                "rotate": (0.763, 0.836, 0.674),
+                "dropout_global": (1.073, 0.734, 1.132),
+                "dropout_local": (0.841, 0.826, 0.789),
+                "add_global": (0.668, 0.803, 0.579),
+                "add_local": (0.815, 0.776, 0.771)}
+        for name, (ce, oa, rce) in want.items():
+            assert round(res[f"{name}_CE"], 3) == ce, name
+            assert round(res[f"{name}_OA"], 3) == oa, name
+            assert round(res[f"{name}_RCE"], 3) == rce, name
+        assert round(res["mOA"], 3) == 0.801
+        assert round(res["mCE"], 3) == 0.857
+        assert round(res["RmCE"], 3) == 0.838
+
+    def test_h5_path_end_to_end(self, tmp_path):
+        """Pre-generated ModelNet-C files drive the wrapper: synthetic
+        clean.h5 + {corruption}_{level}.h5 with a label-encoding eval_fn."""
+        import h5py
+
+        from point_dae_tpu.engine.robustness import (eval_corrupt_wrapper,
+                                                     has_modelnet_c)
+
+        root = tmp_path / "modelnet_c"
+        root.mkdir()
+        rng = np.random.default_rng(0)
+        n, npts = 12, 16
+        labels = rng.integers(0, 4, n)
+
+        def write(split, correct_frac):
+            # first coordinate encodes the label for "correct" samples
+            data = rng.normal(size=(n, npts, 3)).astype(np.float32)
+            k = int(round(correct_frac * n))
+            data[:k, 0, 0] = labels[:k] + 100.0
+            data[k:, 0, 0] = ((labels[k:] + 1) % 4) + 100.0
+            with h5py.File(root / f"{split}.h5", "w") as f:
+                f.create_dataset("data", data=data)
+                f.create_dataset("label", data=labels.reshape(-1, 1))
+
+        write("clean", 1.0)
+        for lv in range(2):
+            write(f"jitter_{lv}", 0.5)
+
+        assert has_modelnet_c(str(root))
+
+        def eval_fn(pts):
+            pts = np.asarray(pts)
+            pred = np.clip(np.round(pts[:, 0, 0] - 100.0), 0, 3).astype(int)
+            return np.eye(4)[pred]
+
+        res = eval_corrupt_wrapper(eval_fn, None, batch_size=5,
+                                   corruptions=("jitter",), levels=2,
+                                   data_root=str(root))
+        assert res["clean_OA"] == 1.0
+        assert res["jitter_0_OA"] == 0.5
+        assert res["jitter_OA"] == 0.5
+
     def test_corrupt_batch_level_shapes(self):
         from point_dae_tpu.engine.robustness import corrupt_batch_level
 
