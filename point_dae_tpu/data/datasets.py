@@ -368,20 +368,44 @@ class ScanNet(PointDataset):
         return dict(points=data, taxonomy_id="scannet", model_id=str(idx))
 
 
-class _DGBase(PointDataset):
-    """PointDA-10-style domain-generalization sets
-    (datasets/domain_generalization.py:282-507): per-class .npy directories,
-    10 shared classes, with the numpy rotation/jitter/scale train augs
-    (applied on device in this build)."""
+# PointDA-10 shared label map (domain_generalization.py:41-45)
+DG_LABEL_TO_IDX = {"bathtub": 0, "bed": 1, "bookshelf": 2, "cabinet": 3,
+                   "chair": 4, "lamp": 5, "monitor": 6, "plant": 7,
+                   "sofa": 8, "table": 9}
 
-    classes = ["bathtub", "bed", "bookshelf", "cabinet", "chair", "lamp",
-               "monitor", "plant", "sofa", "table"]
+
+def dg_normal_pc(pc: np.ndarray) -> np.ndarray:
+    """Center + max-L2-norm normalize (normal_pc,
+    domain_generalization.py:29-38)."""
+    pc = pc - pc.mean(axis=0)
+    return (pc / np.max(np.sqrt(np.sum(pc ** 2, axis=-1)))).astype(np.float32)
+
+
+def dg_rotate_shape_x(pc: np.ndarray, angle: float) -> np.ndarray:
+    """rotate_shape(x, 'x', angle) (domain_generalization.py:118-136)."""
+    c, s = np.cos(angle), np.sin(angle)
+    r = np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]], pc.dtype)
+    return pc.dot(r).astype(np.float32)
+
+
+class _DGNpyDirBase(PointDataset):
+    """Per-class .npy directory layout shared by the ModelNet/ShapeNet DG
+    domains ({root}/{class}/{split}/*.npy, class list = sorted directory
+    names, domain_generalization.py:300-314). Host-side work mirrors the
+    reference __getitem__ normalization/orientation; the random FPS
+    resample + shuffle + z-rotation + jitter train augs run ON DEVICE in
+    the finetune step ('dg' train_aug + FPS resample) — the models are
+    permutation-invariant, so the host shuffle is a no-op by design."""
 
     def __init__(self, config):
         root = _cfg_get(config, "DATA_PATH")
         self.subset = _cfg_get(config, "subset", "train")
+        self.npoints = int(_cfg_get(config, "N_POINTS", 1024))
+        categorys = sorted(d for d in os.listdir(root)
+                           if os.path.isdir(os.path.join(root, d)))
+        self.classes = categorys
         self.items: List[Tuple[str, int]] = []
-        for li, cname in enumerate(self.classes):
+        for li, cname in enumerate(categorys):
             d = os.path.join(root, cname, self.subset)
             if not os.path.isdir(d):
                 continue
@@ -394,24 +418,70 @@ class _DGBase(PointDataset):
     def __len__(self):
         return len(self.items)
 
+
+@DATASETS.register_module()
+class Modelnet40_DG(_DGNpyDirBase):
+    """ModelNet DG domain (domain_generalization.py:282-341): full cloud
+    loaded, xyz only, normalized; no orientation fix."""
+
     def __getitem__(self, idx):
         path, label = self.items[idx]
-        return dict(points=np.load(path).astype(np.float32), label=label)
+        pc = np.load(path)[:, :3].astype(np.float32)
+        return dict(points=dg_normal_pc(pc), label=label)
 
 
 @DATASETS.register_module()
-class Modelnet40_DG(_DGBase):
-    pass
+class Shapenet_DG(_DGNpyDirBase):
+    """ShapeNet DG domain (domain_generalization.py:343-434): truncate to
+    npoints BEFORE normalizing, then the label-conditional orientation fix
+    rotate_pc (:425-429): -pi/2 about x for every class except 'plant'
+    (ShapeNet shapes are y-up except plants)."""
+
+    def __getitem__(self, idx):
+        path, label = self.items[idx]
+        pc = np.load(path)[:self.npoints].astype(np.float32)[:, :3]
+        pc = dg_normal_pc(pc)
+        if self.classes[label] != "plant":
+            pc = dg_rotate_shape_x(pc, -np.pi / 2)
+        return dict(points=pc, label=label)
 
 
 @DATASETS.register_module()
-class Shapenet_DG(_DGBase):
-    pass
+class Scannet_DG(PointDataset):
+    """ScanNet DG domain (domain_generalization.py:436-507): h5 shards
+    listed in {root}/{train,test}_files.txt (each h5: 'data' + 'label'),
+    truncate to npoints, normalize, then the unconditional -pi/2 x-rotation
+    (:501-504, ScanNet is y-up)."""
 
+    def __init__(self, config):
+        import h5py
 
-@DATASETS.register_module()
-class Scannet_DG(_DGBase):
-    pass
+        root = _cfg_get(config, "DATA_PATH")
+        self.subset = _cfg_get(config, "subset", "train")
+        self.npoints = int(_cfg_get(config, "N_POINTS", 1024))
+        name = "train_files.txt" if self.subset == "train" else "test_files.txt"
+        with open(os.path.join(root, name)) as f:
+            # load_dir keeps only the basename and re-roots it (:222-225)
+            paths = [os.path.join(root, ln.rstrip().split("/")[-1])
+                     for ln in f if ln.strip()]
+        pts, lbls = [], []
+        for pth in paths:
+            with h5py.File(pth, "r") as df:
+                pts.append(np.asarray(df["data"][:]))
+                lbls.append(np.asarray(df["label"][:]).reshape(-1))
+        self.data = np.concatenate(pts, axis=0)
+        self.label = np.concatenate(lbls, axis=0).astype(np.int64)
+        print_log(f"[Scannet_DG] {len(self.data)} clouds ({self.subset})",
+                  logger="DG")
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __getitem__(self, idx):
+        pc = self.data[idx][:self.npoints].astype(np.float32)[:, :3]
+        pc = dg_normal_pc(pc)
+        pc = dg_rotate_shape_x(pc, -np.pi / 2)
+        return dict(points=pc, label=int(self.label[idx]))
 
 
 @DATASETS.register_module()

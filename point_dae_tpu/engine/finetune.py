@@ -106,6 +106,23 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
                 return jnp.matmul(p, a, precision=jax.lax.Precision.HIGHEST)
 
             pts = jax.vmap(rot)(jax.random.split(k_aug, pts.shape[0]), pts)
+        elif aug == "dg":
+            # PointDA-10 train augs (domain_generalization.py:322-328):
+            # per-cloud random z-rotation (random_rotate_one_axis) +
+            # clipped jitter (jitter_pointcloud sigma .01 clip .02); the
+            # host-side shuffle is a no-op for permutation-invariant models
+            kr, kj = jax.random.split(k_aug)
+            B = pts.shape[0]
+            ang = jax.random.uniform(kr, (B,), maxval=2 * jnp.pi)
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            z, o = jnp.zeros_like(c), jnp.ones_like(c)
+            rz = jnp.stack([jnp.stack([c, -s, z], -1),
+                            jnp.stack([s, c, z], -1),
+                            jnp.stack([z, z, o], -1)], -2)     # (B, 3, 3)
+            pts = jnp.einsum("bnc,bcd->bnd", pts, rz,
+                             precision=jax.lax.Precision.HIGHEST)
+            pts = pts + jnp.clip(0.01 * jax.random.normal(kj, pts.shape),
+                                 -0.02, 0.02)
 
         def lossf(params):
             logits, mut = state.apply_fn(

