@@ -15,8 +15,29 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libpointdae_native.so"))
+_SRC_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "pointio.cpp"))
 _lib = None
 _tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                       check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _stale() -> bool:
+    """The library is built from source (never committed); rebuild whenever
+    it is missing or older than pointio.cpp so a stale build can't load."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)
+    except OSError:
+        return True
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -24,15 +45,25 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
+    if _stale() and not _build():
+        return None
+    lib = None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        # symbol check guards against a foreign/stale blob
+        lib.pdae_load_npy_batch
+        lib.pdae_render_balls
+    except (OSError, AttributeError):
+        # e.g. wrong-arch leftover: rebuild from source once and retry
+        lib = None
+        if _build():
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.pdae_load_npy_batch
+                lib.pdae_render_balls
+            except (OSError, AttributeError):
+                lib = None
+    if lib is None:
         return None
     lib.pdae_load_npy_batch.restype = ctypes.c_int64
     lib.pdae_load_npy_batch.argtypes = [
