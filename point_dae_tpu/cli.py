@@ -114,6 +114,22 @@ def main(argv=None):
     config = load_config(args)
     print_log(f"config: {args.config} model: {config['model']['NAME']}",
               logger=logger)
+    # 'args.<key> : <val>' / 'config.<key> = <val>' lines are a log-format
+    # API (log_args_to_file/log_config_to_file, utils/config.py:7-18):
+    # parse_acc_affinity.py-style few-shot aggregation reads way/shot from
+    # these lines, so emit them identically
+    for key, val in vars(args).items():
+        print_log(f"args.{key} : {val}", logger=logger)
+
+    def _log_cfg(cfg, pre="config"):
+        for key, val in cfg.items():
+            if isinstance(val, dict):
+                print_log(f"{pre}.{key} = edict()", logger=logger)
+                _log_cfg(val, f"{pre}.{key}")
+            else:
+                print_log(f"{pre}.{key} : {val}", logger=logger)
+
+    _log_cfg(config)
 
     if args.test_corruption:
         from .engine.robustness import test_net_corruption

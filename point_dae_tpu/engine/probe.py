@@ -162,4 +162,9 @@ def task_affinity(config, args, logger_name="PointDAE",
     acc = float(jnp.mean(jnp.argmax(logits, -1) == jnp.asarray(te_l))) * 100
     print_log(f"[TaskAffinity] test CE = {ce:.4f} acc = {acc:.4f}",
               logger=logger_name)
+    # reference log-format API (runner_finetune.py:1269) scraped by
+    # parse_acc_affinity.py --taskaffinity (it reads the value after '= ',
+    # i.e. the CE loss, and takes the min across logs)
+    print_log(f"[Validation] Acc: {acc / 100.0:.4f}  loss = {ce:.4f}",
+              logger=logger_name)
     return ce

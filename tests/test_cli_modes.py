@@ -167,3 +167,46 @@ class TestPlotResults:
                 env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
             assert r.returncode == 0, r.stderr
             assert (tmp_path / out).stat().st_size > 1000
+
+    def test_new_figure_modes(self, tmp_path):
+        """robustness_bars / fewshot / affinity_matrix modes + the
+        harness's dict-format corruption lines."""
+        import subprocess
+        import sys
+        import os as _os
+
+        env = {**_os.environ, "JAX_PLATFORMS": "cpu"}
+
+        def run(mode, target, out):
+            r = subprocess.run(
+                [sys.executable, "tools/plot_results.py", mode, target,
+                 "-o", str(tmp_path / out)],
+                capture_output=True, text=True, cwd=".", env=env)
+            assert r.returncode == 0, r.stderr
+            assert (tmp_path / out).stat().st_size > 1000
+
+        rob = tmp_path / "rob"
+        rob.mkdir()
+        (rob / "run.log").write_text(
+            "x {'acc': 0.91, 'corruption': 'scale', 'level': 0}\n"
+            "x {'acc': 0.90, 'corruption': 'scale', 'level': 1}\n"
+            "x {'CE': 0.957, 'OA': 0.91, 'RCE': 1.05, "
+            "'corruption': 'scale', 'level': 'Overall'}\n"
+            "x {'CE': 0.883, 'OA': 0.721, 'RCE': 0.868, "
+            "'corruption': 'jitter', 'level': 'Overall'}\n")
+        run("robustness_bars", str(rob), "rb.png")
+        run("corruption", str(rob), "ch.png")   # dict-format lines parse
+
+        for w, s, acc in ((5, 10, 95.0), (5, 20, 97.0), (10, 10, 90.0)):
+            d = tmp_path / f"fs_{w}_{s}"
+            d.mkdir()
+            (d / "run.log").write_text(
+                f"args.way : {w}\nargs.shot : {s}\n"
+                f"x [TEST] acc = {acc:.4f}\n")
+        run("fewshot", str(tmp_path / "fs_*"), "fs.png")
+
+        for corrupt in ("affine_r3", "dropout_local"):
+            d = tmp_path / f"pretrain_PointCAE_{corrupt}Point_scan_hardest"
+            d.mkdir()
+            (d / "run.log").write_text("x [TEST] acc = 85.0000\n")
+        run("affinity_matrix", str(tmp_path / "pretrain_*"), "am.png")

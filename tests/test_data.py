@@ -160,6 +160,65 @@ class TestParseResults:
                 os.path.dirname(os.path.abspath(__file__))))
         assert "91.20" in out.stdout
 
+    def _run(self, *argv):
+        import subprocess
+        import sys
+
+        return subprocess.run(
+            [sys.executable, "tools/parse_results.py", *argv],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))).stdout
+
+    def test_affinity_matrix_mode(self, tmp_path):
+        """--matrix pivots multi-exp dirs into (corruption x task) cells
+        (the parse_acc_affinity.py aggregation)."""
+        for corrupt in ("affine_r3", "dropout_local"):
+            for task in ("scan_hardest", "modelnet"):
+                d = tmp_path / f"pretrain_PointCAE_{corrupt}Point_{task}"
+                d.mkdir()
+                acc = 80.0 if corrupt == "affine_r3" else 70.0
+                (d / "a.log").write_text(
+                    f"[Validation] EPOCH: 1  acc = {acc:.4f}\n")
+        out = self._run(str(tmp_path), "--matrix")
+        assert "affine_r3" in out and "dropout_local" in out
+        assert "scan_hardest" in out and "modelnet" in out
+        assert "80.000" in out and "70.000" in out
+
+    def test_name_filters(self, tmp_path):
+        for name, acc in (("exp_keepme_seed0", 90.0), ("exp_dropme", 10.0)):
+            d = tmp_path / name
+            d.mkdir()
+            (d / "a.log").write_text(
+                f"[Validation] EPOCH: 1  acc = {acc:.4f}\n")
+        out = self._run(str(tmp_path), "--multi-exp",
+                        "--name_required", "keepme")
+        assert "90.000" in out and "10.000" not in out
+        out = self._run(str(tmp_path), "--multi-exp",
+                        "--name_forbidded", "dropme")
+        assert "90.000" in out and "10.000" not in out
+
+    def test_fewshot_from_args_lines(self, tmp_path):
+        """way/shot read from the logged 'args.way :' lines like the
+        reference's parse_function_fewshot (parse_acc_affinity.py:152-183)."""
+        d = tmp_path / "run_seed0"
+        d.mkdir()
+        (d / "a.log").write_text(
+            "args.way : 5\nargs.shot : 10\n"
+            "[Validation] EPOCH: 3  acc = 95.5000\n")
+        out = self._run(str(tmp_path), "--few-shot")
+        assert "5way_10shot" in out and "95.500" in out
+
+    def test_taskaffinity_reference_line(self, tmp_path):
+        """The reference '[Validation] Acc: ... loss = <v>' line parses
+        (min across values)."""
+        d = tmp_path / "aff"
+        d.mkdir()
+        (d / "a.log").write_text(
+            "[Validation] Acc: 0.8000  loss = 1.2345\n"
+            "[Validation] Acc: 0.9000  loss = 0.5000\n")
+        out = self._run(str(tmp_path), "--mode", "taskaffinity")
+        assert "0.500" in out
+
 
 class TestConverterNumeric:
     def test_linear_matches_torch(self):

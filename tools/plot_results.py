@@ -3,18 +3,22 @@
 ``plot.py``, the 1.7k-LoC figure generator, and
 ``plot_results_dataset_variants.py``).
 
-Three figure modes, all scraped from the same log-line formats that
+Six figure modes, all scraped from the same log-line formats that
 ``tools/parse_results.py`` consumes (the log formats are an API,
 SURVEY.md §5):
 
-  accuracy   — final/best accuracy per experiment directory, bar chart
-               (mean ± std across seed subdirs, like parse_test_res.py).
-  corruption — per-corruption OA heatmap (corruption x level) from
-               ``[Corruption] <name> level <l>: OA = ...`` lines
-               (engine/robustness.py).
-  curves     — validation-accuracy-vs-epoch training curves from
-               ``[Validation] EPOCH: <e> acc = ...`` lines, one line per
-               experiment.
+  accuracy        — final/best accuracy per experiment directory, bar chart
+                    (mean ± std across seed subdirs, like parse_test_res.py).
+  corruption      — per-corruption OA heatmap (corruption x level) from the
+                    harness's per-level dict lines (engine/robustness.py).
+  curves          — validation-accuracy-vs-epoch training curves from
+                    ``[Validation] EPOCH: <e> acc = ...`` lines.
+  robustness_bars — per-corruption CE bars vs the DGCNN mCE=1 baseline
+                    (plot.py's robustness figure family).
+  fewshot         — way/shot grouped-bar grid (mean ± ci95), keys from the
+                    logged ``args.way :``/``args.shot :`` lines.
+  affinity_matrix — pretrain-corruption x downstream-task heatmap (the
+                    parse_acc_affinity.py aggregation as a figure).
 
 Usage:
   python tools/plot_results.py accuracy   experiments/finetune_* -o acc.png
@@ -37,7 +41,12 @@ import numpy as np
 
 _VAL = re.compile(r"\[Validation\] EPOCH:\s*(\d+)\s+acc = ([0-9.]+)")
 _TEST = re.compile(r"\[TEST\] acc = ([0-9.]+)")
-_CORR = re.compile(r"\[Corruption\] (\w+) level (\d+): OA = ([0-9.]+)")
+# harness per-level line: {'acc': <v>, 'corruption': '<name>', 'level': <l>}
+# (modelnetc_utils dict format, engine/robustness.py); the legacy
+# '[Corruption] <name> level <l>: OA = <v>' form still parses
+_CORR = re.compile(
+    r"\{'acc': ([0-9.]+), 'corruption': '(\w+)', 'level': (\d+)\}")
+_CORR_LEGACY = re.compile(r"\[Corruption\] (\w+) level (\d+): OA = ([0-9.]+)")
 
 
 def _logs_under(path: str):
@@ -114,7 +123,9 @@ def plot_corruption(dirs, out):
     plt = _fig()
     table = defaultdict(dict)
     for d in dirs:
-        for name, lv, oa in _scan(d, _CORR):
+        for oa, name, lv in _scan(d, _CORR):
+            table[name][int(lv)] = float(oa)
+        for name, lv, oa in _scan(d, _CORR_LEGACY):
             table[name][int(lv)] = float(oa)
     if not table:
         raise SystemExit("no [Corruption] lines found")
@@ -171,9 +182,132 @@ def plot_curves(dirs, out):
     print(f"wrote {out} ({plotted} curves)")
 
 
+_CE_LINE = re.compile(r"\{'CE': ([0-9.]+), 'OA': ([0-9.]+), "
+                      r"'RCE': ([0-9.]+), 'corruption': '(\w+)'")
+_WAY = re.compile(r"args\.way : (\d+)")
+_SHOT = re.compile(r"args\.shot : (\d+)")
+
+
+def plot_robustness_bars(dirs, out):
+    """Per-corruption CE bars with the DGCNN mCE=1.0 baseline line (the
+    reference plot.py's corruption-robustness figure family), scraped from
+    the modelnetc-format dict lines the harness logs."""
+    plt = _fig()
+    ces = defaultdict(list)
+    for d in dirs:
+        for ce, oa, rce, name in _scan(d, _CE_LINE):
+            ces[name].append(float(ce))
+    if not ces:
+        raise SystemExit("no corruption CE lines found")
+    names = sorted(ces)
+    means = [float(np.mean(ces[n])) for n in names]
+    fig, ax = plt.subplots(figsize=(max(6, 0.9 * len(names)), 4))
+    x = np.arange(len(names))
+    ax.bar(x, means, color=["tab:green" if m < 1 else "tab:red"
+                            for m in means])
+    ax.axhline(1.0, color="k", linestyle="--", linewidth=1,
+               label="DGCNN baseline (mCE=1)")
+    ax.set_xticks(x)
+    ax.set_xticklabels(names, rotation=30, ha="right", fontsize=8)
+    ax.set_ylabel("CE (lower is better)")
+    mce = float(np.mean(means))
+    ax.set_title(f"ModelNet-C corruption errors  (mCE = {mce:.3f})")
+    for xi, m in zip(x, means):
+        ax.text(xi, m, f"{m:.3f}", ha="center", va="bottom", fontsize=7)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({len(names)} corruptions, mCE={mce:.3f})")
+
+
+def plot_fewshot(dirs, out):
+    """Few-shot way/shot grid (mean +- ci95 per cell), grouped bars —
+    the reference's few-shot table/figure, keys read from the logged
+    'args.way :'/'args.shot :' lines."""
+    plt = _fig()
+    cells = defaultdict(list)
+    for d in dirs:
+        for log in _logs_under(d):
+            with open(log, errors="replace") as f:
+                text = f.read()
+            w, s = _WAY.search(text), _SHOT.search(text)
+            vals = [float(a) for _, a in _VAL.findall(text)] + \
+                   [float(a) for a in _TEST.findall(text)]
+            if w and s and w.group(1) != "-1" and vals:
+                cells[(int(w.group(1)), int(s.group(1)))].append(max(vals))
+    if not cells:
+        raise SystemExit("no few-shot runs found (need args.way/shot lines)")
+    ways = sorted({w for w, _ in cells})
+    shots = sorted({s for _, s in cells})
+    fig, ax = plt.subplots(figsize=(1.6 * len(ways) * len(shots) + 2, 4))
+    width = 0.8 / max(len(shots), 1)
+    for j, s in enumerate(shots):
+        xs, ms, cis = [], [], []
+        for i, w in enumerate(ways):
+            v = cells.get((w, s))
+            if v:
+                xs.append(i + j * width)
+                ms.append(float(np.mean(v)))
+                cis.append(1.96 * float(np.std(v)) / max(len(v), 1) ** 0.5)
+        ax.bar(xs, ms, width=width, yerr=cis, capsize=3, label=f"{s}-shot")
+    ax.set_xticks([i + width * (len(shots) - 1) / 2 for i in range(len(ways))])
+    ax.set_xticklabels([f"{w}-way" for w in ways])
+    ax.set_ylabel("accuracy")
+    ax.set_title("Few-shot classification (mean ± ci95)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({len(cells)} way/shot cells)")
+
+
+def plot_affinity_matrix(dirs, out):
+    """Pretrain-corruption x downstream-task heatmap (the
+    parse_acc_affinity.py aggregation rendered as plot.py's affinity
+    figure). Row/col keys parsed from directory names."""
+    plt = _fig()
+    rowp = re.compile(r"pretrain_PointCAE_([A-Za-z0-9_]+?)(?:Point|$)")
+    colp = re.compile(r"(scan_hardest|scan_objbg|modelnet|fewshot|svm|"
+                      r"taskaffinity|partseg)")
+    cells = defaultdict(list)
+    for d in dirs:
+        name = os.path.basename(os.path.normpath(d))
+        rm, cm = rowp.search(name), colp.search(name)
+        accs = _best_acc(d)
+        if accs:
+            cells[(rm.group(1) if rm else "unknown",
+                   cm.group(1) if cm else "unknown")].append(
+                float(np.mean(accs)))
+    if not cells:
+        raise SystemExit("nothing to plot")
+    rows = sorted({r for r, _ in cells})
+    cols = sorted({c for _, c in cells})
+    mat = np.full((len(rows), len(cols)), np.nan)
+    for (r, c), v in cells.items():
+        mat[rows.index(r), cols.index(c)] = float(np.mean(v))
+    fig, ax = plt.subplots(figsize=(1.5 * len(cols) + 3,
+                                    0.5 * len(rows) + 2))
+    im = ax.imshow(mat, aspect="auto", cmap="viridis")
+    ax.set_xticks(range(len(cols)))
+    ax.set_xticklabels(cols, rotation=30, ha="right", fontsize=8)
+    ax.set_yticks(range(len(rows)))
+    ax.set_yticklabels(rows, fontsize=8)
+    for i in range(len(rows)):
+        for j in range(len(cols)):
+            if np.isfinite(mat[i, j]):
+                ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
+                        fontsize=7, color="white")
+    ax.set_title("corruption x task affinity")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({len(rows)} corruptions x {len(cols)} tasks)")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("mode", choices=["accuracy", "corruption", "curves"])
+    p.add_argument("mode", choices=["accuracy", "corruption", "curves",
+                                    "robustness_bars", "fewshot",
+                                    "affinity_matrix"])
     p.add_argument("dirs", nargs="+", help="experiment directories (globs ok)")
     p.add_argument("-o", "--out", default="figure.png")
     args = p.parse_args()
@@ -182,7 +316,10 @@ def main():
         dirs.extend(sorted(glob.glob(d)) or [d])
     {"accuracy": plot_accuracy,
      "corruption": plot_corruption,
-     "curves": plot_curves}[args.mode](dirs, args.out)
+     "curves": plot_curves,
+     "robustness_bars": plot_robustness_bars,
+     "fewshot": plot_fewshot,
+     "affinity_matrix": plot_affinity_matrix}[args.mode](dirs, args.out)
 
 
 if __name__ == "__main__":

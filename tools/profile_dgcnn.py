@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Per-piece DGCNN step profiler (run on the real TPU chip).
+
+Times the full Point_CAE_DGCNN_FCOnly pretrain step and the isolated hot
+pieces of the EdgeConv stack (kNN distance+top_k, neighbor gather, edge
+conv matmul, BN+relu+max) at the rerun.sh recipe shape (bs 256, N 1024,
+k 20) so kernel work targets the measured bottleneck instead of a guess.
+
+Prints one JSON line per measurement: {"name", "ms", "per_item_ms"}.
+"""
+import json
+import sys
+import time
+
+
+def timeit(name, fn, *args, iters=8, b=256):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    # force a real round-trip (axon tunnel: block_until_ready can return
+    # before execution finishes)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(leaf.reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = float(leaf.reshape(-1)[0])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"name": name, "ms": round(dt * 1e3, 2),
+                      "per_item_ms": round(dt * 1e3 / b, 4)}), flush=True)
+    return dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_dae_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    sys.path.insert(0, ".")
+    from bench import _wait_for_healthy_device
+
+    tflops = _wait_for_healthy_device()
+    print(f"# probe {tflops:.0f} TFLOP/s", file=sys.stderr, flush=True)
+
+    from point_dae_tpu.engine.pretrain import init_model, make_train_step
+    from point_dae_tpu.engine.train_state import TrainState, build_optimizer
+    from point_dae_tpu.models import build_model_from_cfg
+    from point_dae_tpu.models.dgcnn import get_graph_feature
+    from point_dae_tpu.ops import knn
+    from point_dae_tpu.utils.config import ConfigDict
+
+    B, N, k = 256, 1024, 20
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.normal(size=(B, 8192, 6)).astype(np.float32))
+    x3 = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    x128 = jnp.asarray(rng.normal(size=(B, N, 128)).astype(np.float32))
+
+    config = ConfigDict({
+        "optimizer": {"type": "AdamW", "part": "all",
+                      "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 300,
+                                                  "initial_epochs": 10}},
+        "dataset": {"train": {"others": {"npoints": 1024,
+                                         "aug_type": ["norm"],
+                                         "corrupt_type": ["clean"]}}},
+        "model": {"NAME": "Point_CAE_DGCNN_FCOnly",
+                  "corrupt_type": ["affine_r3", "dropout_local"],
+                  "loss": "cdl2", "dtype": "bf16"},
+        "npoints": 1024, "total_bs": B, "step_per_update": 1,
+        "max_epoch": 300, "loss_type": "xyznormal_gradual",
+    })
+    model = build_model_from_cfg(config["model"])
+    params, batch_stats = init_model(model, config, raw)
+    tx, _ = build_optimizer(config, params, steps_per_epoch=100,
+                            grad_norm_clip=None)
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+    step = make_train_step(model, config, mesh=None)
+    key = jax.random.key(0)
+    timeit("full_train_step", lambda: step(state, raw, key,
+                                           jnp.float32(0.5))[1])
+
+    # pieces (forward only, jitted in isolation)
+    knn_j = jax.jit(lambda a: knn(a, a, k)[1])
+    timeit("knn_C3", knn_j, x3)
+    knn128 = jax.jit(lambda a: knn(a, a, k)[1])
+    timeit("knn_C128", knn128, x128)
+
+    idx = knn_j(x3)
+    gf = jax.jit(lambda a, i: get_graph_feature(a, k, idx=i,
+                                                dtype=jnp.bfloat16))
+    timeit("graph_feature_C128", gf, x128, idx)
+
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    conv = jax.jit(lambda e, w: jnp.max(
+        jax.nn.leaky_relu(jnp.einsum("bnkc,cd->bnkd",
+                                     e.astype(jnp.bfloat16),
+                                     w.astype(jnp.bfloat16)), 0.2), axis=2))
+    edge = gf(x128, idx)
+    timeit("conv_relu_max_C256", conv, edge, w)
+
+    # encoder fwd+bwd in isolation
+    from point_dae_tpu.models.dgcnn import DGCNNEncoder
+
+    enc = DGCNNEncoder(k=k, dtype=jnp.bfloat16)
+    ev = jax.jit(lambda: enc.init({"params": jax.random.key(0)}, x3,
+                                  train=True))()
+
+    def enc_loss(p, bs, a):
+        (g, _), mut = enc.apply({"params": p, "batch_stats": bs}, a,
+                                train=True, mutable=["batch_stats"])
+        return jnp.sum(g * g)
+
+    fwd = jax.jit(lambda p, bs, a: enc_loss(p, bs, a))
+    timeit("encoder_fwd", fwd, ev["params"], ev["batch_stats"], x3)
+    bwd = jax.jit(jax.grad(enc_loss))
+    timeit("encoder_fwd_bwd", bwd, ev["params"], ev["batch_stats"], x3)
+
+
+if __name__ == "__main__":
+    main()
