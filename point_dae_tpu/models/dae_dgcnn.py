@@ -71,6 +71,8 @@ class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
+                                    impl=self.config.get("edgeconv_impl",
+                                                         "reference"),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -97,6 +99,8 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
+                                    impl=self.config.get("edgeconv_impl",
+                                                         "reference"),
                                     name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         # fine folding over concat([grid, point, global]): the global feature
@@ -130,6 +134,8 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
+                                    impl=self.config.get("edgeconv_impl",
+                                                         "reference"),
                                     name="dgcnn_encoder")
         # both stages consume concat([broadcast global feature, per-point]);
         # the shared half of each first Dense is factorized (exact)
@@ -156,6 +162,8 @@ class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
+                                    impl=self.config.get("edgeconv_impl",
+                                                         "reference"),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -195,7 +203,8 @@ class DGCNN(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
-        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+                         name="dgcnn_encoder")(pts[..., :3], train=train)
         return _ClsHead(self.config.get("cls_dim", 40), name="cls_head")(feat, train)
 
 
@@ -206,7 +215,8 @@ class DGCNN_Linear(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
-        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+                         name="dgcnn_encoder")(pts[..., :3], train=train)
         return nn.Dense(self.config.get("cls_dim", 40), name="cls")(feat)
 
 
@@ -217,7 +227,8 @@ class DGCNN_feat(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = False) -> Array:
-        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+                         name="dgcnn_encoder")(pts[..., :3], train=train)
         return feat
 
 
@@ -232,6 +243,8 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
     def setup(self):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
+                                    impl=self.config.get("edgeconv_impl",
+                                                         "reference"),
                                     name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
@@ -263,7 +276,8 @@ class DGCNN_MaskFeat(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = False) -> Array:
-        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+                         name="dgcnn_encoder")(pts[..., :3], train=train)
         return feat
 
 
@@ -275,7 +289,8 @@ class DGCNN_CrossPoint(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
-        feat, _ = DGCNNEncoder(name="dgcnn_encoder")(pts[..., :3], train=train)
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+                         name="dgcnn_encoder")(pts[..., :3], train=train)
         return _ClsHead(self.config.get("cls_dim", 15), name="cls_head")(
             feat, train)
 

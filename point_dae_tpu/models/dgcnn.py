@@ -9,6 +9,7 @@ TPU design notes:
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -76,6 +77,108 @@ class EdgeConv(nn.Module):
         return jnp.max(h, axis=2)                           # (B, N, out_dim)
 
 
+class _EdgeDense(nn.Module):
+    """Holds the same (2C, out) 'kernel' an EdgeConv Dense would
+    (checkpoints interchange) and returns the split projections
+    U = x @ W_top, V = x @ (W_bot - W_top) with
+    W [x_j - x_i ; x_i] = U_j + V_i."""
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array):
+        C = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2 * C, self.features))
+        dt = self.dtype or x.dtype
+        wt = kernel[:C].astype(dt)
+        wc = kernel[C:].astype(dt)
+        xd = x.astype(dt)
+        return xd @ wt, xd @ (wc - wt)
+
+
+class _AffineStats(nn.Module):
+    """Name-compatible stand-in for nn.BatchNorm's variables (params
+    scale/bias, batch_stats mean/var) when normalization is applied
+    outside, from aggregate statistics."""
+    features: int
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, batch_mean=None, batch_var=None, train: bool = True):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features))
+        if train and batch_mean is not None:
+            if not self.is_initializing():
+                mom = self.momentum
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * batch_mean
+                ra_var.value = mom * ra_var.value + (1 - mom) * batch_var
+            return scale, bias, batch_mean, batch_var
+        return scale, bias, ra_mean.value, ra_var.value
+
+
+class FusedEdgeConv(nn.Module):
+    """EdgeConv without the (B, N, k, 2C) edge tensor or (B, N, N) distance
+    matrix in HBM (see ops/pallas_edgeconv.py for the math): split edge
+    projection -> fused kNN+aggregate kernel -> BN stats reconstructed from
+    the aggregates -> per-channel monotone max/min select -> affine+leaky.
+
+    Same parameter/stat tree as EdgeConv (conv/kernel, bn/{scale,bias} +
+    batch_stats bn/{mean,var}), so the two implementations interchange on
+    any checkpoint. ``use_pallas=False`` keeps the same restructured math
+    but aggregates via gather (XLA fusion decides the rest).
+    """
+    out_dim: int
+    k: int = 20
+    dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = True
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True,
+                 idx: Optional[Array] = None) -> Array:
+        from ..ops.pallas_edgeconv import (knn_aggregate, knn_aggregate_xla,
+                                           supported)
+
+        B, N, C = x.shape
+        U, V = _EdgeDense(self.out_dim, dtype=self.dtype, name="conv")(x)
+        Uf = U.astype(jnp.float32)
+        Vf = V.astype(jnp.float32)
+        xf = jax.lax.stop_gradient(x.astype(jnp.float32))
+        use_kernel = self.interpret or (
+            self.use_pallas and idx is None and supported(N, self.k)
+            and jax.devices()[0].platform == "tpu")
+        if use_kernel:
+            M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k,
+                                            interpret=self.interpret)
+        else:
+            if idx is None:
+                idx = jax.lax.stop_gradient(knn(xf, xf, self.k)[1])
+            M, m, S1, S2 = knn_aggregate_xla(Uf, idx)
+
+        if train:
+            cnt = B * N * self.k
+            sum_h = jnp.sum(S1, axis=(0, 1)) + self.k * jnp.sum(Vf, (0, 1))
+            mean_b = sum_h / cnt
+            sum_h2 = (jnp.sum(S2, axis=(0, 1))
+                      + 2.0 * jnp.sum(Vf * S1, axis=(0, 1))
+                      + self.k * jnp.sum(Vf * Vf, axis=(0, 1)))
+            var_b = sum_h2 / cnt - mean_b * mean_b
+        else:
+            mean_b = var_b = None
+        scale, bias, mean, var = _AffineStats(self.out_dim, name="bn")(
+            mean_b, var_b, train)
+        # BN+LeakyReLU is per-channel monotone: increasing for scale >= 0
+        # (max survives), decreasing otherwise (min survives) — exact
+        sel = Vf + jnp.where(scale >= 0, M, m)
+        inv = scale * jax.lax.rsqrt(var + 1e-5)
+        return leaky_relu02((sel - mean) * inv + bias)
+
+
 class DGCNNEncoder(nn.Module):
     """4 EdgeConvs + 1024-d fuse + global max-pool (dgcnn_util.py:87-136).
 
@@ -85,14 +188,28 @@ class DGCNNEncoder(nn.Module):
     ``remat=True`` rematerializes each EdgeConv in the backward pass — the
     (B, N, k, 2C) graph features dominate HBM at large batch; trading the
     cheap recompute roughly halves activation memory.
+
+    ``impl`` selects the EdgeConv implementation: 'reference' (edge tensor
+    + Dense, the original layout), 'fused' (split-projection + gathered
+    aggregates, XLA), 'fused_pallas' (split-projection + the fused
+    kNN/aggregate kernel — no edge tensor or distance matrix in HBM).
+    All three share one parameter tree.
     """
     k: int = 20
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
+    impl: str = "reference"
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
-        if self.remat:
+        if self.impl in ("fused", "fused_pallas"):
+            FEC = functools.partial(FusedEdgeConv,
+                                    use_pallas=self.impl == "fused_pallas")
+            x1 = FEC(64, self.k, self.dtype, name="ec1")(x, train)
+            x2 = FEC(64, self.k, self.dtype, name="ec2")(x1, train)
+            x3 = FEC(128, self.k, self.dtype, name="ec3")(x2, train)
+            x4 = FEC(256, self.k, self.dtype, name="ec4")(x3, train)
+        elif self.remat:
             # kNN hoisted out of the remat boundary (indices carry no
             # gradient; recomputing them in the bwd doubles the step's most
             # expensive op), only the gather+conv+max is rematerialized

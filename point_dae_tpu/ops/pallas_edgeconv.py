@@ -1,0 +1,226 @@
+"""Fused EdgeConv neighbor-aggregate kernel.
+
+EdgeConv (dgcnn_util.py:15-36 + the conv/BN/max at :87-139) is, by
+linearity of the edge projection, computable WITHOUT the (B, N, k, 2C)
+edge tensor or the (B, N, N) distance matrix ever reaching HBM:
+
+    W [x_j - x_i ; x_i] = U_j + V_i,   U = X W_top, V = X (W_bot - W_top)
+
+and everything downstream of the projection (BatchNorm batch statistics,
+the post-BN/LeakyReLU max over neighbors) is reconstructible from four
+per-point aggregates of U over each point's k nearest neighbors:
+
+    M_i  = max_{j in knn(i)} U_j      m_i  = min_{j in knn(i)} U_j
+    S1_i = sum U_j                    S2_i = sum U_j^2
+
+(max/min suffice because BN+LeakyReLU is per-channel monotone — increasing
+when the BN scale is >= 0, decreasing otherwise; the stats come from
+sum/sumsq expansions of (U_j + V_i).)
+
+This kernel computes the kNN selection (pairwise-distance tile on the MXU +
+iterative min-extraction, same conventions as ops.knn) AND the four
+aggregates in one pass: per k-round the argmin row one-hot both masks the
+distance tile and gathers U as a (tn, N) @ (N, C) MXU matmul. The custom
+VJP re-derives the selection one-hots from the saved (B, N, k) indices and
+scatters the combined cotangent back as transposed one-hot matmuls — no
+gather/scatter primitives, everything rides the MXU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+_INF = 1e30
+
+
+def knn_aggregate_xla(U: Array, idx: Array) -> Tuple[Array, ...]:
+    """Reference aggregation: gather U by idx then reduce. Used on CPU, for
+    unsupported shapes, and as the test oracle. U: (B, N, C),
+    idx: (B, N, k) -> M, m, S1, S2 each (B, N, C)."""
+    g = jnp.take_along_axis(U[:, :, None, :],
+                            idx[:, :, :, None], axis=1)        # (B, N, k, C)
+    return (jnp.max(g, axis=2), jnp.min(g, axis=2),
+            jnp.sum(g, axis=2), jnp.sum(g * g, axis=2))
+
+
+def _fwd_kernel(k, tn, n, xt_ref, xf_ref, u_ref, M_ref, m_ref, s1_ref,
+                s2_ref, idx_ref):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    q = xt_ref[0].astype(jnp.float32)                          # (tn, Cf)
+    y = xf_ref[0].astype(jnp.float32)                          # (N, Cf)
+    u = u_ref[0].astype(jnp.float32)                           # (N, C)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    yy = jnp.sum(y * y, axis=-1)
+    d = qq - 2.0 * jnp.dot(q, y.T, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST) + yy[None, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, n), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
+    C = u.shape[-1]
+
+    def step(r, carry):
+        d, M, m, s1, s2, idx = carry
+        # first-match argmin one-hot (ties -> lowest column, like top_k)
+        dmin = jnp.min(d, axis=1, keepdims=True)
+        jstar = jnp.min(jnp.where(d == dmin, cols, n), axis=1,
+                        keepdims=True)                         # (tn, 1)
+        onehot = (cols == jstar)
+        sel = jnp.dot(onehot.astype(jnp.float32), u,
+                      preferred_element_type=jnp.float32)      # (tn, C)
+        M = jnp.maximum(M, sel)
+        m = jnp.minimum(m, sel)
+        s1 = s1 + sel
+        s2 = s2 + sel * sel
+        idx = jnp.where(colk == r, jstar, idx)
+        d = jnp.where(onehot, _INF, d)
+        return d, M, m, s1, s2, idx
+
+    init = (d, jnp.full((tn, C), -_INF, jnp.float32),
+            jnp.full((tn, C), _INF, jnp.float32),
+            jnp.zeros((tn, C), jnp.float32), jnp.zeros((tn, C), jnp.float32),
+            jnp.zeros((tn, k), jnp.int32))
+    _, M, m, s1, s2, idx = jax.lax.fori_loop(0, k, step, init)
+    M_ref[0] = M
+    m_ref[0] = m
+    s1_ref[0] = s1
+    s2_ref[0] = s2
+    idx_ref[0] = idx
+
+
+def _bwd_kernel(k, tn, n, u_ref, idx_ref, M_ref, m_ref, gM_ref, gm_ref,
+                gs1_ref, gs2_ref, du_ref, sel_scratch):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[0] = jnp.zeros_like(du_ref[0])
+
+    u = u_ref[0].astype(jnp.float32)                           # (N, C)
+    idx = idx_ref[0]                                           # (tn, k)
+    M = M_ref[0]
+    m = m_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, n), 1)
+    C = u.shape[-1]
+
+    # pass 1: recompute selected values, count max/min ties
+    def count(r, carry):
+        cM, cm = carry
+        onehot = (cols == idx[:, r][:, None])
+        sel = jnp.dot(onehot.astype(jnp.float32), u,
+                      preferred_element_type=jnp.float32)
+        sel_scratch[r] = sel
+        return cM + (sel == M).astype(jnp.float32), \
+            cm + (sel == m).astype(jnp.float32)
+
+    cM, cm = jax.lax.fori_loop(
+        0, k, count, (jnp.zeros((tn, C), jnp.float32),
+                      jnp.zeros((tn, C), jnp.float32)))
+    wM = gM_ref[0] / jnp.maximum(cM, 1.0)
+    wm = gm_ref[0] / jnp.maximum(cm, 1.0)
+    gs1 = gs1_ref[0]
+    gs2 = gs2_ref[0]
+
+    # pass 2: per-round cotangent, scattered back as onehot^T matmuls
+    def scatter(r, du):
+        sel = sel_scratch[r]
+        w = gs1 + 2.0 * sel * gs2 + (sel == M) * wM + (sel == m) * wm
+        onehot = (cols == idx[:, r][:, None]).astype(jnp.float32)
+        return du + jnp.dot(onehot.T, w,
+                            preferred_element_type=jnp.float32)  # (N, C)
+
+    du_ref[0] = du_ref[0] + jax.lax.fori_loop(
+        0, k, scatter, jnp.zeros((n, C), jnp.float32))
+
+
+def _aggregate_fwd(U, xf, k, tn, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = U.shape
+    Cf = xf.shape[-1]
+    tn = min(tn, N)
+    assert N % tn == 0, (N, tn)
+    kern = functools.partial(_fwd_kernel, k, tn, N)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, Cf), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, Cf), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, tn, C), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)] * 4 +
+                  [pl.BlockSpec((1, tn, k), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, N, C), jnp.float32)] * 4 +
+                  [jax.ShapeDtypeStruct((B, N, k), jnp.int32)],
+        interpret=interpret,
+    )(xf, xf, U)
+    return out
+
+
+def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = U.shape
+    tn = min(tn, N)
+    kern = functools.partial(_bwd_kernel, k, tn, N)
+    tile = lambda b, i: (b, i, 0)
+    full = lambda b, i: (b, 0, 0)
+    du = pl.pallas_call(
+        kern,
+        grid=(B, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, N, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, k), tile, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, tn, C), tile,
+                          memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, N, C), full, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, tn, C), jnp.float32)],
+        interpret=interpret,
+    )(U, idx, M, m, gM, gm, gs1, gs2)
+    return du
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 128,
+                  interpret: bool = False):
+    """Fused kNN + neighbor aggregates of U. xf is the (non-differentiable)
+    feature basis for the kNN selection; U the values being aggregated.
+    Returns (M, m, S1, S2, idx)."""
+    return _aggregate_fwd(U, xf, k, tn, interpret)
+
+
+def _knn_aggregate_fwd(U, xf, k, tn, interpret):
+    out = _aggregate_fwd(U, xf, k, tn, interpret)
+    M, m, s1, s2, idx = out
+    return out, (U, idx, M, m)
+
+
+def _knn_aggregate_bwd(k, tn, interpret, res, g):
+    U, idx, M, m = res
+    gM, gm, gs1, gs2, _ = g
+    du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret)
+    # the kNN selection is non-differentiable (CUDA-knn parity): zero
+    # cotangent for xf
+    return du.astype(U.dtype), None
+
+
+knn_aggregate.defvjp(_knn_aggregate_fwd, _knn_aggregate_bwd)
+
+
+def supported(N: int, k: int, tn: int = 128) -> bool:
+    """Shapes the fused kernel handles: full-row tiles + VMEM-resident U."""
+    return N % tn == 0 and 2 <= k <= 64 and N <= 4096

@@ -1,0 +1,138 @@
+"""Fused EdgeConv correctness: the split-projection + aggregate
+restructuring (ops/pallas_edgeconv.py, models/dgcnn.py:FusedEdgeConv) must
+match the reference EdgeConv layout exactly — forward, batch-stat updates,
+and gradients — on a shared parameter tree. The Pallas kernel runs in
+interpreter mode on the CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_dae_tpu.models.dgcnn import (DGCNNEncoder, EdgeConv,
+                                        FusedEdgeConv)
+from point_dae_tpu.ops import knn
+from point_dae_tpu.ops.pallas_edgeconv import (knn_aggregate,
+                                               knn_aggregate_xla)
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(
+        size=shape).astype(np.float32))
+
+
+class TestAggregateKernel:
+    def test_forward_matches_xla(self):
+        B, N, C, Cf, k = 2, 128, 16, 8, 5
+        U = _rand((B, N, C), 1)
+        xf = _rand((B, N, Cf), 2)
+        M, m, S1, S2, idx = knn_aggregate(U, xf, k, interpret=True)
+        _, idx_ref = knn(xf, xf, k)
+        # the selected neighbor SET must match ops.knn (aggregates are
+        # order-invariant, so compare sorted)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1),
+                                      np.sort(np.asarray(idx_ref), -1))
+        Mr, mr, S1r, S2r = knn_aggregate_xla(U, idx_ref)
+        np.testing.assert_allclose(np.asarray(M), np.asarray(Mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S1r),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(S2), np.asarray(S2r),
+                                   atol=1e-4)
+
+    def test_gradient_matches_xla(self):
+        B, N, C, Cf, k = 2, 128, 8, 4, 4
+        U = _rand((B, N, C), 3)
+        xf = _rand((B, N, Cf), 4)
+        w = [_rand((B, N, C), 10 + i) for i in range(4)]
+        idx_ref = jax.lax.stop_gradient(knn(xf, xf, k)[1])
+
+        def loss_pallas(U):
+            M, m, S1, S2, _ = knn_aggregate(U, xf, k, interpret=True)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        def loss_xla(U):
+            M, m, S1, S2 = knn_aggregate_xla(U, idx_ref)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        gp = jax.grad(loss_pallas)(U)
+        gx = jax.grad(loss_xla)(U)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestFusedEdgeConv:
+    def _pair(self, out_dim=24, k=6, interpret=False):
+        ref = EdgeConv(out_dim, k)
+        fused = FusedEdgeConv(out_dim, k, use_pallas=interpret,
+                              interpret=interpret)
+        return ref, fused
+
+    @pytest.mark.parametrize("train", [True, False])
+    @pytest.mark.parametrize("interpret", [False, True])
+    def test_forward_parity(self, train, interpret):
+        x = _rand((2, 128, 12), 5)
+        ref, fused = self._pair(interpret=interpret)
+        v = ref.init({"params": jax.random.key(0)}, x, train=True)
+        kwargs = dict(mutable=["batch_stats"]) if train else {}
+        args = {"params": v["params"], "batch_stats": v["batch_stats"]}
+        if train:
+            want, vr = ref.apply(args, x, train=True, **kwargs)
+            got, vf = fused.apply(args, x, train=True, **kwargs)
+            # BN running-stat updates must match too
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+                vr["batch_stats"], vf["batch_stats"])
+        else:
+            want = ref.apply(args, x, train=False)
+            got = fused.apply(args, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_negative_bn_scale_uses_min(self):
+        """With a negative BN scale the post-BN max corresponds to the
+        pre-BN min — the sign-select must keep parity."""
+        x = _rand((2, 64, 8), 6)
+        ref, fused = self._pair(out_dim=10, k=4)
+        v = ref.init({"params": jax.random.key(1)}, x, train=True)
+        params = jax.tree_util.tree_map(lambda a: a, v["params"])
+        params["bn"]["scale"] = params["bn"]["scale"].at[::2].set(-1.5)
+        args = {"params": params, "batch_stats": v["batch_stats"]}
+        want = ref.apply(args, x, train=False)
+        got = fused.apply(args, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradient_parity(self):
+        x = _rand((2, 64, 8), 7)
+        ref, fused = self._pair(out_dim=12, k=4)
+        v = ref.init({"params": jax.random.key(2)}, x, train=True)
+
+        def loss(mod, p):
+            out, _ = mod.apply({"params": p, "batch_stats": v["batch_stats"]},
+                               x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out * out)
+
+        gr = jax.grad(lambda p: loss(ref, p))(v["params"])
+        gf = jax.grad(lambda p: loss(fused, p))(v["params"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4),
+            gr, gf)
+
+    def test_encoder_impl_parity(self):
+        """DGCNNEncoder impl='fused' == impl='reference' on one param tree."""
+        x = _rand((2, 128, 3), 8)
+        ref = DGCNNEncoder(k=6)
+        fused = DGCNNEncoder(k=6, impl="fused")
+        v = ref.init({"params": jax.random.key(3)}, x, train=True)
+        args = {"params": v["params"], "batch_stats": v["batch_stats"]}
+        (gw, pw), _ = ref.apply(args, x, train=True, mutable=["batch_stats"])
+        (gg, pg), _ = fused.apply(args, x, train=True,
+                                  mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(pg), np.asarray(pw),
+                                   rtol=1e-3, atol=1e-3)
