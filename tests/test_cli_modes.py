@@ -210,3 +210,24 @@ class TestPlotResults:
             d.mkdir()
             (d / "run.log").write_text("x [TEST] acc = 85.0000\n")
         run("affinity_matrix", str(tmp_path / "pretrain_*"), "am.png")
+
+
+class TestCorruptionGallery:
+    def test_gallery_tool(self, tmp_path):
+        """tools/corruption_gallery.py writes one PLY per corruption family
+        (Corruption_visualization.py parity) + the PNG contact sheet."""
+        import subprocess
+        import sys
+        import os as _os
+
+        r = subprocess.run(
+            [sys.executable, "tools/corruption_gallery.py",
+             "--out", str(tmp_path), "--npoints", "64", "--png"],
+            capture_output=True, text=True, cwd=".",
+            env={**_os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr
+        plys = list(tmp_path.glob("*.ply"))
+        assert len(plys) == 14
+        head = plys[0].read_text().splitlines()
+        assert head[0] == "ply" and "element vertex 64" in head[2]
+        assert (tmp_path / "gallery-synthetic.png").stat().st_size > 1000
