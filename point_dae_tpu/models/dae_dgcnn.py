@@ -183,7 +183,9 @@ class _ClsHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        x = nn.Dense(512, use_bias=False, name="fc1")(x)
+        # biased Dense like the reference nn.Linear (PointCAE_DGCNN.py
+        # :581-590) so converted checkpoints land bit-for-bit
+        x = nn.Dense(512, name="fc1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = leaky_relu02(x)

@@ -125,6 +125,17 @@ _DGCNN_RULES = [
     (r"^folding2\.0\.(weight|bias)$", "folding2/dense0"),
     (r"^folding2\.2\.(weight|bias)$", "folding2/dense1"),
     (r"^folding2\.4\.(weight|bias)$", "folding2/dense2"),
+    # projection head (PointCAE_DGCNN.py:468-470)
+    (r"^proj\.0\.(weight|bias)$", "proj/dense0"),
+    (r"^proj\.2\.(weight|bias)$", "proj/dense1"),
+    # cls head (PointCAE_DGCNN.py:581-590: Linear BN LeakyReLU Linear BN
+    # LeakyReLU Dropout Linear)
+    (r"^cls_head_finetune\.0\.(.*)$", "cls_head/fc1"),
+    (r"^cls_head_finetune\.1\.(.*)$", "cls_head/bn1"),
+    (r"^cls_head_finetune\.3\.(.*)$", "cls_head/fc2"),
+    (r"^cls_head_finetune\.4\.(.*)$", "cls_head/bn2"),
+    (r"^cls_head_finetune\.7\.(.*)$", "cls_head/cls"),
+    (r"^cls\.(weight|bias)$", "cls"),
 ]
 
 # masksurf shares the transformer module naming (MaskSurf_v2.py MaskTransformer

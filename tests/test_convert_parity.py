@@ -272,6 +272,33 @@ class TestPointNetFamily:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+class TestDGCNNHead:
+    def test_cls_head_parity(self, tmp_path):
+        from point_dae_tpu.models.dae_dgcnn import _ClsHead
+
+        torch.manual_seed(11)
+        tm = tnn.Sequential(
+            tnn.Linear(1024, 512), tnn.BatchNorm1d(512),
+            tnn.LeakyReLU(0.2), tnn.Linear(512, 256), tnn.BatchNorm1d(256),
+            tnn.LeakyReLU(0.2), tnn.Dropout(0.5),
+            tnn.Linear(256, 15)).eval()
+        x = torch.randn(4, 1024)
+        want = tm(x).detach().numpy()
+        sd = {f"cls_head_finetune.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "dgcnn")
+        pf, bsf = _split_flat(flat, "cls_head/")
+        fm = _ClsHead(15)
+        v = fm.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)},
+                    jnp.asarray(x.numpy()), train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
+                                  jnp.asarray(x.numpy()), train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 class TorchSharedMLPSA(tnn.Module):
     """Group-all SA twin: the pointnet2_ops wheel layout
     (sa.mlps.0.layer{i}.conv Conv2d-k1 bias-free + .bn.bn BatchNorm2d,
