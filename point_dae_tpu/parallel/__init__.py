@@ -1,11 +1,14 @@
 from .mesh import (
     initialize_distributed,
     get_mesh,
+    get_mesh_2d,
     shard_batch,
+    shard_params,
     replicate,
     data_sharding,
     replicated_sharding,
 )
 
-__all__ = ["initialize_distributed", "get_mesh", "shard_batch", "replicate", "data_sharding",
+__all__ = ["initialize_distributed", "get_mesh", "get_mesh_2d",
+           "shard_batch", "shard_params", "replicate", "data_sharding",
            "replicated_sharding"]

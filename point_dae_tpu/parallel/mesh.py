@@ -74,3 +74,69 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params, opt state) across the mesh."""
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ------------------------------------------------- tensor parallelism (TP)
+
+def get_mesh_2d(devices: Optional[Sequence[jax.Device]] = None,
+                model_parallel: int = 1) -> Mesh:
+    """2-D ('data', 'model') mesh: batch over 'data', large weight matrices
+    over 'model' (Megatron column/row pattern — see param_sharding_rules).
+    model_parallel=1 degenerates to the 1-D data mesh semantics."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    assert len(devices) % model_parallel == 0, (len(devices), model_parallel)
+    return Mesh(devices.reshape(len(devices) // model_parallel,
+                                model_parallel), ("data", "model"))
+
+
+# Megatron-style sharding: the first Dense of each pair splits its OUTPUT
+# features (column parallel), the second its INPUT features (row parallel) —
+# one all-reduce per block, inserted by GSPMD. Keyed by flax param-path
+# suffixes of the ViT blocks, the FLOP-dominant weights of every
+# transformer-family model here.
+_COLUMN_SUFFIXES = ("attn/qkv/kernel", "mlp_fc1/kernel")
+_ROW_SUFFIXES = ("attn/proj/kernel", "mlp_fc2/kernel")
+_COLUMN_BIAS = ("attn/qkv/bias", "mlp_fc1/bias")
+
+
+def param_spec(path: str, ndim: int) -> P:
+    """PartitionSpec for one parameter under the ('data', 'model') mesh."""
+    if ndim == 2:
+        if path.endswith(_COLUMN_SUFFIXES):
+            return P(None, "model")
+        if path.endswith(_ROW_SUFFIXES):
+            return P("model", None)
+    if ndim == 1 and path.endswith(_COLUMN_BIAS):
+        return P("model")
+    return P()
+
+
+def shard_params(mesh: Mesh, tree):
+    """Place a param/opt-state pytree with ViT-block weights sharded over the
+    'model' axis (everything else replicated). With jit over a sharded tree,
+    GSPMD propagates the layouts through fwd/bwd and inserts the Megatron
+    all-reduces on ICI; the train step code is unchanged."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        return replicate(mesh, tree)
+
+    def place(path_tuple, x):
+        path = "/".join(str(p) for p in path_tuple)
+        if hasattr(x, "ndim"):
+            spec = param_spec(path, x.ndim)
+            # only shard when the dimension divides evenly
+            for d, ax in enumerate(spec):
+                if ax is not None and x.shape[d] % mesh.shape["model"] != 0:
+                    spec = P()
+                    break
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+
+    flat = flatten_dict(tree, sep=None) if isinstance(tree, dict) else None
+    if flat is None:
+        # non-dict pytrees (opt states etc.): replicate
+        return replicate(mesh, tree)
+    return unflatten_dict({k: place(k, v) for k, v in flat.items()})
