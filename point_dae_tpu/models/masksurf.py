@@ -65,6 +65,26 @@ class _MaskSurfBase(_CAETransformerBase):
         x, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)
         return jnp.max(x, axis=1) + jnp.mean(x, axis=1)
 
+    def reconstruct(self, clean: Array, train: bool = False):
+        """Visualization path (role of main_vis_surfels.py / vis_masksurf.py:
+        the reference saves vis/masked/rebuild views of surfel models):
+        (visible cloud, rebuilt masked patches at their centers, rebuilt
+        per-point normals, mask). Works for the 3S-point + 3S-normal v1
+        heads; v2's 7-channel head overrides."""
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        S = self.config["group_size"]
+        B, G = mask.shape
+        off = center[:, :, None, :]
+        rebuild = self.increase_dim(x_rec).astype(jnp.float32)
+        rebuild = rebuild.reshape(B, G, S, 3) + off
+        normals = self.increase_dim2(x_rec).astype(jnp.float32)
+        normals = normals.reshape(B, G, S, 3)
+        vis_cloud = jnp.where(mask[..., None, None], 0.0, xyz + off)
+        rebuild_m = jnp.where(mask[..., None, None], rebuild, 0.0)
+        return (vis_cloud.reshape(B, -1, 3), rebuild_m.reshape(B, -1, 3),
+                jnp.where(mask[..., None, None], normals,
+                          0.0).reshape(B, -1, 3), mask)
+
 
 def _surf_encoder(self):
     t = self.tcfg
@@ -232,6 +252,26 @@ class MaskSurf_v2_local_global_point(_SurfV2Base):
         loss_surf = (concat[1] * wts[1] + concat[2] * wts[2] +
                      concat[4] * wts[4] + concat[5] * wts[5])
         return loss_point, loss_surf
+
+    def reconstruct(self, clean: Array, train: bool = False):
+        """Vis path for the 7-channel surfel head: (coarse global surfel
+        xyz, rebuilt masked patch points, rebuilt normals, mask)."""
+        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        S = self.config["group_size"]
+        B, G = mask.shape
+        surf = self.increase_dim(x_rec).astype(jnp.float32)
+        surf = surf.reshape(B, G, S, 7)
+        rebuild = surf[..., :3] + center[:, :, None, :]
+        normals = surf[..., 3:6]
+        vis = jnp.logical_not(mask)[..., None]
+        x = jnp.where(vis, x_rec, 0.0)
+        cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
+        gfeat = jnp.max(jnp.where(vis, x_rec, -1e9), 1) + jnp.sum(x, 1) / cnt
+        coarse = self.coarse_pred(gfeat).reshape(B, 64, 7)[..., :3]
+        rebuild_m = jnp.where(mask[..., None, None], rebuild, 0.0)
+        return (coarse, rebuild_m.reshape(B, -1, 3),
+                jnp.where(mask[..., None, None], normals,
+                          0.0).reshape(B, -1, 3), mask)
 
 
 @MODELS.register_module()

@@ -466,3 +466,52 @@ class TestMlMAEPackingInvariance:
         for f1, f2 in zip(feats1, feats2):
             np.testing.assert_allclose(np.asarray(f1)[0, ~m],
                                        np.asarray(f2)[0, ~m], atol=2e-4)
+
+
+class TestMaskSurfReconstruct:
+    """Surfel visualization path (main_vis_surfels.py role): reconstruct()
+    yields finite vis/rebuild/normal clouds with masked-slot zeroing."""
+
+    def _run(self, name):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.utils.config import ConfigDict
+
+        cfg = ConfigDict({
+            "NAME": name, "corrupt_type": ["Drop-Patch"],
+            "all_patch": "False", "group_size": 8, "num_group": 16,
+            "loss": "cdl2normal", "position_weight": 1.0,
+            "transformer_config": {
+                "rand_ratio": "False", "mask_ratio": 0.5, "mask_type": "rand",
+                "trans_dim": 32, "encoder_dims": 32, "depth": 1,
+                "drop_path_rate": 0.0, "cls_dim": 8, "num_heads": 2,
+                "decoder_depth": 1, "decoder_num_heads": 2}})
+        model = build_model_from_cfg(cfg)
+        rng = np.random.default_rng(0)
+        clean = jnp.asarray(rng.normal(size=(2, 128, 6)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "corrupt": jax.random.key(1),
+                "mask": jax.random.key(2), "droppath": jax.random.key(3)}
+        v = model.init(rngs, clean, clean, train=True)
+        out = model.apply(
+            {"params": v["params"], **({"batch_stats": v["batch_stats"]}
+                                       if "batch_stats" in v else {})},
+            clean, train=False, method="reconstruct",
+            rngs={"corrupt": jax.random.key(4), "mask": jax.random.key(5)})
+        head, rebuild, normals, mask = out
+        assert rebuild.shape == (2, 16 * 8, 3)
+        assert normals.shape == (2, 16 * 8, 3)
+        for a in (head, rebuild, normals):
+            assert np.isfinite(np.asarray(a)).all()
+        # visible slots zeroed in the masked-rebuild cloud
+        m = np.asarray(mask)
+        r = np.asarray(rebuild).reshape(2, 16, 8, 3)
+        assert np.all(r[~m] == 0.0)
+
+    def test_v1(self):
+        self._run("MaskSurf")
+
+    def test_v2_local_global_point(self):
+        self._run("MaskSurf_v2_local_global_point")
