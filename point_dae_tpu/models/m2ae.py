@@ -260,6 +260,33 @@ class _M2AEBase(nn.Module):
         return jnp.mean(x, axis=1) + jnp.max(x, axis=1)
 
 
+class TokenProp(nn.Module):
+    """Token propagation between decoder scales: the reference's
+    PointNetFeaturePropagation fuse + residual-extraction stack
+    (Point_M2AE_modules.py:53-123 with kernel=1, groups=1,
+    res_expansion=1): ConvBNGELU fuse, then ``blocks`` x
+    (ConvBNGELU -> ConvBN) residual units with a GELU on the sum."""
+    out_c: int
+    blocks: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=name)(h)
+
+        # exact (erf) GELU: torch nn.GELU's default, which the reference uses
+        gelu = lambda h: nn.gelu(h, approximate=False)
+        h = gelu(bn(nn.Dense(self.out_c, name="fuse_conv")(x), "fuse_bn"))
+        for j in range(self.blocks):
+            r = gelu(bn(nn.Dense(self.out_c, name=f"res{j}_conv1")(h),
+                        f"res{j}_bn1"))
+            r = bn(nn.Dense(self.out_c, name=f"res{j}_conv2")(r),
+                   f"res{j}_bn2")
+            h = gelu(r + h)
+        return h
+
+
 class _M2AEDecoderMixin:
     """Shared hierarchical decoder + mid-scale reconstruction."""
 
@@ -281,7 +308,9 @@ class _M2AEDecoderMixin:
             pos_embeds.append(MLP((ddims[i], ddims[i]), act=nn.gelu,
                                   name=f"decoder_pos_embed{i}"))
             if i > 0:
-                props.append(MLP((ddims[i],), name=f"token_prop{i - 1}"))
+                up = c.get("decoder_up_blocks", [1] * (len(ddims) - 1))
+                props.append(TokenProp(ddims[i], blocks=int(up[i - 1]),
+                                       name=f"token_prop{i - 1}"))
             cnt += ddepths[i]
         self.h_decoder = stages
         self.decoder_pos_embeds = pos_embeds
@@ -310,7 +339,7 @@ class _M2AEDecoderMixin:
                 dist, idx3 = three_nn(center, rc[i - 1])
                 interp = three_interpolate(x_full, idx3, dist)
                 x_full = self.token_props[i - 1](
-                    jnp.concatenate([x_full_en, interp], -1))
+                    jnp.concatenate([x_full_en, interp], -1), train=train)
             pos = self.decoder_pos_embeds[i](center)
             x_full = self.h_decoder[i](x_full, pos, deterministic=not train)
 

@@ -261,6 +261,37 @@ _M2AE_RULES = [
     (r"^h_encoder\.encoder_blocks\.(\d+)\.blocks\.(\d+)\.mlp\.fc2\.(.*)$",
      "h_encoder/stage{0}/block{1}/mlp_fc2"),
     (r"^h_encoder\.encoder_norms\.(\d+)\.(.*)$", "h_encoder/norm{0}"),
+    # hierarchical decoder (Point_M2AE.py:209-239)
+    (r"^h_decoder\.(\d+)\.blocks\.(\d+)\.norm1\.(.*)$",
+     "h_decoder{0}/block{1}/norm1"),
+    (r"^h_decoder\.(\d+)\.blocks\.(\d+)\.norm2\.(.*)$",
+     "h_decoder{0}/block{1}/norm2"),
+    (r"^h_decoder\.(\d+)\.blocks\.(\d+)\.attn\.qkv\.(.*)$",
+     "h_decoder{0}/block{1}/attn/qkv"),
+    (r"^h_decoder\.(\d+)\.blocks\.(\d+)\.attn\.proj\.(.*)$",
+     "h_decoder{0}/block{1}/attn/proj"),
+    (r"^h_decoder\.(\d+)\.blocks\.(\d+)\.mlp\.fc1\.(.*)$",
+     "h_decoder{0}/block{1}/mlp_fc1"),
+    (r"^h_decoder\.(\d+)\.blocks\.(\d+)\.mlp\.fc2\.(.*)$",
+     "h_decoder{0}/block{1}/mlp_fc2"),
+    (r"^decoder_pos_embeds\.(\d+)\.0\.(weight|bias)$",
+     "decoder_pos_embed{0}/dense0"),
+    (r"^decoder_pos_embeds\.(\d+)\.2\.(weight|bias)$",
+     "decoder_pos_embed{0}/dense1"),
+    # token propagation (PointNetFeaturePropagation fuse + res stack,
+    # Point_M2AE_modules.py:53-123)
+    (r"^token_prop\.(\d+)\.fuse\.net\.0\.(weight|bias)$",
+     "token_prop{0}/fuse_conv"),
+    (r"^token_prop\.(\d+)\.fuse\.net\.1\.(.*)$", "token_prop{0}/fuse_bn"),
+    (r"^token_prop\.(\d+)\.extraction\.operation\.(\d+)\.net1\.0\.(weight|bias)$",
+     "token_prop{0}/res{1}_conv1"),
+    (r"^token_prop\.(\d+)\.extraction\.operation\.(\d+)\.net1\.1\.(.*)$",
+     "token_prop{0}/res{1}_bn1"),
+    (r"^token_prop\.(\d+)\.extraction\.operation\.(\d+)\.net2\.0\.(weight|bias)$",
+     "token_prop{0}/res{1}_conv2"),
+    (r"^token_prop\.(\d+)\.extraction\.operation\.(\d+)\.net2\.1\.(.*)$",
+     "token_prop{0}/res{1}_bn2"),
+    (r"^decoder_norm\.(.*)$", "decoder_norm"),
     # fc-center pretrain heads (Point_M2AE.py:343-366)
     (r"^coarse_pred_(\d+)\.0\.(weight|bias)$", "coarse_pred{0}/dense0"),
     (r"^coarse_pred_(\d+)\.2\.(weight|bias)$", "coarse_pred{0}/dense1"),
@@ -301,6 +332,9 @@ def convert_state_dict(sd: Dict[str, np.ndarray], family: str = "transformer",
                 groups = [g for g in m.groups() if g is not None and g.isdigit()]
                 path = tmpl.format(*groups)
                 if name.endswith(("token", "cls_pos")):
+                    # M2AE stores mask_token as (1, C); ours is (1, 1, C)
+                    if family == "m2ae" and v.ndim == 2:
+                        v = v[None]
                     out[path] = v
                 else:
                     _emit(out, path, name, v)

@@ -441,6 +441,65 @@ class TestM2AEFamily:
                                   jnp.asarray(groups.numpy()), train=False))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
+    def test_token_prop_pth_roundtrip_parity(self, tmp_path):
+        """TokenProp == the reference PointNetFeaturePropagation fuse +
+        residual-extraction stack (Point_M2AE_modules.py:53-123) through
+        the .pth path."""
+        from point_dae_tpu.models.m2ae import TokenProp
+
+        class TorchTokenProp(tnn.Module):
+            """Twin with the wheel's nesting: fuse.net.{0conv,1bn,2act},
+            extraction.operation.{j}.net1/.net2."""
+
+            def __init__(self, in_c, out_c, blocks=1):
+                super().__init__()
+                self.fuse = tnn.Sequential()
+                self.fuse.add_module("net", tnn.Sequential(
+                    tnn.Conv1d(in_c, out_c, 1), tnn.BatchNorm1d(out_c),
+                    tnn.GELU()))
+                ops = tnn.Sequential()
+                for j in range(blocks):
+                    blk = tnn.Module()
+                    blk.net1 = tnn.Sequential(
+                        tnn.Conv1d(out_c, out_c, 1), tnn.BatchNorm1d(out_c),
+                        tnn.GELU())
+                    blk.net2 = tnn.Sequential(
+                        tnn.Conv1d(out_c, out_c, 1), tnn.BatchNorm1d(out_c))
+                    ops.add_module(str(j), blk)
+                self.extraction = tnn.Module()
+                self.extraction.operation = ops
+                self.act = tnn.GELU()
+
+            def forward(self, x):                       # (B, C, N)
+                h = self.fuse.net(x)
+                for blk in self.extraction.operation:
+                    h = self.act(blk.net2(blk.net1(h)) + h)
+                return h
+
+        torch.manual_seed(12)
+        tm = TorchTokenProp(24, 16, blocks=1).eval()
+        x = torch.randn(2, 24, 10)
+        want = tm(x).transpose(2, 1).detach().numpy()
+
+        sd = {f"token_prop.0.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "m2ae")
+        pf, bsf = _split_flat(flat, "token_prop0/")
+        fm = TokenProp(16, blocks=1)
+        xin = jnp.asarray(x.numpy().transpose(0, 2, 1))
+        v = fm.init(jax.random.key(0), xin, train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
+                                  xin, train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_mask_token_reshape(self, tmp_path):
+        flat = _via_pth(tmp_path, {"mask_token": np.zeros((1, 8),
+                                                          np.float32)},
+                        "m2ae")
+        assert flat["mask_token"].shape == (1, 1, 8)
+
     def test_stage_block_and_norm_rules(self, tmp_path):
         """encoder_blocks.{i}.blocks.{j} + encoder_norms.{i} +
         encoder_pos_embeds.{i} land in our stage{i}/block{j}, norm{i},
