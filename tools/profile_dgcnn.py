@@ -81,8 +81,14 @@ def main():
     state = TrainState.create(model.apply, params, batch_stats, tx)
     step = make_train_step(model, config, mesh=None)
     key = jax.random.key(0)
-    timeit("full_train_step", lambda: step(state, raw, key,
-                                           jnp.float32(0.5))[1])
+    # the step donates its state: thread it through repeated timed calls
+    holder = {"s": state}
+
+    def run_step():
+        holder["s"], m = step(holder["s"], raw, key, jnp.float32(0.5))
+        return m
+
+    timeit("full_train_step", run_step)
 
     # pieces (forward only, jitted in isolation)
     knn_j = jax.jit(lambda a: knn(a, a, k)[1])
@@ -103,22 +109,43 @@ def main():
     edge = gf(x128, idx)
     timeit("conv_relu_max_C256", conv, edge, w)
 
-    # encoder fwd+bwd in isolation
+    # encoder fwd+bwd A/B across EdgeConv implementations (one shared
+    # param tree: FusedEdgeConv keeps EdgeConv's exact layout)
     from point_dae_tpu.models.dgcnn import DGCNNEncoder
 
-    enc = DGCNNEncoder(k=k, dtype=jnp.bfloat16)
-    ev = jax.jit(lambda: enc.init({"params": jax.random.key(0)}, x3,
-                                  train=True))()
+    ev = None
+    for impl in ("reference", "fused", "fused_pallas"):
+        enc = DGCNNEncoder(k=k, dtype=jnp.bfloat16, impl=impl)
+        if ev is None:
+            ev = jax.jit(lambda: enc.init({"params": jax.random.key(0)}, x3,
+                                          train=True))()
 
-    def enc_loss(p, bs, a):
-        (g, _), mut = enc.apply({"params": p, "batch_stats": bs}, a,
-                                train=True, mutable=["batch_stats"])
-        return jnp.sum(g * g)
+        def enc_loss(p, bs, a, enc=enc):
+            (g, _), _ = enc.apply({"params": p, "batch_stats": bs}, a,
+                                  train=True, mutable=["batch_stats"])
+            return jnp.sum(g * g)
 
-    fwd = jax.jit(lambda p, bs, a: enc_loss(p, bs, a))
-    timeit("encoder_fwd", fwd, ev["params"], ev["batch_stats"], x3)
-    bwd = jax.jit(jax.grad(enc_loss))
-    timeit("encoder_fwd_bwd", bwd, ev["params"], ev["batch_stats"], x3)
+        fwd = jax.jit(enc_loss)
+        timeit(f"encoder_fwd[{impl}]", fwd, ev["params"],
+               ev["batch_stats"], x3)
+        bwd = jax.jit(jax.grad(enc_loss))
+        timeit(f"encoder_fwd_bwd[{impl}]", bwd, ev["params"],
+               ev["batch_stats"], x3)
+
+    # full train step with the fused pallas EdgeConv
+    config["model"]["edgeconv_impl"] = "fused_pallas"
+    model2 = build_model_from_cfg(config["model"])
+    params2, bs2 = init_model(model2, config, raw)
+    tx2, _ = build_optimizer(config, params2, steps_per_epoch=100,
+                             grad_norm_clip=None)
+    holder2 = {"s": TrainState.create(model2.apply, params2, bs2, tx2)}
+    step2 = make_train_step(model2, config, mesh=None)
+
+    def run_step2():
+        holder2["s"], m = step2(holder2["s"], raw, key, jnp.float32(0.5))
+        return m
+
+    timeit("full_train_step[fused_pallas]", run_step2)
 
 
 if __name__ == "__main__":
