@@ -138,6 +138,13 @@ _DGCNN_RULES = [
     (r"^cls\.(weight|bias)$", "cls"),
 ]
 
+# MlMAE's torch layout equals the transformer family's
+# (Point_MlMAE.py:213-365 uses MaskTransformer/Encoder/TransformerDecoder
+# with identical attribute names); our flax _MlEncoder keeps its ViT blocks
+# directly at block{i} (no 'blocks' scope), so only that segment remaps.
+_MLMAE_RULES = [(pat, tmpl.replace("blocks/block{0}", "block{0}"))
+                for pat, tmpl in _TRANSFORMER_RULES]
+
 # masksurf shares the transformer module naming (MaskSurf_v2.py MaskTransformer
 # uses Encoder/pos_embed/blocks/norm exactly like PointCAE_transformer); extras:
 _MASKSURF_RULES = _TRANSFORMER_RULES + [
@@ -311,6 +318,8 @@ _FAMILIES = {
     "transformer": _TRANSFORMER_RULES,
     "dgcnn": _DGCNN_RULES,
     "masksurf": _MASKSURF_RULES,
+    "mlmae": _MLMAE_RULES,
+    "maskfeat": _TRANSFORMER_RULES,   # same module naming
     "pointnet": _POINTNET_RULES,
     "pointnet2": _POINTNET2_RULES,
     "m2ae": _M2AE_RULES,

@@ -520,6 +520,26 @@ class TestM2AEFamily:
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+class TestMlMAEFamily:
+    def test_block_rules_land_flat(self, tmp_path):
+        """mlmae family: blocks.blocks.{i} -> block{i} (no 'blocks' scope,
+        our _MlEncoder keeps ViT blocks at the top level)."""
+        torch.manual_seed(13)
+        tm = TorchBlock(32, 2).eval()
+        x = torch.randn(2, 5, 32)
+        want = tm(x).detach().numpy()
+        sd = {f"blocks.blocks.2.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "mlmae")
+        fm = TransformerBlock(32, 2)
+        v = fm.init(jax.random.key(0), jnp.asarray(x.numpy()))
+        params = merge_pretrained(v["params"], {
+            k.split("/", 1)[1]: val for k, val in flat.items()
+            if k.startswith("block2/")})
+        got = np.asarray(fm.apply({"params": params}, jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 class TestPthPipeline:
     def test_module_and_mae_encoder_prefixes_stripped(self, tmp_path):
         """Full reference ckpt layout: {'base_model': {'module.MAE_encoder.'
