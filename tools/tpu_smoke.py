@@ -97,6 +97,42 @@ def main():
     ok += 1
     print("gather_rows_small_c_pallas: bit-exact parity")
 
+    # --- fused EdgeConv aggregates: Mosaic kernel (fwd+bwd) vs XLA gather
+    from point_dae_tpu.ops import knn
+    from point_dae_tpu.ops.pallas_edgeconv import (knn_aggregate,
+                                                   knn_aggregate_xla)
+
+    U = jnp.asarray(rng.normal(size=(16, 1024, 64)).astype("f4"))
+    xf = jnp.asarray(rng.normal(size=(16, 1024, 64)).astype("f4"))
+    M, m_, S1, S2, idx = jax.jit(
+        lambda u, f: knn_aggregate(u, f, 20))(U, xf)
+    _, idx_ref = knn(xf, xf, 20)
+    idx_match = float((np.sort(np.asarray(idx), -1)
+                       == np.sort(np.asarray(idx_ref), -1)).mean())
+    Mr, mr, S1r, S2r = knn_aggregate_xla(U, idx_ref)
+    np.testing.assert_allclose(np.asarray(M), np.asarray(Mr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(S1), np.asarray(S1r), atol=1e-3)
+    w = [jnp.asarray(rng.normal(size=U.shape).astype("f4"))
+         for _ in range(4)]
+
+    def lp(u):
+        a, b_, c, d_, _ = knn_aggregate(u, xf, 20)
+        return (jnp.sum(w[0] * a) + jnp.sum(w[1] * b_)
+                + jnp.sum(w[2] * c) + jnp.sum(w[3] * d_))
+
+    def lx(u):
+        a, b_, c, d_ = knn_aggregate_xla(u, idx_ref)
+        return (jnp.sum(w[0] * a) + jnp.sum(w[1] * b_)
+                + jnp.sum(w[2] * c) + jnp.sum(w[3] * d_))
+
+    gp = jax.jit(jax.grad(lp))(U)
+    gx = jax.jit(jax.grad(lx))(U)
+    gerr = float(jnp.max(jnp.abs(gp - gx)))
+    assert gerr < 1e-2, gerr
+    ok += 1
+    print(f"edgeconv knn_aggregate: idx match {idx_match:.6f}, "
+          f"bwd maxdiff {gerr:.2e}")
+
     # --- one flagship train step end-to-end
     from __graft_entry__ import FLAGSHIP_CONFIG
     from point_dae_tpu.engine.pretrain import init_model, make_train_step
@@ -119,7 +155,7 @@ def main():
     print(f"flagship train step: loss_xyz={lx:.4f} "
           f"({time.perf_counter() - t0:.1f}s incl. compile)")
 
-    print(f"TPU smoke: {ok}/6 checks passed")
+    print(f"TPU smoke: {ok}/7 checks passed")
 
 
 if __name__ == "__main__":
