@@ -40,6 +40,9 @@ def get_args(argv=None):
     p.add_argument("--val_freq", type=int, default=1)
     p.add_argument("--vote", action="store_true")
     p.add_argument("--resume", action="store_true")
+    # resume automatically when ckpt-last exists (preemption-safe restarts;
+    # TPU-native addition beyond the reference's manual --resume)
+    p.add_argument("--auto_resume", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--test_corruption", action="store_true")
     # pre-generated ModelNet-C directory (clean.h5 + {corruption}_{level}.h5,

@@ -15,6 +15,7 @@ here every npoints goes through the same POINT_ALL table.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Callable
 
@@ -274,7 +275,10 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
 
     best_acc, best_vote = 0.0, 0.0
     start_epoch = 0
-    if getattr(args, "resume", False):
+    auto = (getattr(args, "auto_resume", False)
+            and os.path.isdir(os.path.join(args.experiment_path,
+                                           "ckpt-last")))
+    if getattr(args, "resume", False) or auto:
         state, start_epoch, best_acc = resume_checkpoint(args.experiment_path, state)
 
     for epoch in range(start_epoch, max_epoch + 1):

@@ -21,6 +21,7 @@ TPU-first structure:
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -315,7 +316,12 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
     state = replicate(mesh, state)
 
     start_epoch, best_acc = 0, 0.0
-    if getattr(args, "resume", False):
+    # --auto_resume: pick up ckpt-last if one exists (preemption-safe
+    # restarts; the reference only has the manual --resume)
+    auto = (getattr(args, "auto_resume", False)
+            and os.path.isdir(os.path.join(args.experiment_path,
+                                           "ckpt-last")))
+    if getattr(args, "resume", False) or auto:
         state, start_epoch, best_acc = resume_checkpoint(
             args.experiment_path, state)
 

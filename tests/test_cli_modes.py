@@ -231,3 +231,41 @@ class TestCorruptionGallery:
         head = plys[0].read_text().splitlines()
         assert head[0] == "ply" and "element vertex 64" in head[2]
         assert (tmp_path / "gallery-synthetic.png").stat().st_size > 1000
+
+
+class TestAutoResume:
+    def test_auto_resume_picks_up_ckpt_last(self, tmp_path):
+        """--auto_resume restores from ckpt-last when present and is a
+        no-op on a fresh experiment dir (preemption-safe restarts)."""
+        from types import SimpleNamespace
+
+        from point_dae_tpu.engine.pretrain import run_pretrain
+
+        cfg = ConfigDict({
+            "optimizer": {"type": "AdamW", "part": "all",
+                          "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
+            "scheduler": {"type": "CosLR",
+                          "kwargs": {"epochs": 3, "initial_epochs": 0}},
+            "dataset": {
+                "train": {"_base_": dict(BASE), "others": dict(OTH)}},
+            "model": {"NAME": "Point_CAE_DGCNN_FCOnly", "corrupt_type": [],
+                      "loss": "cdl2"},
+            "normal_weight": 1.0, "npoints": 64, "total_bs": 8,
+            "max_epoch": 1, "loss_type": "xyz"})
+
+        def args(**over):
+            d = dict(seed=0, experiment_path=str(tmp_path), val_freq=1,
+                     resume=False, auto_resume=True, start_ckpts=None,
+                     tfboard_path=None)
+            d.update(over)
+            return SimpleNamespace(**d)
+
+        # fresh dir: auto_resume is a no-op
+        out1 = run_pretrain(cfg, args(), logger_name="t_auto1")
+        steps = int(out1["state"].step)
+        assert steps == 4
+
+        # second invocation with auto_resume continues instead of restarting
+        cfg["max_epoch"] = 2
+        out2 = run_pretrain(cfg, args(), logger_name="t_auto2")
+        assert int(out2["state"].step) == steps + 2

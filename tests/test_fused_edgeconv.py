@@ -136,3 +136,18 @@ class TestFusedEdgeConv:
                                    rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(pg), np.asarray(pw),
                                    rtol=1e-3, atol=1e-3)
+
+
+class TestBf16Policy:
+    def test_fused_tracks_reference_under_bf16(self):
+        """bf16 compute policy: fused forward within tolerance of the
+        reference layout (separate U/V projections round differently)."""
+        x = _rand((2, 128, 12), 9)
+        ref = EdgeConv(24, 6, dtype=jnp.bfloat16)
+        fused = FusedEdgeConv(24, 6, dtype=jnp.bfloat16, use_pallas=False)
+        v = ref.init({"params": jax.random.key(4)}, x, train=True)
+        args = {"params": v["params"], "batch_stats": v["batch_stats"]}
+        want = ref.apply(args, x, train=False)
+        got = fused.apply(args, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0.05, atol=0.05)
