@@ -540,6 +540,77 @@ class TestMlMAEFamily:
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+class TorchMaskTransformerEncoder(tnn.Module):
+    """Full encoder twin (MaskTransformer noaug path: patch embed +
+    pos-embed MLP + ViT blocks + final norm; SVM feature = max+mean,
+    PointCAE_transformer.py:1024-1026)."""
+
+    def __init__(self, dim=64, depth=2, heads=2):
+        super().__init__()
+        self.encoder = TorchPatchEmbed(dim)
+        self.pos_embed = tnn.Sequential(tnn.Linear(3, 128), tnn.GELU(),
+                                        tnn.Linear(128, dim))
+
+        class Blocks(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.blocks = tnn.ModuleList(
+                    [TorchBlock(dim, heads) for _ in range(depth)])
+
+            def forward(self, x, pos):
+                for b in self.blocks:
+                    x = b(x + pos)
+                return x
+
+        self.blocks = Blocks()
+        self.norm = tnn.LayerNorm(dim)
+
+    def forward(self, groups, centers):
+        tokens = self.encoder(groups)
+        pos = self.pos_embed(centers)
+        x = self.norm(self.blocks(tokens, pos))
+        return x.max(1)[0] + x.mean(1)
+
+
+class TestFullEncoderPth:
+    def test_svm_feature_parity_through_pth(self, tmp_path):
+        """The closest available proxy for 'released checkpoint loads
+        bit-faithfully': a full MaskTransformer-encoder twin serialized as
+        {'base_model': {'module.MAE_encoder.'-prefixed ...}} (the released
+        pretrain layout) drives load -> convert -> merge ->
+        MaskTransformerEncoder, and the SVM feature (max+mean of normed
+        tokens) must match the torch forward."""
+        from point_dae_tpu.models.transformer import MaskTransformerEncoder
+
+        torch.manual_seed(21)
+        tm = TorchMaskTransformerEncoder(dim=64, depth=2, heads=2).eval()
+        B, G, S = 2, 8, 6
+        groups = torch.randn(B, G, S, 3)
+        centers = torch.randn(B, G, 3)
+        want = tm(groups, centers).detach().numpy()
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "transformer",
+                        wrap="module.MAE_encoder.")
+        pf, bsf = _split_flat(flat)
+
+        fm = MaskTransformerEncoder(trans_dim=64, depth=2, num_heads=2,
+                                    encoder_dims=64, drop_path_rate=0.0,
+                                    rand_ratio=False)
+        v = fm.init({"params": jax.random.key(0),
+                     "mask": jax.random.key(1)},
+                    jnp.asarray(groups.numpy()),
+                    jnp.asarray(centers.numpy()), noaug=True, train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        x, _ = fm.apply({"params": params, "batch_stats": bs},
+                        jnp.asarray(groups.numpy()),
+                        jnp.asarray(centers.numpy()), noaug=True,
+                        train=False)
+        got = np.asarray(jnp.max(x, axis=1) + jnp.mean(x, axis=1))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
 class TestPthPipeline:
     def test_module_and_mae_encoder_prefixes_stripped(self, tmp_path):
         """Full reference ckpt layout: {'base_model': {'module.MAE_encoder.'
