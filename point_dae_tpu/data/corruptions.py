@@ -159,6 +159,10 @@ _AFFINE_FNS: Dict[str, Callable] = {
     "rotate_level4": lambda k, l: affine_rotate_level(k, 4.0),
     "reflection": affine_reflection,
     "shear": affine_shear,
+    # config alias: the reference registry binds 'shear' to
+    # corrupt_shear_p5 (clip 0.5) and pretrain_PointCAE_shear_p5.yaml names
+    # it 'shear_p5' (a KeyError in the reference; consciously fixed here)
+    "shear_p5": affine_shear,
     "shear_p1": partial(affine_shear, clip=0.1),
     "shear_p3": partial(affine_shear, clip=0.3),
     "shear_p8": partial(affine_shear, clip=0.8),
@@ -371,7 +375,7 @@ def augment_cloud(key: jax.Array, pts: Array, types: Sequence[str]) -> Array:
 
 # --------------------------------------------------------------- pipeline
 
-_ADDING = {"add_global", "add_local"}
+_ADDING = {"add_global", "add_local", "random_add"}
 
 
 def corruption_capacity(n: int, types: Sequence[str]) -> int:
@@ -398,7 +402,7 @@ def corrupt_cloud(key: jax.Array, pts: Array, types: Sequence[str],
     # statically: affine/jitter corruptions keep every point valid -> the
     # mask stays None and downstream resampling skips its argsort packing
     _masking = ("dropout_local", "add_global", "add_local",
-                "nonuniform_density")
+                "nonuniform_density", "random_add")
     if any(t.startswith(m) for t in types for m in _masking):
         mask = jnp.ones(n, dtype=bool)
     else:
@@ -451,6 +455,18 @@ def corrupt_cloud(key: jax.Array, pts: Array, types: Sequence[str],
                                  max_clusters=max(int(c), 2))
         elif t == "add_global":
             pts, mask = add_global(k_op, pts, mask, level, pts.shape[0] + n // 2)
+        elif t == "random_add":
+            # coin-flip between the two additive corruptions (the intent of
+            # the reference's pretrain_PointCAE_random_add.yaml, whose
+            # 'random_add' key is absent from the registry and KeyErrors
+            # there; consciously fixed here)
+            k_c, k_a = jax.random.split(k_op)
+            cap_a = pts.shape[0] + n // 2
+            pts_g, mask_g = add_global(k_a, pts, mask, level, cap_a)
+            pts_l, mask_l = add_local(k_a, pts, mask, level, cap_a)
+            coin = jax.random.uniform(k_c) > 0.5
+            pts = jnp.where(coin, pts_g, pts_l)
+            mask = jnp.where(coin, mask_g, mask_l)
         elif t == "add_local":
             pts, mask = add_local(k_op, pts, mask, level, pts.shape[0] + n // 2)
         elif t == "nonuniform_density":

@@ -219,3 +219,35 @@ class TestEveryRegistryName:
         out = C.corrupt_and_sample(jax.random.key(1), pts, (name,), 128)
         assert out.shape == (128, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestRound2Names:
+    def test_shear_p5_alias(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from point_dae_tpu.data.corruptions import corrupt_cloud
+
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(64, 3)).astype(np.float32))
+        out, mask = corrupt_cloud(jax.random.key(0), pts, ("shear_p5",))
+        assert out.shape == pts.shape and mask is None
+        assert not np.allclose(np.asarray(out), np.asarray(pts))
+
+    def test_random_add_grows_capacity_and_masks(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from point_dae_tpu.data.corruptions import (corrupt_cloud,
+                                                    corruption_capacity)
+
+        n = 64
+        pts = jnp.asarray(np.random.default_rng(1).normal(
+            size=(n, 3)).astype(np.float32))
+        assert corruption_capacity(n, ("random_add",)) == n + n // 2
+        out, mask = corrupt_cloud(jax.random.key(1), pts, ("random_add",))
+        assert out.shape[0] == n + n // 2
+        got = int(np.asarray(mask).sum())
+        assert n <= got <= n + n // 2            # originals + some additions
