@@ -26,8 +26,8 @@ PRETRAIN_TMPL = """optimizer: {{type: AdamW, part: all, kwargs: {{lr: 0.001, wei
 scheduler: {{type: CosLR, kwargs: {{epochs: {epochs}, initial_epochs: 10}}}}
 
 dataset:
-  train: {{_base_: cfgs/dataset_configs/ShapeNet-55_withnormal.yaml,
-          others: {{subset: 'train', npoints: 1024, aug_type: [{aug}], corrupt_type: [{corrupt}]}}}}
+  train: {{_base_: cfgs/dataset_configs/{base}.yaml,
+          others: {{subset: 'train', npoints: {npoints}, aug_type: [{aug}], corrupt_type: [{corrupt}]}}}}
   val: {{_base_: cfgs/dataset_configs/ModelNet40Official.yaml,
         others: {{subset: 'test', npoints: 1024, aug_type: ['clean']}}}}
   extra_train: {{_base_: cfgs/dataset_configs/ModelNet40Official.yaml,
@@ -37,12 +37,19 @@ model:
 {model}
 
 normal_weight: {normal_weight}
-npoints: 1024
+npoints: {npoints}
 total_bs: 128
 step_per_update: 1
 max_epoch: {epochs}
 loss_type: '{loss_type}'
 """
+
+# input-pose axis switches the dataset variant like the reference
+# (pretrain_*_svd/_random point their _base_ at the svd/random-pose
+# dataset configs, e.g. pretrain_PointCAE_affine_r3_svd.yaml)
+POSES = {"": "ShapeNet-55_withnormal",
+         "_random": "ShapeNet-55_random_pose",
+         "_svd": "ShapeNet-55_svd_pose"}
 
 DGCNN_MODEL = """  NAME: Point_CAE_DGCNN_FCOnly
   corrupt_type: []
@@ -117,10 +124,248 @@ def corruption_axis():
                 for d in (1, 3, 5, 7, 9)]
     pairs = [
         ("affine_r3", "dropout_local"), ("affine_r3", "dropout_patch_pointmae"),
-        ("affine_r3", "jitter"), ("affine_r3_v2", "dropout_local_c5d3"),
+        ("affine_r3", "jitter"), ("affine_r5_v2", "dropout_local_c5d3"),
+        ("affine_r3_v2", "dropout_local_c5d3"),
         ("affine_r5", "dropout_local"),
     ]
     return singles, pairs
+
+
+M2AE_MODEL = """  NAME: Point_M2AE
+  corrupt_type: []
+  mask_ratio: 0.8
+  group_sizes: [16, 8, 8]
+  num_groups: [512, 256, 64]
+  encoder_depths: [5, 5, 5]
+  encoder_dims: [96, 192, 384]
+  local_radius: [0.32, 0.64, 1.28]
+  decoder_depths: [1, 1]
+  decoder_dims: [384, 192]
+  decoder_up_blocks: [1, 1]
+  drop_path_rate: 0.1
+  num_heads: 6"""
+
+
+# pyramid spec the M2AE downstream heads need beyond the flat-ViT keys
+# (model-scoped: injected inside the model block, 2-space indent)
+M2AE_FT_EXTRA = """  group_sizes: [16, 8, 8]
+  num_groups: [512, 256, 64]
+  encoder_depths: [5, 5, 5]
+  encoder_dims: [96, 192, 384]
+  local_radius: [0.32, 0.64, 1.28]
+  mask_ratio: 0.0
+"""
+
+
+def _tmodel(corrupt, extra=""):
+    m = TRANSFORMER_MODEL.replace(
+        "corrupt_type: []",
+        "corrupt_type: [" + ", ".join(f"'{c}'" for c in corrupt) + "]")
+    return m + extra
+
+
+def reference_name_closure(emit):
+    """Emit the reference cfgs/ pretrain names not covered by the axis
+    matrix, each with the reference's semantics (corruption list, weight,
+    duration, pose base, model family). The reference's 26 MaskSurf_v2
+    cfgs are intentionally NOT emitted: they name a model the reference
+    never registers (MaskSurf_v2.py:537 is commented out) — dead configs
+    upstream. pretrain_*_occow keeps the reference's
+    'xyznormal_occostep' loss_type, which raises NotImplementedError in
+    BOTH codebases (runner_pretrain.py:185)."""
+    n = 0
+
+    # --- DGCNN combos / aliases / weight variants
+    dgcnn_extra = [
+        ("affine_r3_dropout_patch", ["affine_r3", "dropout_patch_pointmae"],
+         list(POSES)),
+        ("dropout_patch", ["dropout_patch_pointmae"], list(POSES)),
+        ("rotate_scale_nonorm", ["rotate", "scale_nonorm"], [""]),
+        ("scale_nonorm_rotate", ["scale_nonorm", "rotate"], [""]),
+        ("random_add", ["random_add"], [""]),
+        ("random_add_affine_r3", ["random_add", "affine_r3"], [""]),
+        ("shear_p5", ["shear_p5"], [""]),
+        ("shear_small", ["shear_small"], [""]),
+    ] + [(f"dropout_global_p{p}", [f"dropout_global_p{p}"], [""])
+         for p in (1, 3, 5, 7, 9)]
+    for name, corrupt, poses in dgcnn_extra:
+        cstr = ", ".join(f"'{c}'" for c in corrupt)
+        for pose in poses:
+            emit(f"pretrain_PointCAE_{name}{pose}.yaml", epochs=300,
+                 corrupt=cstr, model=DGCNN_MODEL, base=POSES[pose],
+                 normal_weight=1.0, loss_type="xyznormal_gradual")
+            n += 1
+    for name, corrupt in (("affine_r3", ["affine_r3"]),
+                          ("affine_r3_dropout_local",
+                           ["affine_r3", "dropout_local"]),
+                          ("dropout_local", ["dropout_local"])):
+        cstr = ", ".join(f"'{c}'" for c in corrupt)
+        emit(f"pretrain_PointCAE_{name}_occow.yaml", epochs=300,
+             corrupt=cstr, model=DGCNN_MODEL, normal_weight=1.0,
+             loss_type="xyznormal_occostep")
+        n += 1
+
+    # --- transformer per-corruption (patch-level, in-model) x pose
+    tmap = {
+        "clean": ["clean"], "affine_r3": ["affine_r3"],
+        "translate": ["translate"], "scale_nonorm": ["scale_nonorm"],
+        "rotate": ["rotate"], "rotate_z": ["rotate_z"],
+        "reflection": ["reflection"], "shear": ["shear"],
+        "jitter": ["jitter"], "add_local": ["add_local"],
+        "scan": ["scan"], "drop_global": ["dropout_global"],
+        "dropout_patch": ["Drop-Patch"],
+    }
+    for tag, corrupt in tmap.items():
+        for pose, base in POSES.items():
+            emit(f"pretrain_PointCAE_transformer_{tag}{pose}.yaml",
+                 epochs=300, corrupt="'clean'", model=_tmodel(corrupt),
+                 base=base, normal_weight=0.005, loss_type="xyznormal")
+            n += 1
+    for tag, w in (("p001", 0.01), ("p01", 0.1), ("p1", 1.0)):
+        emit(f"pretrain_PointCAE_transformer_affine_r3_{tag}.yaml",
+             epochs=300, corrupt="'clean'", model=_tmodel(["affine_r3"]),
+             normal_weight=w, loss_type="xyznormal")
+        n += 1
+
+    # --- masked-patch (Drop-Patch) weight / duration / pose / arch sweep
+    stem = "pretrain_PointCAE_transformer_dropout_patch_affine_r3_maskpatch"
+    tdp = _tmodel(["affine_r3", "Drop-Patch"])
+    weights = {"p000001": 1e-6, "p00001": 1e-5, "p00005": 5e-5,
+               "p0001": 1e-4, "p0003": 3e-4, "p0005": 5e-4, "p001": 0.01,
+               "p003": 0.03, "p005": 0.05, "p01": 0.1, "p03": 0.3}
+    emit(f"{stem}.yaml", epochs=300, corrupt="'clean'", model=tdp,
+         normal_weight=5e-4, loss_type="xyznormal")
+    n += 1
+    for tag, w in weights.items():
+        emit(f"{stem}_{tag}.yaml", epochs=300, corrupt="'clean'",
+             model=tdp, normal_weight=w, loss_type="xyznormal")
+        n += 1
+    for suffix, epochs in (("_p0005_double", 600), ("_p0005_half", 150),
+                           ("_p0005_longer4x", 1200),
+                           ("_p0005_longer10x", 3000),
+                           ("_p001_double", 600)):
+        emit(f"{stem}{suffix}.yaml", epochs=epochs, corrupt="'clean'",
+             model=tdp, normal_weight=5e-4 if "p0005" in suffix else 0.01,
+             loss_type="xyznormal")
+        n += 1
+    for suffix, base in (("_p0005_random", POSES["_random"]),
+                         ("_p0005_svd", POSES["_svd"]),
+                         ("_p0005_longer4x_svd", POSES["_svd"]),
+                         ("_p001_double_svd", POSES["_svd"])):
+        epochs = 1200 if "longer4x" in suffix else \
+            (600 if "double" in suffix else 300)
+        emit(f"{stem}{suffix}.yaml", epochs=epochs, corrupt="'clean'",
+             model=tdp, base=base, normal_weight=5e-4,
+             loss_type="xyznormal")
+        n += 1
+    emit(f"{stem}_p0005_whole_4xlonger.yaml", epochs=1200,
+         corrupt="'clean'", model=tdp, normal_weight=5e-4,
+         loss_type="xyznormal")
+    n += 1
+    # supervised heads on top of the masked recipe (--model_name selects
+    # PointCAE_transformer_supervised at run time, like rerun2.sh does)
+    sup = _tmodel(["affine_r3", "Drop-Patch"],
+                  "\n  cls_dim: 55\n  smoothloss: 'True'")
+    for suffix, base in (("_p0005_supervised", POSES[""]),
+                         ("_p0005_random_supervised", POSES["_random"]),
+                         ("_p0005_svd_supervised", POSES["_svd"])):
+        emit(f"{stem}{suffix}.yaml", epochs=300, corrupt="'clean'",
+             model=sup, base=base, normal_weight=5e-4,
+             loss_type="xyznormal")
+        n += 1
+    # 3detr-encoder variants (enc_arch in transformer_config)
+    detr = tdp.replace("transformer_config:",
+                       "transformer_config:\n    enc_arch: '3detr'")
+    for fn in (f"{stem}_p0005_3detr.yaml",
+               "pretrain_PointCAE_transformer_dropout_patch_affine_r3_middle_maskpatch_p0005_3detr.yaml",
+               "pretrain_PointCAE_transformer_dropout_patch_affine_r3_middle_maskpatch_p0005_3detr_onlylocal.yaml",
+               "pretrain_PointCAE_transformer_dropout_patch_affine_r3_tiny_maskpatch_p0005_3detr.yaml",
+               "pretrain_PointCAE_transformer_dropout_patch_affine_r3_tiny_maskpatch_p0005_3detr_onlylocal.yaml",
+               "pretrain_PointCAE_transformer_dropout_patch_maskpatch_pointmae_3detr.yaml",
+               "pretrain_PointCAE_transformer_dropout_patch_scale_maskpatch_p0005_3detr_onlylocal.yaml"):
+        emit(fn, epochs=300, corrupt="'clean'", model=detr,
+             normal_weight=5e-4, loss_type="xyznormal")
+        n += 1
+    # Drop-Patch-only maskpatch variants
+    dp_only = _tmodel(["Drop-Patch"])
+    for suffix, base in (("", POSES[""]), ("_random", POSES["_random"]),
+                         ("_svd", POSES["_svd"])):
+        emit("pretrain_PointCAE_transformer_dropout_patch_maskpatch_p0005"
+             f"{suffix}.yaml", epochs=300, corrupt="'clean'",
+             model=dp_only, base=base, normal_weight=5e-4,
+             loss_type="xyznormal")
+        n += 1
+    emit(f"{stem.replace('_maskpatch', '_allpatch')}.yaml", epochs=300,
+         corrupt="'clean'",
+         model=tdp.replace("all_patch: 'False'", "all_patch: 'True'"),
+         normal_weight=5e-4, loss_type="xyznormal")
+    emit(f"{stem.replace('_affine_r3_maskpatch', '_affine_r3')}.yaml",
+         epochs=300, corrupt="'clean'", model=tdp, normal_weight=5e-4,
+         loss_type="xyznormal")
+    n += 2
+
+    # --- Point-M2AE family (Point_M2AE, 2048-pt pyramid)
+    m2ae_base = M2AE_MODEL.replace("corrupt_type: []",
+                                   "corrupt_type: ['Drop-Patch']")
+    m2ae_aff = M2AE_MODEL.replace(
+        "corrupt_type: []", "corrupt_type: ['affine_r3', 'Drop-Patch']")
+    for fn, model, w, epochs in (
+            ("pretrain_PointM2AE_transformer_dropout_patch.yaml",
+             m2ae_base, 0.005, 300),
+            ("pretrain_PointM2AE_transformer_dropout_patch_p001.yaml",
+             m2ae_base, 0.01, 300),
+            ("pretrain_PointM2AE_transformer_dropout_patch_double.yaml",
+             m2ae_base, 0.005, 600),
+            ("pretrain_PointM2AE_transformer_dropout_patch_affine_r3.yaml",
+             m2ae_aff, 0.005, 300),
+            ("pretrain_PointM2AE_transformer_dropout_patch_affine_r3_p001.yaml",
+             m2ae_aff, 0.01, 300),
+            ("pretrain_PointM2AE_transformer_dropout_patch_affine_r3_double.yaml",
+             m2ae_aff, 0.005, 600)):
+        emit(fn, epochs=epochs, corrupt="'clean'", model=model,
+             normal_weight=w, loss_type="xyznormal", npoints=2048)
+        n += 1
+
+    # --- supervised transformer pretrains (class-labeled ShapeNet;
+    # --model_name PointCAE_transformer_supervised at run time)
+    sup_model = _tmodel(["clean"], "\n  cls_dim: 55\n  smoothloss: 'True'")
+    sup_aff = _tmodel(["affine_r3"],
+                      "\n  cls_dim: 55\n  smoothloss: 'True'")
+    for pose, base in POSES.items():
+        cls_base = ("ShapeNet-55_withnormal_class" if not pose
+                    else ("ShapeNet-55_random_pose_class"
+                          if pose == "_random"
+                          else "ShapeNet-55_svd_pose_class"))
+        emit(f"pretrain_supervised{pose}.yaml", epochs=300,
+             corrupt="'clean'", model=sup_model, base=cls_base,
+             aug="'norm', 'translate', 'scale'", normal_weight=0.005,
+             loss_type="xyznormal")
+        emit(f"pretrain_supervised{pose}_affine_droplocal.yaml",
+             epochs=300, corrupt="'affine_r3', 'dropout_local'",
+             model=sup_aff, base=cls_base, normal_weight=0.005,
+             loss_type="xyznormal")
+        n += 2
+
+    # --- MaskSurf on Objaverse (scale experiments)
+    masksurf_model = (
+        "  NAME: MaskSurf\n  corrupt_type: ['Drop-Patch']\n"
+        "  all_patch: 'False'\n  group_size: 32\n"
+        "  num_group: 64\n  loss: cdl2normal\n"
+        "  transformer_config:\n    rand_ratio: 'False'\n"
+        "    mask_ratio: 0.6\n    mask_type: 'rand'\n"
+        "    trans_dim: 384\n    encoder_dims: 384\n"
+        "    depth: 12\n    drop_path_rate: 0.1\n"
+        "    num_heads: 6\n    decoder_depth: 4\n"
+        "    decoder_num_heads: 6")
+    for fn, npts, epochs in (
+            ("pretrain_PointMAE_objaverse.yaml", 8192, 300),
+            ("pretrain_PointMAE_objaverse_2048.yaml", 2048, 300),
+            ("pretrain_PointMAE_objaverse_larger.yaml", 8192, 600)):
+        emit(fn, epochs=epochs, corrupt="'clean'", base="Objaverse_8192",
+             npoints=npts, model=masksurf_model, normal_weight=1.0,
+             loss_type="xyznormal")
+        n += 1
+    return n
 
 
 def main():
@@ -133,6 +378,13 @@ def main():
     jobs = [(n, [n]) for n in singles] + \
            [("_".join(p), list(p)) for p in pairs]
 
+    def emit(fn, **kw):
+        kw.setdefault("npoints", 1024)
+        kw.setdefault("base", "ShapeNet-55_withnormal")
+        kw.setdefault("aug", "'norm'")
+        open(os.path.join(args.out, fn), "w").write(
+            PRETRAIN_TMPL.format(**kw))
+
     n = 0
     for name, corrupt in jobs:
         cstr = ", ".join(f"'{c}'" for c in corrupt)
@@ -140,29 +392,36 @@ def main():
                             ("_4xlonger", 1200), ("_10xlonger", 3000)):
             # duration axis only for the headline recipes
             if dur and name not in ("affine_r3", "affine_r3_dropout_local",
-                                    "affine_r3_v2_dropout_local_c5d3"):
+                                    "affine_r5_v2_dropout_local_c5d3",
+                                    "affine_r3_v2_dropout_local_c5d3",
+                                    "dropout_local", "scale_nonorm"):
                 continue
-            for pose, aug in (("", "'norm'"), ("_random", "'norm', 'rotate'"),
-                              ("_svd", "'norm'")):
-                if pose and dur not in ("", "_4xlonger"):
+            if dur and name in ("dropout_local", "scale_nonorm") \
+                    and dur != "_4xlonger":
+                continue
+            for pose, base in POSES.items():
+                if pose and dur not in ("", "_2xlonger", "_4xlonger",
+                                        "_10xlonger"):
+                    continue
+                if pose and dur and name not in (
+                        "affine_r3", "affine_r3_dropout_local"):
                     continue
                 fn = f"pretrain_PointCAE_{name}{dur}{pose}.yaml"
-                body = PRETRAIN_TMPL.format(
-                    epochs=epochs, aug=aug, corrupt=cstr, model=DGCNN_MODEL,
-                    normal_weight=1.0, loss_type="xyznormal_gradual")
-                open(os.path.join(args.out, fn), "w").write(body)
+                emit(fn, epochs=epochs, corrupt=cstr, model=DGCNN_MODEL,
+                     base=base, normal_weight=1.0,
+                     loss_type="xyznormal_gradual")
                 n += 1
         # transformer flagship: masked-patch recipe (Drop-Patch in-model)
         fn = f"pretrain_PointCAE_transformer_{name}_maskpatch.yaml"
         tcor = corrupt + ["Drop-Patch"] if "dropout" not in name else corrupt
         tstr = ", ".join(f"'{c}'" for c in tcor)
-        body = PRETRAIN_TMPL.format(
-            epochs=300, aug="'norm'", corrupt=cstr,
-            model=TRANSFORMER_MODEL.replace("corrupt_type: []",
-                                            f"corrupt_type: [{tstr}]"),
-            normal_weight=0.005, loss_type="xyznormal")
-        open(os.path.join(args.out, fn), "w").write(body)
+        emit(fn, epochs=300, corrupt=cstr,
+             model=TRANSFORMER_MODEL.replace("corrupt_type: []",
+                                             f"corrupt_type: [{tstr}]"),
+             normal_weight=0.005, loss_type="xyznormal")
         n += 1
+
+    n += reference_name_closure(emit)
 
     # finetune matrix: dataset x head x probe mode
     ft = [
@@ -170,6 +429,7 @@ def main():
         ("modelnet_8k", "ModelNet40", 40, 8192),
         ("scan_hardest", "ScanObjectNN_hardest", 15, 2048),
         ("scan_objbg", "ScanObjectNN_objectbg", 15, 2048),
+        ("scan_objonly", "ScanObjectNN_objectonly", 15, 2048),
     ]
     heads = [
         ("transferring_features", "PointTransformer", "all", 0.0005, "True"),
@@ -179,26 +439,130 @@ def main():
          "False"),
         ("transferring_features_DGCNN", "DGCNN", "all", 0.0005, "True"),
     ]
+
+    def ft_emit(fn, dset, cls, npts, model, part="all", lr=0.0005,
+                smooth="True", extra=""):
+        body = FINETUNE_TMPL.format(
+            part=part, lr=lr, dset=dset, npoints=npts, aug="'clean'",
+            model=model, cls_dim=cls,
+            num_group=128 if npts >= 2048 else 64, smooth=smooth)
+        if extra.startswith("  "):       # model-scoped keys (indented)
+            body = body.replace("\nnpoints:", "\n" + extra + "\nnpoints:", 1)
+        elif extra:                      # config-level keys
+            body += extra
+        open(os.path.join(args.out, fn), "w").write(body)
+
     for dtag, dset, cls, npts in ft:
         for htag, model, part, lr, smooth in heads:
-            fn = f"finetune_{dtag}_{htag}.yaml"
             # train-time scale/translate aug is applied by the finetune
             # runner itself (engine/finetune.py), not the dataset pipeline
-            body = FINETUNE_TMPL.format(
-                part=part, lr=lr, dset=dset, npoints=npts, aug="'clean'",
-                model=model, cls_dim=cls,
-                num_group=128 if npts >= 2048 else 64, smooth=smooth)
-            open(os.path.join(args.out, fn), "w").write(body)
+            ft_emit(f"finetune_{dtag}_{htag}.yaml", dset, cls, npts, model,
+                    part, lr, smooth)
             n += 1
+        # 1k-point variants (+_smooth spelling the reference uses)
+        ft_emit(f"finetune_{dtag}_transferring_features_1k.yaml", dset,
+                cls, 1024, "PointTransformer", smooth="False")
+        ft_emit(f"finetune_{dtag}_transferring_features_1k_smooth.yaml",
+                dset, cls, 1024, "PointTransformer", smooth="True")
+        n += 2
 
-    # few-shot matrix
-    for dtag, dset in (("modelnet", "ModelNet40FewShot"),):
-        fn = f"fewshot_{dtag}_transferring_features.yaml"
-        body = FINETUNE_TMPL.format(
-            part="all", lr=0.0005, dset=dset, npoints=1024,
-            aug="'clean'", model="PointTransformer", cls_dim=10,
-            num_group=64, smooth="True")
-        open(os.path.join(args.out, fn), "w").write(body)
+    # reference one-off variants (diff_lr probes, rotate augs, larger lr,
+    # PointNetv2 backbone, M2AE heads, objbg rotation protocols)
+    extras = [
+        ("finetune_scan_objbg_transferring_features_diff_lr.yaml",
+         "ScanObjectNN_objectbg", 15, 2048, "PointTransformer", "diff_lr",
+         0.0005, "True", ""),
+        ("finetune_scan_objbg_transferring_features_1k_diff_lr.yaml",
+         "ScanObjectNN_objectbg", 15, 1024, "PointTransformer", "diff_lr",
+         0.0005, "False", ""),
+        ("finetune_scan_objbg_transferring_features_1k_smooth_diff_lr.yaml",
+         "ScanObjectNN_objectbg", 15, 1024, "PointTransformer", "diff_lr",
+         0.0005, "True", ""),
+        ("finetune_scan_objbg_transferring_features_1k_smooth_rotate.yaml",
+         "ScanObjectNN_objectbg", 15, 1024, "PointTransformer", "all",
+         0.0005, "True", "train_aug: rotate\n"),
+        ("finetune_scan_hardest_transferring_features_1k_smooth_rotate.yaml",
+         "ScanObjectNN_hardest", 15, 1024, "PointTransformer", "all",
+         0.0005, "True", "train_aug: rotate\n"),
+        ("finetune_scan_hardest_transferring_features_DGCNN_norotate.yaml",
+         "ScanObjectNN_hardest", 15, 2048, "DGCNN", "all", 0.0005, "True",
+         "train_aug: none\n"),
+        ("finetune_scan_hardest_transferring_features_larger.yaml",
+         "ScanObjectNN_hardest", 15, 2048, "PointTransformer", "all",
+         0.001, "True", ""),
+        ("finetune_modelnet_transferring_features_1k_smooth_largelr.yaml",
+         "ModelNet40", 40, 1024, "DGCNN", "all", 0.002, "True", ""),
+        ("finetune_modelnet_transferring_features_PointNetv2.yaml",
+         "ModelNet40", 40, 1024, "PointNetv2", "all", 0.0005, "True", ""),
+        ("finetune_scan_objbg_transferring_features_PointNetv2.yaml",
+         "ScanObjectNN_objectbg", 15, 1024, "PointNetv2", "all", 0.0005,
+         "True", ""),
+        ("finetune_modelnet_non_linear_classification_officialmodelnet.yaml",
+         "ModelNet40Official", 40, 1024, "PointTransformer", "only_new",
+         0.001, "False", ""),
+        ("finetune_modelnet_svm_classification_official.yaml",
+         "ModelNet40Official", 40, 1024, "DGCNN_feat", "only_new", 0.0005,
+         "False", ""),
+    ]
+    # M2AE heads (tf = finetune head, svm = frozen feature probe)
+    for dtag, dset, cls in (("modelnet", "ModelNet40", 40),
+                            ("scan_hardest", "ScanObjectNN_hardest", 15),
+                            ("scan_objbg", "ScanObjectNN_objectbg", 15)):
+        extras.append((f"finetune_{dtag}_tf_pointm2ae.yaml", dset, cls,
+                       2048, "Point_M2AE_Finetune", "all", 0.0005, "True",
+                       M2AE_FT_EXTRA))
+        extras.append((f"finetune_{dtag}_svm_pointm2ae.yaml", dset, cls,
+                       2048, "Point_M2AE_SVMFeature", "only_new", 0.0005,
+                       "False", M2AE_FT_EXTRA))
+    # objbg rotation protocols (1k smooth)
+    for mode in ("z2z", "z2so3", "so32so3"):
+        extras.append((f"finetune_scan_objbg_rotation_{mode}_1k_smooth.yaml",
+                       "ScanObjectNN_objectbg", 15, 1024, "PointTransformer",
+                       "all", 0.0005, "True", ""))
+    # ShapeNet-55 class finetunes (task-affinity protocols)
+    extras += [
+        ("finetune_shapenet.yaml", "ShapeNet-55_withnormal_class", 55, 1024,
+         "PointTransformer", "all", 0.0005, "True", ""),
+        ("finetune_shapenet_fixfeat.yaml", "ShapeNet-55_withnormal_class",
+         55, 1024, "PointTransformer", "only_new", 0.001, "False", ""),
+        ("finetune_shapenet_fixfeat_linearfc.yaml",
+         "ShapeNet-55_withnormal_class", 55, 1024,
+         "PointTransformerLinearClassification", "only_new", 0.01, "False",
+         ""),
+        ("finetune_shapenet_task_affinity_svm_classification.yaml",
+         "ShapeNet-55_task_affinity", 55, 1024, "DGCNN_feat", "only_new",
+         0.0005, "False", ""),
+        # scratch baseline (the reference's scratch.yaml names an
+        # unregistered Point_MAE_Normal; runs select the model with
+        # --model_name / --scratch_model, so a registered default is used)
+        ("scratch.yaml", "ModelNet40", 40, 1024, "PointTransformer", "all",
+         0.0005, "True", ""),
+    ]
+    for fn, dset, cls, npts, model, part, lr, smooth, extra in extras:
+        ft_emit(fn, dset, cls, npts, model, part, lr, smooth, extra)
+        n += 1
+
+    # few-shot matrix (ModelNet + ScanObjectNN objbg/hardest pkl variants)
+    fs = [
+        ("fewshot_modelnet_transferring_features.yaml",
+         "ModelNet40FewShot", "False"),
+        ("fewshot_modelnet_transferring_features_smooth.yaml",
+         "ModelNet40FewShot", "True"),
+        ("fewshot_scanobjectnn_transferring_features.yaml",
+         "ScanObjectNN_hardest_FewShot", "False"),
+        ("fewshot_scanobjectnn_transferring_features_smooth.yaml",
+         "ScanObjectNN_hardest_FewShot", "True"),
+        ("fewshot_scanobjectnn_objbg_transferring_features.yaml",
+         "ScanObjectNN_objbg_FewShot", "False"),
+        ("fewshot_scanobjectnn_objbg_transferring_features_smooth.yaml",
+         "ScanObjectNN_objbg_FewShot", "True"),
+        ("fewshot_scanobjectnn_objbg_transferring_features_v2.yaml",
+         "ScanObjectNN_objbg_FewShot_v2", "False"),
+        ("fewshot_scanobjectnn_objbg_transferring_features_smooth_v2.yaml",
+         "ScanObjectNN_objbg_FewShot_v2", "True"),
+    ]
+    for fn, dset, smooth in fs:
+        ft_emit(fn, dset, 10, 1024, "PointTransformer", smooth=smooth)
         n += 1
 
     print(f"wrote {n} configs to {args.out}")
