@@ -509,3 +509,11 @@ class MaskSurf_v2_local_point_curve(_SurfCurveBase):
         lx, _, _, lp = self._local_losses_curve(x_rec, xyz, attr, center,
                                                 mask)
         return lx, self._scaled(lp, lx)
+
+
+# The reference's cfgs name a bare 'MaskSurf_v2' whose class is commented
+# out upstream (MaskSurf_v2.py:537) — those 26 ablation configs are dead
+# there. Registered here as the headline v2 variant so they run; its
+# adaptive inverse-loss weighting subsumes the fixed weight_dis_vs_normal
+# knob those configs carry (normal_weight still applies via loss_type).
+MODELS.register_module("MaskSurf_v2", module=MaskSurf_v2_local_global_point)

@@ -167,12 +167,13 @@ def _tmodel(corrupt, extra=""):
 def reference_name_closure(emit):
     """Emit the reference cfgs/ pretrain names not covered by the axis
     matrix, each with the reference's semantics (corruption list, weight,
-    duration, pose base, model family). The reference's 26 MaskSurf_v2
-    cfgs are intentionally NOT emitted: they name a model the reference
-    never registers (MaskSurf_v2.py:537 is commented out) — dead configs
-    upstream. pretrain_*_occow keeps the reference's
-    'xyznormal_occostep' loss_type, which raises NotImplementedError in
-    BOTH codebases (runner_pretrain.py:185)."""
+    duration, pose base, model family). Two classes of upstream-dead
+    configs are handled explicitly: the 26 MaskSurf_v2 ablations name a
+    model the reference never registers (MaskSurf_v2.py:537 commented
+    out) — here 'MaskSurf_v2' aliases the headline v2 variant so they
+    run; pretrain_*_occow keeps the reference's 'xyznormal_occostep'
+    loss_type, which raises NotImplementedError in BOTH codebases
+    (runner_pretrain.py:185)."""
     n = 0
 
     # --- DGCNN combos / aliases / weight variants
@@ -345,6 +346,61 @@ def reference_name_closure(emit):
              model=sup_aff, base=cls_base, normal_weight=0.005,
              loss_type="xyznormal")
         n += 2
+
+    # --- MaskSurf_v2 ablations (dead configs upstream: the reference
+    # never registers 'MaskSurf_v2'; here it aliases the headline v2
+    # variant, so these run — weight knobs map onto normal_weight)
+    v2 = (
+        "  NAME: MaskSurf_v2\n  corrupt_type: ['clean']\n"
+        "  all_patch: 'False'\n  group_size: 32\n  num_group: 64\n"
+        "  loss: cdl2normal\n  position_weight: 1.0\n"
+        "  transformer_config:\n    rand_ratio: 'False'\n"
+        "    mask_ratio: 0.6\n    mask_type: 'rand'\n    trans_dim: 384\n"
+        "    encoder_dims: 384\n    depth: 12\n    drop_path_rate: 0.1\n"
+        "    num_heads: 6\n    decoder_depth: 4\n"
+        "    decoder_num_heads: 6")
+    v2_names = {
+        "": (1.0, "xyznormal"), "_all_patch": (1.0, "xyznormal"),
+        "_warm": (1.0, "xyznormal_warm"),
+        "_w01": (0.1, "xyznormal"), "_w02": (0.2, "xyznormal"),
+        "_w1": (1.0, "xyznormal"),
+        "_gradual_w001": (0.01, "xyznormal_gradual"),
+        "_gradual_w01": (0.1, "xyznormal_gradual"),
+        "_gradual_w1": (1.0, "xyznormal_gradual"),
+        "_gradual_w10": (10.0, "xyznormal_gradual"),
+        "_gradual_w001_wvs1": (0.01, "xyznormal_gradual"),
+        "_gradual_w001_wvs10": (0.01, "xyznormal_gradual"),
+        "_gradual_w001_wvs100": (0.01, "xyznormal_gradual"),
+        "_w0001_wvs100": (0.001, "xyznormal"),
+        "_w0001_wvs1000": (0.001, "xyznormal"),
+        "_w0005_wvs10": (0.005, "xyznormal"),
+        "_w0005_wvs30": (0.005, "xyznormal"),
+        "_w0005_wvs100": (0.005, "xyznormal"),
+        "_w001_wvs10": (0.01, "xyznormal"),
+        "_w001_wvs100": (0.01, "xyznormal"),
+    }
+    for suffix, (w, lt) in v2_names.items():
+        model = v2.replace("all_patch: 'False'", "all_patch: 'True'") \
+            if suffix == "_all_patch" else v2
+        emit(f"pretrain_MaskSurf_v2{suffix}.yaml", epochs=300,
+             corrupt="'clean'", model=model, normal_weight=w, loss_type=lt)
+        n += 1
+    # teacher-feature MaskSurf variants (token_dis / feature-target heads)
+    for fn, name in (
+            ("pretrain_MaskSurf_dvae_token.yaml", "MaskSurf_v2_token_dis"),
+            ("pretrain_MaskSurf_pointmae_feature.yaml",
+             "MaskSurf_v2_token_dis"),
+            ("pretrain_MaskSurf_dgcnn_crosspoint.yaml",
+             "MaskFeat_dgcnn"),
+            ("pretrain_MaskSurf_dgcnn_supervised.yaml", "MaskFeat_dgcnn"),
+            ("pretrain_MaskSurf_supervised_transformer_feature.yaml",
+             "MaskFeat_transformer"),
+            ("pretrain_MaskSurf_supervised_transformer_feature_scale_translate.yaml",
+             "MaskFeat_transformer")):
+        emit(fn, epochs=300, corrupt="'clean'",
+             model=v2.replace("NAME: MaskSurf_v2", f"NAME: {name}"),
+             normal_weight=0.005, loss_type="xyznormal")
+        n += 1
 
     # --- MaskSurf on Objaverse (scale experiments)
     masksurf_model = (
