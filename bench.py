@@ -124,16 +124,44 @@ def main():
     print(json.dumps(out))
 
 
+def _fallback_line(reason: str) -> None:
+    print(json.dumps({
+        "metric": "pretrain_throughput_flagship_transformer",
+        "value": 0.0,
+        "unit": "clouds/sec/chip",
+        "vs_baseline": None,
+        "degraded": True,
+        "error": reason[:300],
+    }))
+    sys.stdout.flush()
+
+
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # always emit the one JSON line the driver parses
-        print(json.dumps({
-            "metric": "pretrain_throughput_flagship_transformer",
-            "value": 0.0,
-            "unit": "clouds/sec/chip",
-            "vs_baseline": None,
-            "error": f"{type(e).__name__}: {e}"[:300],
-        }))
-        sys.stdout.flush()
-        raise
+    # Watchdog: a fully wedged device tunnel hangs INSIDE jax calls (even
+    # the probe matmul never returns — observed for hours at a time), which
+    # no try/except can catch. Run the bench on a worker thread and, past
+    # the deadline, print the fallback JSON line and exit 0 so the driver
+    # always records something.
+    import os
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    state = {"done": False, "err": None}
+
+    def body():
+        try:
+            main()
+            state["done"] = True
+        except Exception as e:  # noqa: BLE001
+            state["err"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=body, daemon=True)
+    t.start()
+    t.join(timeout=deadline)
+    if state["done"]:
+        sys.exit(0)
+    if state["err"] is not None:
+        _fallback_line(state["err"])
+        sys.exit(0)
+    _fallback_line(f"device unresponsive within {deadline:.0f}s budget")
+    os._exit(0)   # jax call still hung on the worker thread
