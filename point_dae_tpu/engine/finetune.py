@@ -234,8 +234,13 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
     val_set = build_dataset_from_cfg(dcfg["val"]["_base_"], dcfg["val"]["others"])
 
     total_bs = int(config.get("total_bs", 32))
-    loader = DataLoader(train_set, total_bs, shuffle=True,
-                        seed=getattr(args, "seed", 0))
+    from ..parallel import loader_shard_kwargs
+    import jax as _jax
+
+    local_bs = total_bs // _jax.process_count()
+    loader = DataLoader(train_set, local_bs, shuffle=True,
+                        seed=getattr(args, "seed", 0),
+                        **loader_shard_kwargs())
     val_loader_fn = lambda: DataLoader(val_set, total_bs, shuffle=False,
                                        drop_last=False)
     steps_per_epoch = max(len(loader), 1)
@@ -287,8 +292,10 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
         t0 = time.time()
         for batch in loader:
             key, sub = jax.random.split(key)
-            pts = shard_batch(mesh, jnp.asarray(batch["points"], jnp.float32))
-            labels = shard_batch(mesh, jnp.asarray(batch["label"]))
+            pts = shard_batch(mesh, jnp.asarray(batch["points"], jnp.float32),
+                              local=True)
+            labels = shard_batch(mesh, jnp.asarray(batch["label"]),
+                                 local=True)
             state, metrics = train_step(state, pts, labels, sub)
             meters.update([float(metrics["loss"]), float(metrics["acc"])])
         # training loss/acc are first-class signals like the reference's

@@ -268,8 +268,15 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         if "extra_train" in dcfg else None
 
     total_bs = int(config.get("total_bs", 32))
-    loader = DataLoader(train_set, total_bs, shuffle=True,
-                        seed=getattr(args, "seed", 0))
+    # per-host striding + local batch (DistributedSampler role); the step
+    # consumes the GLOBAL batch assembled by shard_batch(local=True)
+    from ..parallel import loader_shard_kwargs
+    import jax as _jax
+
+    local_bs = total_bs // _jax.process_count()
+    loader = DataLoader(train_set, local_bs, shuffle=True,
+                        seed=getattr(args, "seed", 0),
+                        **loader_shard_kwargs())
     steps_per_epoch = max(len(loader), 1)
     max_epoch = int(config.get("max_epoch", 300))
     loss_type = config.get("loss_type", "xyz")
@@ -369,13 +376,15 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         for batch in loader:
             key, sub = jax.random.split(key)
             if multi_step is None:
-                raw = shard_batch(mesh, jnp.asarray(batch["points"]))
+                raw = shard_batch(mesh, jnp.asarray(batch["points"]),
+                                  local=True)
                 state, metrics = train_step(state, raw, sub, gw, *bn_args)
                 log_metrics(metrics, 1)
                 continue
             pending.append(batch["points"])
             if len(pending) == spd:
                 chunk = shard_batch(mesh, jnp.asarray(np.stack(pending)),
+                                    local=True,
                                     dim=1)
                 pending.clear()
                 state, metrics = multi_step(state, chunk, sub, gw, *bn_args)
@@ -383,7 +392,7 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         # tail batches that didn't fill a chunk run through the 1-step path
         for tail in pending:
             key, sub = jax.random.split(key)
-            raw = shard_batch(mesh, jnp.asarray(tail))
+            raw = shard_batch(mesh, jnp.asarray(tail), local=True)
             state, metrics = train_step(state, raw, sub, gw, *bn_args)
             log_metrics(metrics, 1)
         print_log(

@@ -63,11 +63,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data", dim: int = 0):
+def shard_batch(mesh: Mesh, batch, axis: str = "data", dim: int = 0,
+                local: bool = False):
     """Place a pytree of host arrays with array dim ``dim`` (the batch dim)
-    sharded over the mesh."""
+    sharded over the mesh.
+
+    ``local=False`` (default): every process holds the same GLOBAL batch
+    and device_put takes each host's addressable part — right for eval
+    loaders, which iterate deterministically. ``local=True``: each process
+    passes only its per-host slice (train loaders stride with
+    ``loader_shard_kwargs``, the DistributedSampler role) and the global
+    array is assembled with make_array_from_process_local_data — no host
+    loads the full global train batch. Both are identical single-process."""
     sh = data_sharding(mesh, axis, dim)
+    if local and jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def loader_shard_kwargs():
+    """Per-host striding args for DataLoader (DistributedSampler role:
+    per-rank batch split, main.py:57-71 / tools/builder.py:19)."""
+    return dict(num_hosts=jax.process_count(), host_id=jax.process_index())
 
 
 def replicate(mesh: Mesh, tree):
