@@ -272,6 +272,108 @@ class TestPointNetFamily:
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+class TorchDGCNNEncoder(tnn.Module):
+    """dgcnn_encoder twin (dgcnn_util.py:87-139 dataflow: 4 EdgeConvs with
+    (neighbor-self, self) edge features + 1024-d fuse, LeakyReLU 0.2,
+    bias-free convs, global max)."""
+
+    def __init__(self, k=6):
+        super().__init__()
+        self.k = k
+        dims = [(6, 64), (128, 64), (128, 128), (256, 256)]
+        for i, (cin, cout) in enumerate(dims, start=1):
+            setattr(self, f"conv{i}", tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, bias=False),
+                tnn.BatchNorm2d(cout), tnn.LeakyReLU(0.2)))
+        self.conv5 = tnn.Sequential(tnn.Conv1d(512, 1024, 1, bias=False),
+                                    tnn.BatchNorm1d(1024), tnn.LeakyReLU(0.2))
+
+    def _graph_feature(self, x):                         # (B, C, N)
+        B, C, N = x.shape
+        xt = x.transpose(2, 1)                           # (B, N, C)
+        d = torch.cdist(xt, xt) ** 2
+        idx = d.topk(self.k, dim=-1, largest=False).indices  # (B, N, k)
+        nbr = torch.gather(
+            xt[:, :, None, :].expand(B, N, N, C), 1,
+            idx[..., None].expand(B, N, self.k, C))
+        ctr = xt[:, :, None, :].expand(B, N, self.k, C)
+        e = torch.cat([nbr - ctr, ctr], dim=-1)          # (B, N, k, 2C)
+        return e.permute(0, 3, 1, 2)                     # (B, 2C, N, k)
+
+    def forward(self, x):                                # (B, 3, N)
+        outs = []
+        h = x
+        for i in range(1, 5):
+            e = self._graph_feature(h)
+            h = getattr(self, f"conv{i}")(e).max(dim=-1)[0]
+            outs.append(h)
+        h = self.conv5(torch.cat(outs, dim=1))
+        return h.max(dim=-1)[0]                          # (B, 1024)
+
+
+class TestDGCNNEncoder:
+    def test_encoder_pth_roundtrip_parity(self, tmp_path):
+        """The released non-transformer checkpoint path: dgcnn_encoder
+        weights through load -> convert -> merge -> DGCNNEncoder must
+        reproduce the torch forward (global feature)."""
+        from point_dae_tpu.models.dgcnn import DGCNNEncoder
+
+        torch.manual_seed(14)
+        tm = TorchDGCNNEncoder(k=6).eval()
+        pts = torch.randn(2, 3, 48)
+        want = tm(pts).detach().numpy()
+
+        sd = {}
+        for i in range(1, 6):
+            conv = getattr(tm, f"conv{i}")
+            sd[f"dgcnn_encoder.conv{i}.0.weight"] = \
+                conv[0].weight.detach().numpy()
+            for leaf, v in conv[1].state_dict().items():
+                sd[f"dgcnn_encoder.bn{i}.{leaf}"] = np.asarray(
+                    v.detach() if hasattr(v, "detach") else v)
+        flat = _via_pth(tmp_path, sd, "dgcnn")
+        pf, bsf = _split_flat(flat, "dgcnn_encoder/")
+
+        fm = DGCNNEncoder(k=6)
+        x = jnp.asarray(pts.numpy().transpose(0, 2, 1))
+        v = fm.init({"params": jax.random.key(0)}, x, train=True)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got, _ = fm.apply({"params": params, "batch_stats": bs}, x,
+                          train=False)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                                   atol=1e-3)
+
+    def test_fused_impl_same_converted_weights(self, tmp_path):
+        """impl='fused' consumes the SAME converted checkpoint and matches
+        the torch forward too (checkpoint interchange on the fused path)."""
+        from point_dae_tpu.models.dgcnn import DGCNNEncoder
+
+        torch.manual_seed(15)
+        tm = TorchDGCNNEncoder(k=6).eval()
+        pts = torch.randn(2, 3, 48)
+        want = tm(pts).detach().numpy()
+        sd = {}
+        for i in range(1, 6):
+            conv = getattr(tm, f"conv{i}")
+            sd[f"dgcnn_encoder.conv{i}.0.weight"] = \
+                conv[0].weight.detach().numpy()
+            for leaf, v in conv[1].state_dict().items():
+                sd[f"dgcnn_encoder.bn{i}.{leaf}"] = np.asarray(
+                    v.detach() if hasattr(v, "detach") else v)
+        flat = _via_pth(tmp_path, sd, "dgcnn")
+        pf, bsf = _split_flat(flat, "dgcnn_encoder/")
+        fm = DGCNNEncoder(k=6, impl="fused")
+        x = jnp.asarray(pts.numpy().transpose(0, 2, 1))
+        v = fm.init({"params": jax.random.key(0)}, x, train=True)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        got, _ = fm.apply({"params": params, "batch_stats": bs}, x,
+                          train=False)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3,
+                                   atol=1e-3)
+
+
 class TestDGCNNHead:
     def test_cls_head_parity(self, tmp_path):
         from point_dae_tpu.models.dae_dgcnn import _ClsHead
