@@ -52,3 +52,53 @@ def test_finetune_learns_synthetic_classes():
         total += len(pred)
     acc = 100.0 * correct / total
     assert acc >= 60.0, f"learning sanity failed: {acc:.1f}% (chance 33%)"
+
+
+def test_fused_edgeconv_trains():
+    """Loss decreases over steps with the fused EdgeConv implementation —
+    gradients flow end-to-end through the aggregate custom-VJP path in a
+    real train loop (interpret-mode kernel on CPU)."""
+    import optax
+
+    from point_dae_tpu.models.dgcnn import DGCNNEncoder
+
+    import flax.linen as nn
+
+    class Cls(nn.Module):
+        @nn.compact
+        def __call__(self, pts, train=True):
+            feat, _ = DGCNNEncoder(k=6, impl="fused",
+                                   name="enc")(pts, train=train)
+            return nn.Dense(3)(feat)
+
+    train = Synthetic({"size": 32, "N_POINTS": 64, "num_classes": 3,
+                       "with_normal": False, "seed": 2})
+    pts = jnp.asarray(np.stack([train[i]["points"][:64, :3]
+                                for i in range(32)]), jnp.float32)
+    labels = jnp.asarray([train[i]["label"] for i in range(32)])
+    model = Cls()
+    v = model.init({"params": jax.random.key(0)}, pts[:2], train=True)
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(v["params"])
+    bs = v["batch_stats"]
+
+    @jax.jit
+    def step(params, bs, opt_state):
+        def lossf(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": bs}, pts, train=True,
+                mutable=["batch_stats"])
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, labels[:, None], -1)), mut["batch_stats"]
+
+        (loss, new_bs), g = jax.value_and_grad(lossf, has_aux=True)(params)
+        upd, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, upd), new_bs, opt_state, loss
+
+    params = v["params"]
+    losses = []
+    for _ in range(12):
+        params, bs, opt_state, loss = step(params, bs, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses
