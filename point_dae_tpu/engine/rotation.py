@@ -66,8 +66,14 @@ def run_net_rotation(config, args, logger_name="PointDAE"):
     from ..utils.checkpoint import (flatten_keys, load_params,
                                     merge_pretrained, save_checkpoint)
 
-    rot = config.get("rotation", {"train": "z", "test": "so3"})
-    train_mode, test_mode = rot.get("train", "z"), rot.get("test", "so3")
+    # protocol selection: --mode z2z|z2so3|so32so3 (the reference flag)
+    # wins; else the config's rotation dict; else z2so3
+    mode_arg = getattr(args, "mode", None)
+    if mode_arg in ("z2z", "z2so3", "so32so3"):
+        train_mode, test_mode = mode_arg.split("2")
+    else:
+        rot = config.get("rotation", {"train": "z", "test": "so3"})
+        train_mode, test_mode = rot.get("train", "z"), rot.get("test", "so3")
     mesh = get_mesh()
     dcfg = config["dataset"]
     train_set = build_dataset_from_cfg(dcfg["train"]["_base_"],

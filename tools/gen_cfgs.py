@@ -572,9 +572,11 @@ def main():
                        "False", M2AE_FT_EXTRA))
     # objbg rotation protocols (1k smooth)
     for mode in ("z2z", "z2so3", "so32so3"):
+        t1, t2 = mode.split("2")
         extras.append((f"finetune_scan_objbg_rotation_{mode}_1k_smooth.yaml",
                        "ScanObjectNN_objectbg", 15, 1024, "PointTransformer",
-                       "all", 0.0005, "True", ""))
+                       "all", 0.0005, "True",
+                       f"rotation: {{train: {t1}, test: {t2}}}\n"))
     # ShapeNet-55 class finetunes (task-affinity protocols)
     extras += [
         ("finetune_shapenet.yaml", "ShapeNet-55_withnormal_class", 55, 1024,
