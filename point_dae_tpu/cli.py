@@ -54,7 +54,11 @@ def get_args(argv=None):
     p.add_argument("--vis_saliency", action="store_true")
     p.add_argument("--task_affinity", action="store_true")
     p.add_argument("--scratch_model", action="store_true")
-    p.add_argument("--mode", choices=["easy", "median", "hard", None], default=None)
+    # reference choices (ScanObjectNN difficulty) + the rotation protocols,
+    # which run_net_rotation also accepts through this flag
+    p.add_argument("--mode", choices=["easy", "median", "hard",
+                                      "z2z", "z2so3", "so32so3", None],
+                   default=None)
     p.add_argument("--total_bs", type=int, default=None)
     p.add_argument("--way", type=int, default=-1)
     p.add_argument("--shot", type=int, default=-1)
