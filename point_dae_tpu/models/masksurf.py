@@ -94,6 +94,7 @@ def _surf_encoder(self):
         drop_path_rate=t.get("drop_path_rate", 0.1),
         mask_ratio=t.get("mask_ratio", 0.6),
         rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+        mask_type=t.get("mask_type", "rand"),
         name="MAE_encoder")
 
 

@@ -82,9 +82,28 @@ def sample_patch_mask(key: jax.Array, batch: int, num_group: int,
     return rank < num_mask          # True = masked
 
 
+def sample_block_mask(key: jax.Array, centers: Array,
+                      mask_ratio: float) -> Array:
+    """Block masking (MaskTransformer._mask_center_block,
+    Point_MAE.py:273-299): pick a random seed patch per cloud and mask its
+    int(ratio*G) nearest patch centers (the seed included). Count is static
+    (fixed ratio), so the packed visible capacity V = G - count is exact."""
+    B, G, _ = centers.shape
+    num_mask = static_num_masked(mask_ratio, G)
+    seed_idx = jax.random.randint(key, (B, 1, 1), 0, G)
+    seed = jnp.take_along_axis(centers, seed_idx, axis=1)     # (B, 1, 3)
+    d = jnp.sum((centers - seed) ** 2, axis=-1)               # (B, G)
+    order = jnp.argsort(d, axis=-1)
+    rank = jnp.zeros((B, G), jnp.int32).at[
+        jnp.arange(B)[:, None], order].set(
+        jnp.arange(G, dtype=jnp.int32)[None])
+    return rank < num_mask          # True = masked
+
+
 class MaskTransformerEncoder(nn.Module):
-    """Patch embed + random masking + ViT encoder (MaskTransformer,
-    PointCAE_transformer.py:304-469, PointViT arch)."""
+    """Patch embed + random/block masking + ViT encoder (MaskTransformer,
+    PointCAE_transformer.py:304-469, PointViT arch; block masking from
+    Point_MAE.py:273-299)."""
     trans_dim: int
     depth: int
     num_heads: int
@@ -92,6 +111,7 @@ class MaskTransformerEncoder(nn.Module):
     drop_path_rate: float = 0.1
     mask_ratio: float = 0.6
     rand_ratio: bool = True
+    mask_type: str = "rand"
     dtype: object = None
 
     def setup(self):
@@ -115,8 +135,12 @@ class MaskTransformerEncoder(nn.Module):
             x = self.blocks(tokens, pos, deterministic=not train)
             return self.norm(x), jnp.zeros((B, G), bool)
 
-        mask = sample_patch_mask(self.make_rng("mask"), B, G,
-                                 self.mask_ratio, self.rand_ratio)
+        if self.mask_type == "block":
+            mask = sample_block_mask(self.make_rng("mask"), center,
+                                     self.mask_ratio)
+        else:
+            mask = sample_patch_mask(self.make_rng("mask"), B, G,
+                                     self.mask_ratio, self.rand_ratio)
         # Static visible capacity: the mask ratio is >= min_ratio, so at most
         # V = G - floor(min_ratio*G) tokens are ever visible. Like the
         # reference (which gathers visible tokens into a shorter sequence,
@@ -130,7 +154,10 @@ class MaskTransformerEncoder(nn.Module):
         # statistics (and the running averages used at eval/noaug) are here
         # computed over the ~V-patch random subset instead of all G — a
         # small, unbiased difference since masking is uniform.
-        min_ratio = 0.5 if self.rand_ratio else self.mask_ratio
+        # block masking always uses the fixed ratio (rand_ratio is a
+        # rand-mask-only knob, Point_MAE.py:329-332)
+        min_ratio = self.mask_ratio if self.mask_type == "block" else \
+            (0.5 if self.rand_ratio else self.mask_ratio)
         V = G - static_num_masked(min_ratio, G)
         if V >= G:                      # nothing masked statically
             tokens = self.patch_embed(neighborhood, train=train)
@@ -226,6 +253,7 @@ class _CAETransformerBase(nn.Module):
                 drop_path_rate=t.get("drop_path_rate", 0.1),
                 mask_ratio=t.get("mask_ratio", 0.6),
                 rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+                mask_type=t.get("mask_type", "rand"),
                 dtype=self.compute_dtype, name="MAE_encoder")
         return NormalTransformerEncoder(
             trans_dim=t["trans_dim"], depth=t["depth"],
@@ -312,7 +340,8 @@ class _CAETransformerBase(nn.Module):
         loss and packing would not shrink anything."""
         B, G = mask.shape
         t = self.tcfg
-        rand = str(t.get("rand_ratio", "False")) == "True"
+        rand = str(t.get("rand_ratio", "False")) == "True" \
+            and t.get("mask_type", "rand") != "block"
         max_ratio = 0.8 if rand else float(t.get("mask_ratio", 0.6))
         M = static_num_masked(max_ratio, G)
         if (not self.masked_mode) or self.all_patch or M >= G:

@@ -160,6 +160,63 @@ class TestMaskingEquivalence:
                 n = int(jnp.sum(mask))
                 assert n == static_num_masked(ratio, G), (ratio, G)
 
+    def test_block_mask_contiguous_and_counted(self):
+        """Block masking (Point_MAE.py:273-299): exactly int(ratio*G)
+        masked, and they are the nearest patches to one seed center."""
+        from point_dae_tpu.models.transformer import (sample_block_mask,
+                                                      static_num_masked)
+
+        rng = np.random.default_rng(0)
+        centers = jnp.asarray(rng.normal(size=(3, 32, 3)).astype(np.float32))
+        mask = sample_block_mask(jax.random.key(2), centers, 0.6)
+        n = static_num_masked(0.6, 32)
+        np.testing.assert_array_equal(np.asarray(jnp.sum(mask, -1)), n)
+        # contiguity: the masked set is a metric ball around some center —
+        # every masked point is closer to the masked centroid than every
+        # unmasked point is... use the seed-ball property directly: for the
+        # masked set S there exists s in S with max_{j in S} d(s,j)
+        # < min_{j not in S} d(s,j)
+        c = np.asarray(centers)
+        m = np.asarray(mask)
+        for b in range(3):
+            found = False
+            for s in np.where(m[b])[0]:
+                d = np.linalg.norm(c[b] - c[b, s], axis=-1)
+                if d[m[b]].max() <= d[~m[b]].min() + 1e-6:
+                    found = True
+                    break
+            assert found
+
+    def test_block_mask_end_to_end(self):
+        """A masked model with mask_type='block' runs and yields finite
+        losses."""
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.utils.config import ConfigDict
+
+        cfg = ConfigDict({
+            "NAME": "PointCAE_transformer", "corrupt_type": ["Drop-Patch"],
+            "all_patch": "False", "group_size": 8, "num_group": 16,
+            "loss": "cdl2",
+            "transformer_config": {
+                "rand_ratio": "True", "mask_ratio": 0.6,
+                "mask_type": "block", "trans_dim": 32, "encoder_dims": 32,
+                "depth": 1, "drop_path_rate": 0.0, "cls_dim": 8,
+                "num_heads": 2, "decoder_depth": 1,
+                "decoder_num_heads": 2}})
+        model = build_model_from_cfg(cfg)
+        rng = np.random.default_rng(1)
+        clean = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "corrupt": jax.random.key(1),
+                "mask": jax.random.key(2), "droppath": jax.random.key(3)}
+        v = model.init(rngs, clean, clean, train=True)
+        out, _ = model.apply(
+            {"params": v["params"], **({"batch_stats": v["batch_stats"]}
+                                       if "batch_stats" in v else {})},
+            clean, clean, train=True, mutable=["batch_stats"],
+            rngs={"corrupt": jax.random.key(4), "mask": jax.random.key(5),
+                  "droppath": jax.random.key(6)})
+        assert np.isfinite(float(out[0]))
+
     def test_rand_ratio_mask_within_static_capacity(self):
         """rand_ratio masked counts always fit the packed-buffer capacities
         derived from the 0.5/0.8 endpoints."""
