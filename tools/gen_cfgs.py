@@ -274,9 +274,13 @@ def reference_name_closure(emit):
              model=sup, base=base, normal_weight=5e-4,
              loss_type="xyznormal")
         n += 1
-    # 3detr-encoder variants (enc_arch in transformer_config)
-    detr = tdp.replace("transformer_config:",
-                       "transformer_config:\n    enc_arch: '3detr'")
+    # 3detr-encoder variants: the reference selects the registered
+    # *_3detr model classes (enc_arch rides along in transformer_config)
+    detr = tdp.replace(
+        "NAME: PointCAE_transformer_fc_global_folding_local",
+        "NAME: PointCAE_transformer_fc_global_fc_local_3detr").replace(
+        "transformer_config:",
+        "transformer_config:\n    enc_arch: '3detr'")
     for fn in (f"{stem}_p0005_3detr.yaml",
                "pretrain_PointCAE_transformer_dropout_patch_affine_r3_middle_maskpatch_p0005_3detr.yaml",
                "pretrain_PointCAE_transformer_dropout_patch_affine_r3_middle_maskpatch_p0005_3detr_onlylocal.yaml",
