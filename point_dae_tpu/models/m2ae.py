@@ -119,7 +119,14 @@ class EncoderStage(nn.Module):
 
 class HEncoder(nn.Module):
     """Hierarchical encoder over the pyramid; returns per-scale normed
-    features (full-length, garbage at masked slots) and per-scale masks."""
+    features (full-length, garbage at masked slots) and per-scale masks.
+
+    Quirk parity — ``local_radius``: the reference computes a
+    radius-attention mask but combines it with the validity mask by
+    MULTIPLICATION (``mask_radius * mask_vis``, Point_M2AE.py:158-162),
+    which zeroes it wherever tokens are valid — its own comment notes the
+    step "would not change mask_vis". The knob is therefore inert in the
+    reference's pretraining path, and we intentionally do not apply it."""
     encoder_dims: Tuple[int, ...]
     encoder_depths: Tuple[int, ...]
     num_heads: int
