@@ -272,7 +272,12 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
     state = TrainState.create(model.apply, params, batch_stats, tx)
     state = replicate(mesh, state)
 
-    smooth = bool(config.get("smooth", False))
+    # both spellings: top-level `smooth` and the reference's
+    # model.smoothloss (e.g. finetune_*_smooth*.yaml carry the latter);
+    # string 'False'/'True' values parse correctly
+    raw_smooth = config.get("smooth",
+                            config.get("model", {}).get("smoothloss", False))
+    smooth = str(raw_smooth).lower() in ("true", "1")
     train_step = make_finetune_step(model, config, mesh, smooth=smooth)
     eval_step = make_eval_step(model, config, mesh)
     vote_step = make_vote_step(model, config, mesh)
