@@ -259,7 +259,7 @@ def reference_name_closure(emit):
              model=tdp, base=base, normal_weight=5e-4,
              loss_type="xyznormal")
         n += 1
-    emit(f"{stem}_p0005_whole_4xlonger.yaml", epochs=1200,
+    emit(f"{stem}_p0005_whole_4xlonger.yaml", epochs=1200, whole=True,
          corrupt="'clean'", model=tdp, normal_weight=5e-4,
          loss_type="xyznormal")
     n += 1
@@ -438,12 +438,16 @@ def main():
     jobs = [(n, [n]) for n in singles] + \
            [("_".join(p), list(p)) for p in pairs]
 
-    def emit(fn, **kw):
+    def emit(fn, whole=False, **kw):
         kw.setdefault("npoints", 1024)
         kw.setdefault("base", "ShapeNet-55_withnormal")
         kw.setdefault("aug", "'norm'")
-        open(os.path.join(args.out, fn), "w").write(
-            PRETRAIN_TMPL.format(**kw))
+        body = PRETRAIN_TMPL.format(**kw)
+        if whole:   # train+test concatenation (ShapeNet55Dataset.py:48-52)
+            body = body.replace("corrupt_type: [" + kw["corrupt"] + "]}}",
+                                "corrupt_type: [" + kw["corrupt"]
+                                + "], whole: True}}", 1)
+        open(os.path.join(args.out, fn), "w").write(body)
 
     n = 0
     for name, corrupt in jobs:
