@@ -145,7 +145,7 @@ if __name__ == "__main__":
     import os
     import threading
 
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1080"))
     state = {"done": False, "err": None}
 
     def body():

@@ -34,7 +34,10 @@ def get_args(argv=None):
     p.add_argument("--sync_bn", action="store_true",
                    help="parity flag; BN stats are global-batch by default on TPU")
     p.add_argument("--exp_name", type=str, default="default")
-    p.add_argument("--loss", type=str, default="cd2")
+    p.add_argument("--loss", type=str, default="cd1",
+                   help="parity flag (unconsumed in the reference too)")
+    p.add_argument("--root_folder", type=str, default="experiments",
+                   help="experiments root (utils/parser.py:38)")
     p.add_argument("--start_ckpts", type=str, default=None)
     p.add_argument("--ckpts", type=str, default=None)
     p.add_argument("--val_freq", type=int, default=1)
@@ -65,8 +68,23 @@ def get_args(argv=None):
     p.add_argument("--fold", type=int, default=-1)
     args = p.parse_args(argv)
 
+    # validations as in utils/parser.py:108-122
     if args.test and args.resume:
         raise ValueError("--test and --resume are exclusive")
+    if args.resume and args.start_ckpts is not None:
+        raise ValueError("--resume and --start_ckpts are exclusive")
+    if args.test and args.ckpts is None:
+        raise ValueError("ckpts shouldn't be None in test mode")
+    if args.model_name == "none":        # reference no-override sentinel
+        args.model_name = None
+    # exp_name decorations (utils/parser.py:127-132) — these shape the
+    # experiment tree that parse_results.py later walks
+    if args.test:
+        args.exp_name = "test_" + args.exp_name
+    if args.test_corruption:
+        args.exp_name = "test_corruption_" + args.exp_name
+    if args.mode is not None:
+        args.exp_name = args.exp_name + "_" + args.mode
     create_experiment_dir(args)
     return args
 
@@ -78,9 +96,9 @@ def create_experiment_dir(args) -> None:
     if args.model_name:
         stem = stem + args.model_name
     parent = os.path.basename(os.path.dirname(args.config)) or "cfgs"
-    args.experiment_path = os.path.join("./experiments", stem, parent,
-                                        args.exp_name)
-    args.tfboard_path = os.path.join("./experiments", stem, parent,
+    root = "./" + getattr(args, "root_folder", "experiments")
+    args.experiment_path = os.path.join(root, stem, parent, args.exp_name)
+    args.tfboard_path = os.path.join(root, stem, parent,
                                      "TFBoard", args.exp_name)
     args.log_name = stem
     os.makedirs(args.experiment_path, exist_ok=True)
@@ -93,14 +111,18 @@ def load_config(args):
         cfg["model"]["NAME"] = args.model_name
     if args.total_bs:
         cfg["total_bs"] = args.total_bs
-    # corrupt_type propagation (main.py:51-55)
-    model_ct = cfg.get("model", {}).get("corrupt_type", None)
-    train = cfg.get("dataset", {}).get("train", {})
-    ds_ct = train.get("others", {}).get("corrupt_type", None)
-    if (not model_ct) and ds_ct:
-        cfg["model"]["corrupt_type"] = ds_ct
-    # few-shot overrides
-    if args.way != -1:
+    # corrupt_type propagation — pretrain only, exactly like main.py:50-55
+    # (finetune/scratch/test/test_corruption runs leave model.corrupt_type
+    # untouched even when the dataset config carries one)
+    if not (args.finetune_model or args.scratch_model or args.test
+            or args.test_corruption):
+        model_ct = cfg.get("model", {}).get("corrupt_type", None)
+        train = cfg.get("dataset", {}).get("train", {})
+        ds_ct = train.get("others", {}).get("corrupt_type", None)
+        if (not model_ct) and ds_ct:
+            cfg["model"]["corrupt_type"] = ds_ct
+    # few-shot overrides (keyed on --shot like main.py:87-93)
+    if args.shot != -1:
         for split in cfg.get("dataset", {}).values():
             if isinstance(split, dict) and "others" in split:
                 split["others"]["way"] = args.way

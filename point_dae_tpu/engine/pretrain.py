@@ -298,8 +298,15 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
                 batch_stats, flatten_keys(pre["batch_stats"]),
                 logger=logger_name)
     # MaskFeat-style frozen teacher initialization: copy a pretrained
-    # encoder into the 'teacher' subtree (the optimizer already masks it)
+    # encoder into the 'teacher' subtree (the optimizer already masks it).
+    # The reference spells the checkpoint path per family:
+    # teacher_config.ckpt (MaskFeat_DGCNN.py:399), supervised_config.ckpt
+    # (MaskFeat_transformer.py:547), pointmae_config.ckpt — honor all of
+    # them alongside our flat model.teacher_ckpt.
     teacher_ckpt = config["model"].get("teacher_ckpt")
+    for sub in ("teacher_config", "supervised_config", "pointmae_config"):
+        if not teacher_ckpt:
+            teacher_ckpt = (config["model"].get(sub) or {}).get("ckpt")
     if teacher_ckpt and "teacher" in params:
         from ..utils.checkpoint import flatten_keys, load_params, merge_pretrained
 

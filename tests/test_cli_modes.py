@@ -211,6 +211,39 @@ class TestPlotResults:
             (d / "run.log").write_text("x [TEST] acc = 85.0000\n")
         run("affinity_matrix", str(tmp_path / "pretrain_*"), "am.png")
 
+    def test_ablation_and_dataset_variants(self, tmp_path):
+        """ablation (acc vs swept value, plot.py:17-99) and
+        dataset_variants (corruption x pose grouped bars,
+        plot_results_dataset_variants.py:14-44) figure modes."""
+        import subprocess
+        import sys
+        import os as _os
+
+        env = {**_os.environ, "JAX_PLATFORMS": "cpu"}
+
+        def run(mode, target, out):
+            r = subprocess.run(
+                [sys.executable, "tools/plot_results.py", mode, target,
+                 "-o", str(tmp_path / out)],
+                capture_output=True, text=True, cwd=".", env=env)
+            assert r.returncode == 0, r.stderr
+            assert (tmp_path / out).stat().st_size > 1000
+
+        for alpha, acc in ((0.0, 77.1), (0.4, 81.8), (0.8, 82.8)):
+            d = tmp_path / f"sweep_alpha{alpha}"
+            d.mkdir()
+            (d / "run.log").write_text(f"x [TEST] acc = {acc:.4f}\n")
+        run("ablation", str(tmp_path / "sweep_*"), "ab.png")
+
+        for name, acc in (("finetune_affine_r3", 80.4),
+                          ("finetune_affine_r3_svd_pose", 81.4),
+                          ("finetune_jitter", 73.6),
+                          ("finetune_jitter_svd_pose", 73.8)):
+            d = tmp_path / name
+            d.mkdir()
+            (d / "run.log").write_text(f"x [TEST] acc = {acc:.4f}\n")
+        run("dataset_variants", str(tmp_path / "finetune_*"), "dv.png")
+
 
 class TestCorruptionGallery:
     def test_gallery_tool(self, tmp_path):

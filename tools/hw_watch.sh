@@ -23,7 +23,7 @@ PY
     echo "smoke rc=$?" >> evidence/hw_watch.log
     timeout 2400 python tools/profile_dgcnn.py > evidence/PROFILE_DGCNN_r02.txt 2>&1
     echo "profile rc=$?" >> evidence/hw_watch.log
-    timeout 1500 python bench.py > evidence/BENCH_local_r02.txt 2>&1
+    timeout 1500 python bench.py > evidence/BENCH_local_r02.txt 2>&1  # inner watchdog (1080s) fires first
     echo "bench rc=$?" >> evidence/hw_watch.log
     exit 0
   fi

@@ -3,7 +3,7 @@
 ``plot.py``, the 1.7k-LoC figure generator, and
 ``plot_results_dataset_variants.py``).
 
-Six figure modes, all scraped from the same log-line formats that
+Eight figure modes, all scraped from the same log-line formats that
 ``tools/parse_results.py`` consumes (the log formats are an API,
 SURVEY.md §5):
 
@@ -19,6 +19,15 @@ SURVEY.md §5):
                     logged ``args.way :``/``args.shot :`` lines.
   affinity_matrix — pretrain-corruption x downstream-task heatmap (the
                     parse_acc_affinity.py aggregation as a figure).
+  ablation        — accuracy vs a swept hyper-parameter, one line figure
+                    (plot.py's rotate_alpha / translate_tau / shear_eta /
+                    scale blocks, plot.py:17-99); the swept value is parsed
+                    from each experiment directory name (trailing number by
+                    default, override with --param-re).
+  dataset_variants— corruption x pose-variant grouped bars
+                    (plot_results_dataset_variants.py:14-44): groups are
+                    corruption recipes, series are Random-/SVD-/Manual-Pose
+                    parsed from directory names.
 
 Usage:
   python tools/plot_results.py accuracy   experiments/finetune_* -o acc.png
@@ -303,23 +312,122 @@ def plot_affinity_matrix(dirs, out):
     print(f"wrote {out} ({len(rows)} corruptions x {len(cols)} tasks)")
 
 
+def plot_ablation(dirs, out, param_re=r"([0-9]+(?:\.[0-9]+)?)/*$"):
+    """Accuracy vs swept hyper-parameter, red line+markers like the
+    reference's alpha/tau/eta ablation figures (plot.py:17-99). The swept
+    value comes from each directory name; accuracy is the per-directory
+    best (mean across seed logs)."""
+    plt = _fig()
+    pat = re.compile(param_re)
+    pts = []
+    for d in dirs:
+        name = os.path.normpath(d)
+        m = pat.search(os.path.basename(name))
+        accs = _best_acc(d)
+        if not m or not accs:
+            print(f"# skipping {d} (param match: {bool(m)}, "
+                  f"accs: {len(accs)})", file=sys.stderr)
+            continue
+        pts.append((float(m.group(1)), float(np.mean(accs))))
+    if not pts:
+        raise SystemExit("no (param, acc) points found")
+    pts.sort()
+    xs, ys = zip(*pts)
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    ax.plot(xs, ys, "ro-", linewidth=2, ms=8)
+    ax.set_xlabel("swept parameter value")
+    ax.set_ylabel("accuracy")
+    for x, y in pts:
+        ax.annotate(f"{y:.3f}", (x, y), textcoords="offset points",
+                    xytext=(0, 6), ha="center", fontsize=7)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({len(pts)} sweep points)")
+
+
+# the 17 corruption recipes of the dataset-variants figure, longest-match
+# first so e.g. 'affine_r3_dropout_local' resolves before 'affine_r3'
+# (plot_results_dataset_variants.py:14-16)
+_VARIANT_CORRUPTIONS = [
+    "affine_r3_dropout_local", "affine_r3_dropout_patch", "affine_r3",
+    "dropout_global", "dropout_local", "dropout_patch", "add_global",
+    "add_local", "jitter", "shear", "rotate_z", "rotate", "reflection",
+    "scale_nonorm", "scale", "translate", "density", "clean",
+]
+_POSE_SERIES = [("svd_pose", "SVD-Pose"), ("man", "Manual-Pose"),
+                ("", "Random-Pose")]       # fallback last
+
+
+def plot_dataset_variants(dirs, out):
+    """Corruption x pose-variant grouped accuracy bars, the
+    plot_results_dataset_variants.py figure: one bar group per corruption
+    recipe, one series per dataset pose variant (Random/SVD/Manual),
+    values scraped from logs instead of hard-coded."""
+    plt = _fig()
+    cells = defaultdict(list)
+    for d in dirs:
+        name = os.path.basename(os.path.normpath(d)).lower()
+        corr = next((c for c in _VARIANT_CORRUPTIONS if c in name), "other")
+        pose = next(lab for key, lab in _POSE_SERIES if key in name)
+        accs = _best_acc(d)
+        if accs:
+            cells[(corr, pose)].append(float(np.mean(accs)))
+    if not cells:
+        raise SystemExit("nothing to plot")
+    corrs = [c for c in _VARIANT_CORRUPTIONS + ["other"]
+             if any(k[0] == c for k in cells)]
+    poses = [lab for _, lab in _POSE_SERIES
+             if any(k[1] == lab for k in cells)]
+    width = 0.85 / len(poses)
+    fig, ax = plt.subplots(figsize=(max(8, 1.2 * len(corrs)), 4.5))
+    colors = {"Random-Pose": "g", "SVD-Pose": "b", "Manual-Pose": "r"}
+    vals = []
+    for j, pose in enumerate(poses):
+        xs, ms = [], []
+        for i, c in enumerate(corrs):
+            v = cells.get((c, pose))
+            if v:
+                xs.append(i + j * width)
+                ms.append(float(np.mean(v)))
+        ax.bar(xs, ms, width=width, fc=colors[pose], label=pose)
+        vals.extend(ms)
+    ax.set_ylim(min(vals) * 0.99, max(vals) * 1.005)
+    ax.set_xticks([i + width * (len(poses) - 1) / 2
+                   for i in range(len(corrs))])
+    ax.set_xticklabels(corrs, rotation=13, ha="right",
+                       rotation_mode="anchor", fontsize=8)
+    ax.set_ylabel("Acc.")
+    ax.legend(fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out, dpi=160)
+    print(f"wrote {out} ({len(corrs)} corruptions x {len(poses)} poses)")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("mode", choices=["accuracy", "corruption", "curves",
                                     "robustness_bars", "fewshot",
-                                    "affinity_matrix"])
+                                    "affinity_matrix", "ablation",
+                                    "dataset_variants"])
     p.add_argument("dirs", nargs="+", help="experiment directories (globs ok)")
     p.add_argument("-o", "--out", default="figure.png")
+    p.add_argument("--param-re", default=r"([0-9]+(?:\.[0-9]+)?)/*$",
+                   help="ablation mode: regex capturing the swept value "
+                        "from each directory name")
     args = p.parse_args()
     dirs = []
     for d in args.dirs:
         dirs.extend(sorted(glob.glob(d)) or [d])
+    if args.mode == "ablation":
+        return plot_ablation(dirs, args.out, args.param_re)
     {"accuracy": plot_accuracy,
      "corruption": plot_corruption,
      "curves": plot_curves,
      "robustness_bars": plot_robustness_bars,
      "fewshot": plot_fewshot,
-     "affinity_matrix": plot_affinity_matrix}[args.mode](dirs, args.out)
+     "affinity_matrix": plot_affinity_matrix,
+     "dataset_variants": plot_dataset_variants}[args.mode](dirs, args.out)
 
 
 if __name__ == "__main__":
