@@ -245,6 +245,45 @@ class TestPlotResults:
         run("dataset_variants", str(tmp_path / "finetune_*"), "dv.png")
 
 
+class TestArgParser:
+    def test_validations_and_exp_name_decorations(self, tmp_path,
+                                                  monkeypatch):
+        """get_args mirrors utils/parser.py:108-132: flag exclusivity,
+        'none' model_name sentinel, test_/test_corruption_/_mode exp_name
+        decorations, --root_folder experiment tree."""
+        import os
+
+        import pytest
+
+        from point_dae_tpu.cli import get_args
+
+        monkeypatch.chdir(tmp_path)
+        cfg = tmp_path / "cfgs" / "finetune_x.yaml"
+        cfg.parent.mkdir()
+        cfg.write_text("model: {NAME: DGCNN}\n")
+
+        with pytest.raises(ValueError):
+            get_args(["--config", str(cfg), "--test", "--resume"])
+        with pytest.raises(ValueError):
+            get_args(["--config", str(cfg), "--resume",
+                      "--start_ckpts", "x"])
+        with pytest.raises(ValueError):
+            get_args(["--config", str(cfg), "--test"])   # no --ckpts
+
+        a = get_args(["--config", str(cfg), "--test", "--ckpts", "c.pth",
+                      "--mode", "hard", "--model_name", "none"])
+        assert a.exp_name == "test_default_hard"
+        assert a.model_name is None
+        assert a.experiment_path.endswith(
+            os.path.join("finetune_x", "cfgs", "test_default_hard"))
+
+        b = get_args(["--config", str(cfg), "--root_folder", "exp2",
+                      "--model_name", "DGCNN_Linear"])
+        assert os.path.join("exp2", "finetune_xDGCNN_Linear", "cfgs",
+                            "default") in b.experiment_path
+        assert os.path.isdir(b.experiment_path)
+
+
 class TestCorruptionGallery:
     def test_gallery_tool(self, tmp_path):
         """tools/corruption_gallery.py writes one PLY per corruption family
