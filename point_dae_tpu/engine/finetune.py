@@ -295,14 +295,20 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
         loader.set_epoch(epoch)
         meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
+        step_metrics = []
         for batch in loader:
             key, sub = jax.random.split(key)
-            pts = shard_batch(mesh, jnp.asarray(batch["points"], jnp.float32),
+            pts = shard_batch(mesh, np.asarray(batch["points"], np.float32),
                               local=True)
-            labels = shard_batch(mesh, jnp.asarray(batch["label"]),
+            labels = shard_batch(mesh, np.asarray(batch["label"]),
                                  local=True)
             state, metrics = train_step(state, pts, labels, sub)
-            meters.update([float(metrics["loss"]), float(metrics["acc"])])
+            # keep metrics on device — a float() here would sync every
+            # step and drain the dispatch queue (cf. pretrain.py's sparse
+            # metric pulls); one device_get at epoch end instead
+            step_metrics.append(metrics)
+        for m in jax.device_get(step_metrics):
+            meters.update([float(m["loss"]), float(m["acc"])])
         # training loss/acc are first-class signals like the reference's
         # (runner_finetune.py:205-216 logs + TB scalars both)
         writer.add_scalar("Loss/Epoch/loss", meters.avg(0), epoch)

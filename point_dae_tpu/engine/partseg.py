@@ -157,6 +157,7 @@ def run_partseg(config, args, logger_name="PointDAE"):
         loader.set_epoch(epoch)
         meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
+        step_metrics = []
         for batch in loader:
             key, sub = jax.random.split(key)
             pts = shard_batch(mesh, jnp.asarray(batch["points"][..., :3],
@@ -165,7 +166,11 @@ def run_partseg(config, args, logger_name="PointDAE"):
             seg = shard_batch(mesh, jnp.asarray(batch["seg"]))
             state, metrics = train_step(state, pts, shard_batch(mesh, onehot),
                                         seg, sub)
-            meters.update([float(metrics["loss"]), float(metrics["acc"])])
+            # on-device accumulation; a per-step float() would serialize
+            # dispatch (one device_get per epoch instead)
+            step_metrics.append(metrics)
+        for m in jax.device_get(step_metrics):
+            meters.update([float(m["loss"]), float(m["acc"])])
         # train loss/acc logged like the reference (segmentation/main.py
         # logs "Train accuracy" and the loss meter per epoch)
         print_log(f"Epoch {epoch} train loss = {meters.avg(0):.5f} "

@@ -383,15 +383,14 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         for batch in loader:
             key, sub = jax.random.split(key)
             if multi_step is None:
-                raw = shard_batch(mesh, jnp.asarray(batch["points"]),
+                raw = shard_batch(mesh, np.asarray(batch["points"]),
                                   local=True)
                 state, metrics = train_step(state, raw, sub, gw, *bn_args)
                 log_metrics(metrics, 1)
                 continue
             pending.append(batch["points"])
             if len(pending) == spd:
-                chunk = shard_batch(mesh, jnp.asarray(np.stack(pending)),
-                                    local=True,
+                chunk = shard_batch(mesh, np.stack(pending), local=True,
                                     dim=1)
                 pending.clear()
                 state, metrics = multi_step(state, chunk, sub, gw, *bn_args)
@@ -399,7 +398,7 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         # tail batches that didn't fill a chunk run through the 1-step path
         for tail in pending:
             key, sub = jax.random.split(key)
-            raw = shard_batch(mesh, jnp.asarray(tail), local=True)
+            raw = shard_batch(mesh, np.asarray(tail), local=True)
             state, metrics = train_step(state, raw, sub, gw, *bn_args)
             log_metrics(metrics, 1)
         print_log(
