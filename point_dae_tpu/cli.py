@@ -96,7 +96,9 @@ def create_experiment_dir(args) -> None:
     if args.model_name:
         stem = stem + args.model_name
     parent = os.path.basename(os.path.dirname(args.config)) or "cfgs"
-    root = "./" + getattr(args, "root_folder", "experiments")
+    # keep absolute --root_folder paths absolute; './'-prefixing would
+    # silently re-root them under the cwd
+    root = getattr(args, "root_folder", "experiments")
     args.experiment_path = os.path.join(root, stem, parent, args.exp_name)
     args.tfboard_path = os.path.join(root, stem, parent,
                                      "TFBoard", args.exp_name)

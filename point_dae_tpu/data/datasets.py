@@ -401,11 +401,16 @@ class _DGNpyDirBase(PointDataset):
         root = _cfg_get(config, "DATA_PATH")
         self.subset = _cfg_get(config, "subset", "train")
         self.npoints = int(_cfg_get(config, "N_POINTS", 1024))
+        # labels come from the canonical PointDA-10 map, NOT the directory
+        # enumeration order: a partial dump (missing/extra class dirs) must
+        # not shift indices relative to Scannet_DG's h5-stored labels
         categorys = sorted(d for d in os.listdir(root)
-                           if os.path.isdir(os.path.join(root, d)))
-        self.classes = categorys
+                           if os.path.isdir(os.path.join(root, d))
+                           and d in DG_LABEL_TO_IDX)
+        self.classes = sorted(DG_LABEL_TO_IDX, key=DG_LABEL_TO_IDX.get)
         self.items: List[Tuple[str, int]] = []
-        for li, cname in enumerate(categorys):
+        for cname in categorys:
+            li = DG_LABEL_TO_IDX[cname]
             d = os.path.join(root, cname, self.subset)
             if not os.path.isdir(d):
                 continue

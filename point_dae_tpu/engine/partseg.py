@@ -160,10 +160,12 @@ def run_partseg(config, args, logger_name="PointDAE"):
         step_metrics = []
         for batch in loader:
             key, sub = jax.random.split(key)
-            pts = shard_batch(mesh, jnp.asarray(batch["points"][..., :3],
-                                                jnp.float32))
-            onehot = jax.nn.one_hot(jnp.asarray(batch["label"]), 16)
-            seg = shard_batch(mesh, jnp.asarray(batch["seg"]))
+            # stay in numpy until shard_batch: a jnp.asarray here would
+            # upload unsharded, then shard_batch would round-trip it
+            pts = shard_batch(mesh, np.asarray(batch["points"][..., :3],
+                                               np.float32))
+            onehot = np.eye(16, dtype=np.float32)[np.asarray(batch["label"])]
+            seg = shard_batch(mesh, np.asarray(batch["seg"]))
             state, metrics = train_step(state, pts, shard_batch(mesh, onehot),
                                         seg, sub)
             # on-device accumulation; a per-step float() would serialize

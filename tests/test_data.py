@@ -338,7 +338,13 @@ class TestDGDatasets:
         ds = Modelnet40_DG({"DATA_PATH": str(tmp_path), "subset": "train",
                             "N_POINTS": 32})
         assert len(ds) == 6
-        assert ds.classes == ["chair", "plant"]   # sorted dirs
+        # labels are the canonical PointDA-10 indices even on a partial
+        # tree (a missing class dir must not shift later labels vs the
+        # h5-stored Scannet_DG indices)
+        from point_dae_tpu.data.datasets import DG_LABEL_TO_IDX
+        assert ds.classes[4] == "chair" and ds.classes[7] == "plant"
+        assert sorted({l for _, l in ds.items}) == [
+            DG_LABEL_TO_IDX["chair"], DG_LABEL_TO_IDX["plant"]]
         item = ds[0]
         pts = item["points"]
         assert pts.shape[-1] == 3                 # xyz only

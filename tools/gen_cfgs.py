@@ -511,6 +511,22 @@ def main():
             model=model, cls_dim=cls,
             num_group=128 if npts >= 2048 else 64, smooth=smooth)
         if extra.startswith("  "):       # model-scoped keys (indented)
+            # drop template model keys the extra overrides — duplicate
+            # YAML keys only "work" via PyYAML's last-wins accident and
+            # are rejected by strict loaders
+            over = {ln.split(":", 1)[0].strip() for ln in extra.splitlines()
+                    if ln.strip() and not ln.startswith("    ")}
+            out_lines, in_model = [], False
+            for ln in body.splitlines():
+                if ln.startswith("model:"):
+                    in_model = True
+                elif ln and not ln.startswith(" "):
+                    in_model = False
+                if (in_model and ln.startswith("  ")
+                        and ln.split(":", 1)[0].strip() in over):
+                    continue
+                out_lines.append(ln)
+            body = "\n".join(out_lines) + "\n"
             body = body.replace("\nnpoints:", "\n" + extra + "\nnpoints:", 1)
         elif extra:                      # config-level keys
             body += extra

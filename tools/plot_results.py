@@ -355,8 +355,10 @@ _VARIANT_CORRUPTIONS = [
     "add_local", "jitter", "shear", "rotate_z", "rotate", "reflection",
     "scale_nonorm", "scale", "translate", "density", "clean",
 ]
-_POSE_SERIES = [("svd_pose", "SVD-Pose"), ("man", "Manual-Pose"),
-                ("", "Random-Pose")]       # fallback last
+# keys match the generated-config suffixes (gen_cfgs.py POSES): '_svd',
+# '_random', and the default corpus pose (as-authored/aligned = Manual)
+_POSE_SERIES = [("_svd", "SVD-Pose"), ("_random", "Random-Pose"),
+                ("", "Manual-Pose")]       # fallback last
 
 
 def plot_dataset_variants(dirs, out):
