@@ -186,12 +186,27 @@ class Point_MlMAE(_CAETransformerBase):
             return jnp.sum(((a - b) ** 2) * wm) / denom
 
         loss_feat = jnp.zeros(())
-        targets = {"high3": (t_feats[2], 0), "high2": (t_feats[1], 1),
-                   "high1": (t_feats[0], 2), "high0": (t_tokens, 3)}
-        for name, (tgt, dec_idx) in targets.items():
+        # teacher-level index per loss name; resolved lazily so shallow
+        # (depth < 12) configs with fewer fetched levels only fail if a
+        # missing level is actually requested
+        targets = {"high3": (2, 0), "high2": (1, 1),
+                   "high1": (0, 2), "high0": (None, 3)}
+        for name, (lvl, dec_idx) in targets.items():
             if name in feat_loss_cfg and dec_idx < len(outs):
+                tgt = t_tokens if lvl is None else t_feats[lvl]
                 loss_feat = loss_feat + mse(tgt, outs[dec_idx])
         return loss1, loss_feat
+
+    def encode(self, pts: Array, train: bool = False) -> Array:
+        """Global feature for SVM probes: the base-class encode unpacks a
+        2-tuple but _MlEncoder returns (feats, mask, tokens), so override
+        with max+mean of the last fetched level (the same feature the
+        PointTransformerMlMAE finetune head consumes)."""
+        G, S = self.config["num_group"], self.config["group_size"]
+        neigh, center = group_neighborhood(pts[..., :3], G, S)
+        feats, _, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)
+        x = feats[-1]
+        return jnp.max(x, axis=1) + jnp.mean(x, axis=1)
 
 
 @MODELS.register_module()
