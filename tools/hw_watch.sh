@@ -4,7 +4,7 @@
 # save outputs under evidence/.
 cd /root/repo
 mkdir -p evidence
-for i in $(seq 1 60); do
+for i in $(seq 1 200); do
   TF=$(timeout 120 python - <<'PY' 2>/dev/null
 import time, jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((4096, 4096), jnp.bfloat16)
