@@ -123,8 +123,10 @@ def run_net_rotation(config, args, logger_name="PointDAE"):
             return loss, (jnp.mean(jnp.argmax(logits, -1) == labels),
                           mut["batch_stats"])
 
-        grads, (acc, bs) = jax.grad(lossf, has_aux=True)(state.params)
-        return state.apply_gradients(grads).replace(batch_stats=bs), acc
+        (loss, (acc, bs)), grads = jax.value_and_grad(
+            lossf, has_aux=True)(state.params)
+        return (state.apply_gradients(grads).replace(batch_stats=bs),
+                {"loss": loss, "acc": acc})
 
     train_step = jax.jit(step, donate_argnums=0,
                          in_shardings=(None, data_sharding(mesh),
@@ -135,12 +137,22 @@ def run_net_rotation(config, args, logger_name="PointDAE"):
     best = 0.0
     for epoch in range(int(config.get("max_epoch", 300)) + 1):
         loader.set_epoch(epoch)
+        step_metrics = []
         for batch in loader:
             key, sub = jax.random.split(key)
-            pts = shard_batch(mesh, jnp.asarray(batch["points"][..., :3],
-                                                jnp.float32))
-            labels = shard_batch(mesh, jnp.asarray(batch["label"]))
-            state, _ = train_step(state, pts, labels, sub)
+            pts = shard_batch(mesh, np.asarray(batch["points"][..., :3],
+                                               np.float32))
+            labels = shard_batch(mesh, np.asarray(batch["label"]))
+            state, metrics = train_step(state, pts, labels, sub)
+            # on-device accumulation, one host pull per epoch
+            step_metrics.append(metrics)
+        if step_metrics:
+            got = jax.device_get(step_metrics)
+            print_log(
+                f"[Training] EPOCH: {epoch} "
+                f"loss = {float(np.mean([m['loss'] for m in got])):.5f} "
+                f"acc = {float(np.mean([m['acc'] for m in got])):.5f}",
+                logger=logger_name)
         # rotated eval
         correct = total = 0
         ev = DataLoader(val_set, total_bs, shuffle=False, drop_last=False)
