@@ -281,6 +281,28 @@ class TestGeneratedConfigCorpus:
             ct = cfg["dataset"]["train"]["others"].get("corrupt_type", [])
             corruption_capacity(1024, tuple(ct))
 
+        # every file must survive a strict loader that rejects duplicate
+        # mapping keys (PyYAML's silent last-wins previously hid a doubled
+        # encoder_dims in the m2ae finetune configs)
+        import yaml
+
+        class _Strict(yaml.SafeLoader):
+            pass
+
+        def _no_dupes(loader, node, deep=False):
+            m = {}
+            for k, v in node.value:
+                key = loader.construct_object(k, deep=deep)
+                assert key not in m, f"duplicate key {key!r}"
+                m[key] = loader.construct_object(v, deep=deep)
+            return m
+
+        _Strict.add_constructor(
+            yaml.resolver.BaseResolver.DEFAULT_MAPPING_TAG, _no_dupes)
+        for f in files:
+            with open(f) as fh:
+                yaml.load(fh, Loader=_Strict)
+
 
 class TestNativeBatchPath:
     def test_shapenet_load_batch_matches_getitem(self, tmp_path):
