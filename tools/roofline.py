@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Speed-of-light analysis for the flagship bench step.
+
+Builds the exact train step bench.py measures (FLAGSHIP_CONFIG, raw
+(B, 8192, 6) input, FPS + corruption + packed-masked DAE fwd/bwd + AdamW),
+runs XLA cost analysis, and prints the roofline bound on a TPU v5e chip:
+
+    t_compute = flops / peak_flops        (MXU bound)
+    t_memory  = bytes / hbm_bandwidth     (HBM bound)
+    speed-of-light step time = max(t_compute, t_memory)
+
+Cost analysis runs on any backend (pass --cpu off-TPU); FLOPs are a
+property of the computation and scale linearly from a small compile batch
+to the bench batch (the model is batch-linear: no cross-batch ops inside
+the step). CAVEAT on bytes: "bytes accessed" reflects the BACKEND'S
+fusion decisions — a CPU-compiled module counts far more HLO-level
+traffic than the TPU pipeline actually moves, so off-TPU the memory bound
+printed here is a loose upper bound (t_memory_is_upper_bound=true in the
+output); run on the TPU backend for the fused number.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32,
+                    help="compile batch (scaled to --bench-batch)")
+    ap.add_argument("--bench-batch", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend before importing jax")
+    # v5e: 394.7 TFLOP/s bf16 MXU peak, 819 GB/s HBM (public spec);
+    # the 4k-matmul probe on this tunnel reads ~150 TFLOP/s healthy, so
+    # --peak-tflops defaults to the *probed achievable* peak, not paper.
+    ap.add_argument("--peak-tflops", type=float, default=150.0)
+    ap.add_argument("--hbm-gbps", type=float, default=819.0)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import FLAGSHIP_CONFIG
+    from point_dae_tpu.engine.pretrain import init_model, make_train_step
+    from point_dae_tpu.engine.train_state import TrainState, build_optimizer
+    from point_dae_tpu.models import build_model_from_cfg
+    from point_dae_tpu.utils.config import ConfigDict
+
+    config = ConfigDict(FLAGSHIP_CONFIG)
+    config["total_bs"] = args.batch
+    model = build_model_from_cfg(config["model"])
+    B, Nraw = args.batch, 8192
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.normal(size=(B, Nraw, 6)).astype(np.float32))
+    params, batch_stats = init_model(model, config, raw)
+    tx, _ = build_optimizer(config, params, steps_per_epoch=100,
+                            grad_norm_clip=None)
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+    step = make_train_step(model, config, mesh=None)
+
+    t0 = time.time()
+    compiled = step.lower(state, raw, jax.random.key(0),
+                          jnp.float32(0.5)).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    scale = args.bench_batch / args.batch
+    flops = float(ca.get("flops", 0.0)) * scale
+    byts = float(ca.get("bytes accessed", 0.0)) * scale
+    t_comp = flops / (args.peak_tflops * 1e12)
+    t_mem = byts / (args.hbm_gbps * 1e9)
+    sol = max(t_comp, t_mem)
+    out = {
+        "compile_batch": args.batch,
+        "bench_batch": args.bench_batch,
+        "flops_per_step": flops,
+        "bytes_per_step": byts,
+        "arithmetic_intensity_flops_per_byte": flops / max(byts, 1.0),
+        "t_compute_ms": t_comp * 1e3,
+        "t_memory_ms": t_mem * 1e3,
+        "speed_of_light_ms": sol * 1e3,
+        "speed_of_light_clouds_per_sec": args.bench_batch / sol,
+        "bound": "compute" if t_comp >= t_mem else "memory",
+        "peak_tflops_assumed": args.peak_tflops,
+        "hbm_gbps_assumed": args.hbm_gbps,
+        "backend": jax.default_backend(),
+        "t_memory_is_upper_bound": jax.default_backend() != "tpu",
+        "compile_seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
