@@ -25,6 +25,8 @@ PY
     echo "profile rc=$?" >> evidence/hw_watch.log
     timeout 1500 python bench.py > evidence/BENCH_local_r02.txt 2>&1  # inner watchdog (1080s) fires first
     echo "bench rc=$?" >> evidence/hw_watch.log
+    timeout 1200 python tools/roofline.py --batch 256 > evidence/ROOFLINE_r02.json 2>evidence/roofline_stderr.log
+    echo "roofline rc=$?" >> evidence/hw_watch.log
     exit 0
   fi
   sleep 300
