@@ -272,13 +272,21 @@ class ShapeNetPart(PointDataset):
                 ids |= {os.path.basename(x) for x in json.load(f)}
         self.files: List[Tuple[str, str]] = []
         for name, synset in self.cat.items():
+            if name not in self.seg_classes:    # unknown category name
+                continue
             d = os.path.join(self.root, synset)
             if not os.path.isdir(d):
                 continue
             for fn in sorted(os.listdir(d)):
                 if fn.split(".")[0] in ids:
                     self.files.append((name, os.path.join(d, fn)))
-        self.classes = {name: i for i, name in enumerate(sorted(self.cat))}
+        # canonical 16-category indices (sorted seg_classes names), NOT an
+        # enumeration of whatever categories the cat file happens to list:
+        # run_partseg maps labels back through sorted(SEG_CLASSES), so a
+        # partial category file must not shift later indices
+        canon = sorted(self.seg_classes)
+        self.classes = {name: canon.index(name) for name in self.cat
+                        if name in self.seg_classes}
 
     def __len__(self):
         return len(self.files)
@@ -390,8 +398,9 @@ def dg_rotate_shape_x(pc: np.ndarray, angle: float) -> np.ndarray:
 
 class _DGNpyDirBase(PointDataset):
     """Per-class .npy directory layout shared by the ModelNet/ShapeNet DG
-    domains ({root}/{class}/{split}/*.npy, class list = sorted directory
-    names, domain_generalization.py:300-314). Host-side work mirrors the
+    domains ({root}/{class}/{split}/*.npy, labels = the canonical
+    PointDA-10 map applied to the class-directory names,
+    domain_generalization.py:300-314). Host-side work mirrors the
     reference __getitem__ normalization/orientation; the random FPS
     resample + shuffle + z-rotation + jitter train augs run ON DEVICE in
     the finetune step ('dg' train_aug + FPS resample) — the models are

@@ -200,8 +200,9 @@ class Point_MlMAE(_CAETransformerBase):
     def encode(self, pts: Array, train: bool = False) -> Array:
         """Global feature for SVM probes: the base-class encode unpacks a
         2-tuple but _MlEncoder returns (feats, mask, tokens), so override
-        with max+mean of the last fetched level (the same feature the
-        PointTransformerMlMAE finetune head consumes)."""
+        with max+mean (summed) of the last fetched level — the base-class
+        pooling used by every other family's probe. (The finetune head
+        pools the same level but CONCATenates max and mean instead.)"""
         G, S = self.config["num_group"], self.config["group_size"]
         neigh, center = group_neighborhood(pts[..., :3], G, S)
         feats, _, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)

@@ -75,9 +75,25 @@ def test_run_partseg_end_to_end(tmp_path):
     args = types.SimpleNamespace(seed=0, ckpts=None,
                                  experiment_path=str(tmp_path / "exp"))
     os.makedirs(args.experiment_path, exist_ok=True)
+    # the dataset must assign CANONICAL 16-category indices even though
+    # only two categories exist in this tree (Airplane=0, Chair=5 in
+    # sorted(SEG_CLASSES)) — otherwise category_restricted_argmax
+    # restricts Chair shapes to the wrong category's parts
+    from point_dae_tpu.data.datasets import ShapeNetPart
+    ds = ShapeNetPart({"DATA_PATH": root, "subset": "test",
+                       "npoints": npoints})
+    from point_dae_tpu.engine.partseg import SEG_CLASSES
+    canon = sorted(SEG_CLASSES)
+    assert ds.classes == {"Airplane": canon.index("Airplane"),
+                          "Chair": canon.index("Chair")}
+
     out = run_partseg(config, args, logger_name="partseg-e2e")
     assert 0.0 <= out["best_instance_miou"] <= 1.0
     assert 0.0 <= out["best_class_miou"] <= 1.0
-    # mIoU on 4-part random labels must be nonzero (union always hit)
+    # mIoU on 4-part random labels must be nonzero for BOTH categories:
+    # each prediction is restricted to its own category's parts, so every
+    # part-IoU union is hit (a zero Chair IoU would mean the restriction
+    # used the wrong category)
     assert out["best_instance_miou"] > 0.0
+    assert out["best_class_miou"] > 0.0
     assert os.path.isdir(args.experiment_path)

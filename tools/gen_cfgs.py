@@ -523,6 +523,7 @@ def main():
                 elif ln and not ln.startswith(" "):
                     in_model = False
                 if (in_model and ln.startswith("  ")
+                        and not ln.startswith("    ")  # top-level keys only
                         and ln.split(":", 1)[0].strip() in over):
                     continue
                 out_lines.append(ln)

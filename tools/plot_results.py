@@ -355,10 +355,13 @@ _VARIANT_CORRUPTIONS = [
     "add_local", "jitter", "shear", "rotate_z", "rotate", "reflection",
     "scale_nonorm", "scale", "translate", "density", "clean",
 ]
-# keys match the generated-config suffixes (gen_cfgs.py POSES): '_svd',
-# '_random', and the default corpus pose (as-authored/aligned = Manual)
-_POSE_SERIES = [("_svd", "SVD-Pose"), ("_random", "Random-Pose"),
-                ("", "Manual-Pose")]       # fallback last
+# patterns match the generated-config suffixes (gen_cfgs.py POSES):
+# '_svd', '_random', default = as-authored/aligned (Manual). Regexes
+# because experiment dirs append the model name after the stem
+# (cli.py:create_experiment_dir) and the corruption 'random_add' must
+# not read as Random-Pose.
+_POSE_SERIES = [(r"_svd", "SVD-Pose"), (r"_random(?!_add)", "Random-Pose"),
+                (r"", "Manual-Pose")]      # fallback last
 
 
 def plot_dataset_variants(dirs, out):
@@ -371,7 +374,8 @@ def plot_dataset_variants(dirs, out):
     for d in dirs:
         name = os.path.basename(os.path.normpath(d)).lower()
         corr = next((c for c in _VARIANT_CORRUPTIONS if c in name), "other")
-        pose = next(lab for key, lab in _POSE_SERIES if key in name)
+        pose = next(lab for key, lab in _POSE_SERIES
+                    if re.search(key, name))
         accs = _best_acc(d)
         if accs:
             cells[(corr, pose)].append(float(np.mean(accs)))

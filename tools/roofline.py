@@ -79,6 +79,12 @@ def main():
     t_comp = flops / (args.peak_tflops * 1e12)
     t_mem = byts / (args.hbm_gbps * 1e9)
     sol = max(t_comp, t_mem)
+    if sol == 0.0:
+        # some backends expose no flops/bytes keys — still emit the JSON
+        print(json.dumps({"error": "cost analysis returned no flops/bytes",
+                          "cost_analysis_keys": sorted(ca),
+                          "backend": jax.default_backend()}))
+        return
     out = {
         "compile_batch": args.batch,
         "bench_batch": args.bench_batch,
