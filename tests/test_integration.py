@@ -56,3 +56,28 @@ def test_run_pretrain_end_to_end(tmp_path):
     cfg2["max_epoch"] = 3
     out2 = run_pretrain(cfg2, args2, logger_name="test")
     assert out2["best_acc"] >= 0.0
+
+
+def test_run_pretrain_seed_determinism(tmp_path):
+    """Same seed => bit-identical trained parameters (the --deterministic
+    contract: every random draw is PRNG-key-threaded, no wall-clock or
+    pool-ordering nondeterminism in the train path)."""
+    import jax
+
+    outs = []
+    for d in ("a", "b"):
+        p = tmp_path / d
+        p.mkdir()
+        args = types.SimpleNamespace(
+            experiment_path=str(p), tfboard_path=None, seed=123,
+            resume=False, val_freq=10, start_ckpts=None)
+        cfg = _cfg(p)
+        cfg["max_epoch"] = 1
+        outs.append(run_pretrain(cfg, args, logger_name=f"det-{d}"))
+    pa = jax.device_get(outs[0]["state"].params)
+    pb = jax.device_get(outs[1]["state"].params)
+    flat_a = jax.tree_util.tree_leaves(pa)
+    flat_b = jax.tree_util.tree_leaves(pb)
+    assert len(flat_a) == len(flat_b)
+    for la, lb in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
