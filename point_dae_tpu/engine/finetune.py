@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import furthest_point_sample, gather_points
-from ..parallel import data_sharding, get_mesh, replicate, shard_batch
+from ..parallel import (data_sharding, get_mesh, replicate,
+                        replicated_sharding, shard_batch)
 from ..utils.logger import ScalarWriter, print_log
 from ..utils.meters import AverageMeter
 from .train_state import TrainState, build_optimizer
@@ -165,7 +166,10 @@ def make_eval_step(model, config, mesh=None) -> Callable:
 
     if mesh is None:
         return jax.jit(step)
-    return jax.jit(step, in_shardings=(None, data_sharding(mesh)))
+    # replicated output: every host must device_get the logits, and a
+    # multi-host data-sharded array is not fully addressable locally
+    return jax.jit(step, in_shardings=(None, data_sharding(mesh)),
+                   out_shardings=replicated_sharding(mesh))
 
 
 def make_vote_step(model, config, mesh=None, times: int = 10) -> Callable:
@@ -195,7 +199,8 @@ def make_vote_step(model, config, mesh=None, times: int = 10) -> Callable:
     bsh = data_sharding(mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return jax.jit(step, in_shardings=(None, bsh, NamedSharding(mesh, P())))
+    return jax.jit(step, in_shardings=(None, bsh, NamedSharding(mesh, P())),
+                   out_shardings=replicated_sharding(mesh))
 
 
 def evaluate(eval_step, state, loader, mesh, batch_size: int) -> float:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.partseg import seg_nll_loss
-from ..parallel import data_sharding, get_mesh, replicate, shard_batch
+from ..parallel import (data_sharding, get_mesh, replicate,
+                        replicated_sharding, shard_batch)
 from ..utils.logger import print_log
 from ..utils.meters import AverageMeter
 from .train_state import TrainState, build_optimizer
@@ -79,7 +80,9 @@ def make_seg_eval_step(model, mesh=None):
     if mesh is None:
         return jax.jit(step)
     bsh = data_sharding(mesh)
-    return jax.jit(step, in_shardings=(None, bsh, bsh))
+    # replicated output: log-probs are device_get on every host
+    return jax.jit(step, in_shardings=(None, bsh, bsh),
+                   out_shardings=replicated_sharding(mesh))
 
 
 def category_restricted_argmax(logp: np.ndarray, cat_names) -> np.ndarray:

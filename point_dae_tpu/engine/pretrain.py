@@ -31,7 +31,8 @@ import numpy as np
 
 from ..data import corruptions as C
 
-from ..parallel import get_mesh, data_sharding, replicate, shard_batch
+from ..parallel import (get_mesh, data_sharding, replicate,
+                        replicated_sharding, shard_batch)
 from ..utils.logger import ScalarWriter, print_log
 from ..utils.meters import AverageMeter
 from .train_state import TrainState, build_optimizer
@@ -212,7 +213,9 @@ def make_feature_fn(model, mesh=None, npoints: int = 1024) -> Callable:
     if mesh is None:
         return jax.jit(feats)
     bsh = data_sharding(mesh)
-    return jax.jit(feats, in_shardings=(None, bsh))
+    # replicated output: features are device_get on every host
+    return jax.jit(feats, in_shardings=(None, bsh),
+                   out_shardings=replicated_sharding(mesh))
 
 
 def evaluate_svm(train_features, train_labels, test_features, test_labels,

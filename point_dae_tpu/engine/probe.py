@@ -12,7 +12,8 @@ import numpy as np
 import optax
 
 from ..ops import furthest_point_sample, gather_points
-from ..parallel import data_sharding, get_mesh, shard_batch
+from ..parallel import (data_sharding, get_mesh, replicated_sharding,
+                        shard_batch)
 from ..utils.logger import print_log
 
 Array = jax.Array
@@ -33,7 +34,8 @@ def extract_features(model, variables, dataset, npoints: int,
         kwargs = {} if method is None else {"method": method}
         return model.apply(variables, pts, train=False, **kwargs)
 
-    jfn = jax.jit(fn, in_shardings=(data_sharding(mesh),))
+    jfn = jax.jit(fn, in_shardings=(data_sharding(mesh),),
+                  out_shardings=replicated_sharding(mesh))
     loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
     feats, labels = [], []
     for batch in loader:

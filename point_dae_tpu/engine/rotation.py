@@ -53,8 +53,12 @@ def make_rotation_eval_step(model, config, test_mode: str, mesh=None):
         return jax.jit(step)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from ..parallel import replicated_sharding
+
+    # replicated output: logits are device_get on every host
     return jax.jit(step, in_shardings=(None, data_sharding(mesh),
-                                       NamedSharding(mesh, P())))
+                                       NamedSharding(mesh, P())),
+                   out_shardings=replicated_sharding(mesh))
 
 
 def run_net_rotation(config, args, logger_name="PointDAE"):
