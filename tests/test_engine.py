@@ -498,3 +498,32 @@ class TestWarmStartBatchStats:
         for leaf in jax.tree_util.tree_leaves(
                 jax.device_get(out["state"].batch_stats)):
             np.testing.assert_allclose(np.asarray(leaf), 0.123, rtol=1e-6)
+
+
+class TestEvalOutputReplication:
+    def test_eval_outputs_fully_replicated(self):
+        """Eval-step outputs must be fully replicated: every host
+        device_gets them, and a multi-host data-sharded array is not
+        fully addressable locally (mesh.py:shard_batch docs)."""
+        from point_dae_tpu.engine.finetune import (make_eval_step,
+                                                   make_vote_step)
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.parallel import get_mesh, replicate, shard_batch
+
+        mesh = get_mesh()
+        cfg = ConfigDict({"model": {"NAME": "PointNet_NoT", "cls_dim": 15},
+                          "npoints": 64})
+        model = build_model_from_cfg(cfg["model"])
+        pts = jnp.asarray(np.random.default_rng(0).normal(
+            size=(8, 64, 3)).astype(np.float32))
+        v = model.init({"params": jax.random.key(0),
+                        "dropout": jax.random.key(1)}, pts, train=True)
+        import optax
+        st = replicate(mesh, TrainState.create(
+            model.apply, v["params"], v.get("batch_stats", {}),
+            optax.adamw(1e-3)))
+        logits = make_eval_step(model, cfg, mesh)(st, shard_batch(mesh, pts))
+        assert logits.sharding.is_fully_replicated
+        vlogits = make_vote_step(model, cfg, mesh, times=2)(
+            st, shard_batch(mesh, pts), jax.random.key(2))
+        assert vlogits.sharding.is_fully_replicated
