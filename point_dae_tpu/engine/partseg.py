@@ -134,8 +134,13 @@ def run_partseg(config, args, logger_name="PointDAE"):
                                       dcfg["test"]["others"])
     cat_names = sorted(SEG_CLASSES)
     total_bs = int(config.get("total_bs", 16))
-    loader = DataLoader(train_set, total_bs, shuffle=True,
-                        seed=getattr(args, "seed", 0))
+    # per-host loader striding like finetune/pretrain (DistributedSampler
+    # role): no host loads the global train batch on a multi-host mesh
+    from ..parallel import loader_shard_kwargs
+    local_bs = total_bs // jax.process_count()
+    loader = DataLoader(train_set, local_bs, shuffle=True,
+                        seed=getattr(args, "seed", 0),
+                        **loader_shard_kwargs())
     model = build_model_from_cfg(config["model"])
     npoints = int(config.get("npoints", 2048))
     rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
@@ -166,10 +171,11 @@ def run_partseg(config, args, logger_name="PointDAE"):
             # stay in numpy until shard_batch: a jnp.asarray here would
             # upload unsharded, then shard_batch would round-trip it
             pts = shard_batch(mesh, np.asarray(batch["points"][..., :3],
-                                               np.float32))
+                                               np.float32), local=True)
             onehot = np.eye(16, dtype=np.float32)[np.asarray(batch["label"])]
-            seg = shard_batch(mesh, np.asarray(batch["seg"]))
-            state, metrics = train_step(state, pts, shard_batch(mesh, onehot),
+            seg = shard_batch(mesh, np.asarray(batch["seg"]), local=True)
+            state, metrics = train_step(state, pts,
+                                        shard_batch(mesh, onehot, local=True),
                                         seg, sub)
             # on-device accumulation; a per-step float() would serialize
             # dispatch (one device_get per epoch instead)
