@@ -85,8 +85,12 @@ def run_net_rotation(config, args, logger_name="PointDAE"):
     val_set = build_dataset_from_cfg(dcfg["val"]["_base_"],
                                      dcfg["val"]["others"])
     total_bs = int(config.get("total_bs", 32))
-    loader = DataLoader(train_set, total_bs, shuffle=True,
-                        seed=getattr(args, "seed", 0))
+    # per-host loader striding (DistributedSampler role), like finetune
+    from ..parallel import loader_shard_kwargs
+    local_bs = total_bs // jax.process_count()
+    loader = DataLoader(train_set, local_bs, shuffle=True,
+                        seed=getattr(args, "seed", 0),
+                        **loader_shard_kwargs())
     npoints = int(config.get("npoints", 1024))
 
     model = build_model_from_cfg(config["model"])
@@ -145,8 +149,9 @@ def run_net_rotation(config, args, logger_name="PointDAE"):
         for batch in loader:
             key, sub = jax.random.split(key)
             pts = shard_batch(mesh, np.asarray(batch["points"][..., :3],
-                                               np.float32))
-            labels = shard_batch(mesh, np.asarray(batch["label"]))
+                                               np.float32), local=True)
+            labels = shard_batch(mesh, np.asarray(batch["label"]),
+                                 local=True)
             state, metrics = train_step(state, pts, labels, sub)
             # on-device accumulation, one host pull per epoch
             step_metrics.append(metrics)
