@@ -124,7 +124,9 @@ def _batched_accuracy(eval_fn, pts: np.ndarray, labels: np.ndarray,
         if n < batch_size:
             chunk = np.concatenate([chunk, np.zeros(
                 (batch_size - n,) + chunk.shape[1:], np.float32)])
-        logits = np.asarray(eval_fn(jnp.asarray(chunk)))[:n]
+        # hand eval_fn the numpy chunk — it shard_batches internally, and a
+        # jnp.asarray here would upload unsharded first (double copy)
+        logits = np.asarray(eval_fn(chunk))[:n]
         correct += int((np.argmax(logits, -1) == labels[s:s + n]).sum())
     return correct / max(len(pts), 1)
 
