@@ -88,7 +88,7 @@ def main():
         holder["s"], m = step(holder["s"], raw, key, jnp.float32(0.5))
         return m
 
-    timeit("full_train_step", run_step)
+    ref_step_dt = timeit("full_train_step", run_step)
 
     # pieces (forward only, jitted in isolation)
     knn_j = jax.jit(lambda a: knn(a, a, k)[1])
@@ -132,20 +132,27 @@ def main():
         timeit(f"encoder_fwd_bwd[{impl}]", bwd, ev["params"],
                ev["batch_stats"], x3)
 
-    # full train step with the fused pallas EdgeConv
-    config["model"]["edgeconv_impl"] = "fused_pallas"
-    model2 = build_model_from_cfg(config["model"])
-    params2, bs2 = init_model(model2, config, raw)
-    tx2, _ = build_optimizer(config, params2, steps_per_epoch=100,
-                             grad_norm_clip=None)
-    holder2 = {"s": TrainState.create(model2.apply, params2, bs2, tx2)}
-    step2 = make_train_step(model2, config, mesh=None)
+    # full train step with each EdgeConv restructuring (three-way A/B at
+    # the level that decides the dispatch default)
+    step_ms = {"reference": ref_step_dt}
+    for impl in ("fused", "fused_pallas"):
+        config["model"]["edgeconv_impl"] = impl
+        model2 = build_model_from_cfg(config["model"])
+        params2, bs2 = init_model(model2, config, raw)
+        tx2, _ = build_optimizer(config, params2, steps_per_epoch=100,
+                                 grad_norm_clip=None)
+        holder2 = {"s": TrainState.create(model2.apply, params2, bs2, tx2)}
+        step2 = make_train_step(model2, config, mesh=None)
 
-    def run_step2():
-        holder2["s"], m = step2(holder2["s"], raw, key, jnp.float32(0.5))
-        return m
+        def run_step2(step2=step2, holder2=holder2):
+            holder2["s"], m = step2(holder2["s"], raw, key, jnp.float32(0.5))
+            return m
 
-    timeit("full_train_step[fused_pallas]", run_step2)
+        step_ms[impl] = timeit(f"full_train_step[{impl}]", run_step2)
+    print(json.dumps({"name": "verdict",
+                      "best_impl": min(step_ms, key=step_ms.get),
+                      "step_ms": {k: round(v * 1e3, 2)
+                                  for k, v in step_ms.items()}}), flush=True)
 
 
 if __name__ == "__main__":
