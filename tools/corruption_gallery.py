@@ -33,14 +33,9 @@ GALLERY = ("nocorruption", "scale_nonorm", "translate", "jitter", "rotate",
 def write_ply(path: str, pts: np.ndarray) -> None:
     """Minimal ascii PLY (the pyntcloud .to_file output the reference
     produces, Corruption_visualization.py:119-122)."""
-    pts = np.asarray(pts, np.float32)
-    with open(path, "w") as f:
-        f.write("ply\nformat ascii 1.0\n"
-                f"element vertex {len(pts)}\n"
-                "property float x\nproperty float y\nproperty float z\n"
-                "end_header\n")
-        for p in pts:
-            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+    from point_dae_tpu.utils.pcviews import write_ply as _write_ply
+
+    _write_ply(path, pts)
 
 
 def synthetic_cloud(n: int = 8192, seed: int = 0) -> np.ndarray:
