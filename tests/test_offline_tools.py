@@ -142,3 +142,56 @@ def test_pcviews_voxel_roundtrip_and_views(tmp_path):
     # the three views differ (rotations actually applied)
     v1, v2, v3 = img[:, :64], img[:, 64:128], img[:, 128:]
     assert not np.array_equal(v1, v2) and not np.array_equal(v2, v3)
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """tools/convert_checkpoint.py end-to-end: a reference-layout .pth
+    (base_model + module. prefixes, encoder-only warm start) converts into
+    an Orbax checkpoint that load_params restores with the translated
+    weights actually landed in the model tree."""
+    import torch
+    import yaml
+
+    from tests.test_convert_parity import TorchDGCNNEncoder
+    from tools.convert_checkpoint import convert, guess_family
+    from point_dae_tpu.utils.checkpoint import (flatten_keys,
+                                                load_params,
+                                                load_torch_checkpoint)
+    from point_dae_tpu.utils.convert_torch import convert_state_dict
+
+    assert guess_family("DGCNN_feat") == "dgcnn"
+    assert guess_family("PointCAE_transformer_fc_global_folding_local") \
+        == "transformer"
+    assert guess_family("MaskSurf_v2") == "masksurf"
+    assert guess_family("PointCAE_pointnetv2") == "pointnet2"
+
+    torch.manual_seed(3)
+    tm = TorchDGCNNEncoder(k=6)
+    sd = {}
+    for i in range(1, 6):
+        conv = getattr(tm, f"conv{i}")
+        sd[f"dgcnn_encoder.conv{i}.0.weight"] = conv[0].weight.detach()
+        for leaf, v in conv[1].state_dict().items():
+            sd[f"dgcnn_encoder.bn{i}.{leaf}"] = v
+    pth = str(tmp_path / "ckpt.pth")
+    torch.save({"base_model": {"module." + k: torch.as_tensor(v)
+                               for k, v in sd.items()}}, pth)
+
+    cfgp = str(tmp_path / "cfg.yaml")
+    yaml.safe_dump({"model": {"NAME": "DGCNN", "cls_dim": 15, "k": 6},
+                    "npoints": 48}, open(cfgp, "w"))
+    out = str(tmp_path / "converted")
+    convert(pth, cfgp, out)
+
+    restored = load_params(out, out)
+    flat_params = flatten_keys(restored["params"])
+    flat_bs = flatten_keys(restored["batch_stats"])
+    # the translated encoder weights landed exactly
+    want = convert_state_dict(load_torch_checkpoint(pth), "dgcnn")
+    for k, v in want.items():
+        pool = flat_bs if k.endswith(("/mean", "/var")) else flat_params
+        assert k in pool, k
+        np.testing.assert_allclose(np.asarray(pool[k]), v, rtol=1e-6,
+                                   atol=1e-6)
+    # the cls head was NOT in the .pth: fresh init values are kept
+    assert any(k.startswith("cls_head/") for k in flat_params)
