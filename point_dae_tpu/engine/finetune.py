@@ -172,6 +172,24 @@ def make_eval_step(model, config, mesh=None) -> Callable:
                    out_shardings=replicated_sharding(mesh))
 
 
+def make_eval_step_raw(model, mesh=None) -> Callable:
+    """Eval step that feeds clouds to the model as-is, with NO FPS
+    resample — the ModelNet-C protocol (runner_finetune.py:641-651:
+    ``model(data)`` on the raw h5 clouds, whose point count varies per
+    corruption cell; FPS-to-npoints on a 256-point dropout_global_4 cloud
+    would duplicate one point 768 times). One compile per distinct cell
+    shape (cheap: eval-only, <=36 shapes)."""
+    def step(state: TrainState, pts: Array):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pts[..., :3], train=False)
+
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(None, data_sharding(mesh)),
+                   out_shardings=replicated_sharding(mesh))
+
+
 def make_vote_step(model, config, mesh=None, times: int = 10) -> Callable:
     """10-draw voting eval (validate_vote, runner_finetune.py:568-632):
     mean softmax logits over FPS subsample + scale/translate draws."""

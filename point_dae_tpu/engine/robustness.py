@@ -100,8 +100,8 @@ def corrupt_batch_level(key, pts, name: str, level: int):
 
 def load_modelnet_c_split(data_root: str, split: str):
     """Read one ModelNet-C h5 file (``modelnetc_utils.ModelNetC`` layout:
-    ``{data_root}/{split}.h5`` with ``data`` (N, 1024, 3) float32 and
-    ``label`` (N,) or (N, 1))."""
+    ``{data_root}/{split}.h5`` with ``data`` (N, P, 3) float32 — P varies
+    per corruption family/level — and ``label`` (N,) or (N, 1))."""
     import h5py
 
     with h5py.File(os.path.join(data_root, f"{split}.h5"), "r") as f:
@@ -115,8 +115,21 @@ def has_modelnet_c(data_root: Optional[str]) -> bool:
         os.path.join(data_root, "clean.h5"))
 
 
+def missing_modelnet_c_files(data_root: str,
+                             corruptions: Sequence[str] = CORRUPTIONS,
+                             levels: int = 5) -> list:
+    """Names of requested cells whose h5 file is absent. Checked up front
+    so a partially-populated data_root fails fast instead of crashing
+    after the expensive early cells."""
+    splits = ["clean"] + [f"{c}_{lv}" for c in corruptions
+                          for lv in range(levels)]
+    return [s for s in splits
+            if not os.path.isfile(os.path.join(data_root, f"{s}.h5"))]
+
+
 def _batched_accuracy(eval_fn, pts: np.ndarray, labels: np.ndarray,
                       batch_size: int) -> float:
+    """Chunked padded eval shared by the h5 and on-device paths."""
     correct = 0
     for s in range(0, len(pts), batch_size):
         chunk = pts[s:s + batch_size]
@@ -150,12 +163,34 @@ def eval_corrupt_wrapper(eval_fn: Callable[[np.ndarray], np.ndarray],
     """
     use_files = has_modelnet_c(data_root)
     if use_files:
+        missing = missing_modelnet_c_files(data_root, corruptions, levels)
+        if missing:
+            # fail fast: crashing after the expensive early cells would
+            # lose every result; a silent fallback would report numbers
+            # that look benchmark-comparable but are not
+            raise FileNotFoundError(
+                f"ModelNet-C root {data_root} is incomplete - missing "
+                f"{len(missing)} file(s): "
+                + ", ".join(f"{s}.h5" for s in missing))
         print_log(f"[Corruption] evaluating pre-generated ModelNet-C files "
                   f"at {data_root}", logger=logger)
     else:
         print_log("[Corruption] no ModelNet-C files found - generating "
                   "corruptions on device (NOT comparable to the published "
                   "benchmark numbers)", logger=logger)
+        from ..data.loader import DataLoader
+
+        # materialize the eval set once instead of re-reading it for
+        # every one of the 1 + len(corruptions)*levels cells
+        all_pts, all_labels = [], []
+        for batch in DataLoader(dataset, batch_size, shuffle=False,
+                                drop_last=False):
+            all_pts.append(np.asarray(batch["points"][..., :3], np.float32))
+            all_labels.append(np.asarray(batch["label"]))
+        ds_pts = np.concatenate(all_pts) if all_pts else \
+            np.zeros((0, 1, 3), np.float32)
+        ds_labels = np.concatenate(all_labels) if all_labels else \
+            np.zeros((0,), np.int64)
 
     def accuracy(corrupt: Optional[tuple]):
         if use_files:
@@ -164,26 +199,21 @@ def eval_corrupt_wrapper(eval_fn: Callable[[np.ndarray], np.ndarray],
             pts, labels = load_modelnet_c_split(data_root, split)
             return _batched_accuracy(eval_fn, pts[..., :3], labels,
                                      batch_size)
-        from ..data.loader import DataLoader
-
-        loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
-        correct = total = 0
-        key = jax.random.key(seed)
-        for batch in loader:
-            pts = np.asarray(batch["points"][..., :3], np.float32)
-            labels = np.asarray(batch["label"])
-            n = pts.shape[0]
-            if n < batch_size:
-                pts = np.concatenate([pts, np.zeros(
-                    (batch_size - n,) + pts.shape[1:], np.float32)])
-            x = jnp.asarray(pts)
-            if corrupt is not None:
-                key, sub = jax.random.split(key)
-                x = corrupt_batch_level(sub, x, corrupt[0], corrupt[1])
-            logits = np.asarray(eval_fn(x))[:n]
-            correct += int((np.argmax(logits, -1) == labels).sum())
-            total += n
-        return correct / max(total, 1)
+        # corrupt the whole materialized split at once (one vmapped
+        # op-chain over all N clouds) instead of re-dispatching the chain
+        # per batch — through a remote device tunnel that is dozens of
+        # dispatches per CELL instead of per batch. Deliberately eager,
+        # NOT jax.jit: jitting this argsort/scatter-bearing program
+        # poisons subsequent mesh-jitted calls in this jax version (the
+        # second call of a later in_shardings jit resolves its typed-key
+        # arg to the batch sharding and crashes; reproduced + bisected,
+        # see tests/test_eval_harnesses.py regression pairing).
+        pts_cell = ds_pts
+        if corrupt is not None and len(ds_pts):
+            pts_cell = np.asarray(corrupt_batch_level(
+                jax.random.key(seed), jnp.asarray(ds_pts),
+                corrupt[0], corrupt[1]))
+        return _batched_accuracy(eval_fn, pts_cell, ds_labels, batch_size)
 
     oa_clean = accuracy(None)
     print_log(f"{{'OA': {round(oa_clean, 3)}, 'corruption': 'clean', "
@@ -254,7 +284,7 @@ def test_net_corruption(config, args, logger_name="PointDAE"):
     from ..parallel import get_mesh, replicate, shard_batch
     from ..utils.checkpoint import (flatten_keys, load_params,
                                     merge_pretrained)
-    from .finetune import make_eval_step
+    from .finetune import make_eval_step, make_eval_step_raw
     from .train_state import TrainState
     import optax
 
@@ -280,15 +310,20 @@ def test_net_corruption(config, args, logger_name="PointDAE"):
                                            logger=logger_name)
     state = replicate(mesh, TrainState.create(model.apply, params,
                                               batch_stats, optax.identity()))
-    eval_step = make_eval_step(model, config, mesh)
-
-    def eval_fn(pts):
-        return jax.device_get(eval_step(state, shard_batch(mesh, pts)))
-
     # benchmark-faithful when the pre-generated files are mounted; the
     # reference's modelnetc_utils reads ./data/modelnet_c by convention
     data_root = (getattr(args, "modelnet_c_root", None)
                  or config.get("modelnet_c_root")
                  or "data/modelnet_c")
+    # h5 path: feed the files' clouds raw like the reference's
+    # test_corrupt (runner_finetune.py:641-651); fallback path: FPS to
+    # npoints like every other finetune eval of this dataset
+    if has_modelnet_c(data_root):
+        eval_step = make_eval_step_raw(model, mesh)
+    else:
+        eval_step = make_eval_step(model, config, mesh)
+
+    def eval_fn(pts):
+        return jax.device_get(eval_step(state, shard_batch(mesh, pts)))
     return eval_corrupt_wrapper(eval_fn, test_set, total_bs,
                                 data_root=data_root, logger=logger_name)

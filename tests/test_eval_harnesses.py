@@ -302,3 +302,88 @@ class TestVotingEval:
         out = run_finetune(cfg, args, logger_name="test_vote")
         assert out["best_acc"] > 92.1          # trigger threshold crossed
         assert out["best_vote"] > 50.0         # voting actually ran + scored
+
+
+class TestModelNetCFidelity:
+    def test_partial_root_fails_fast(self, tmp_path):
+        """A data_root holding clean.h5 but missing cells must raise up
+        front (listing the absent files) instead of crashing after the
+        expensive early evaluations."""
+        import h5py
+
+        from point_dae_tpu.engine.robustness import (
+            eval_corrupt_wrapper, missing_modelnet_c_files)
+
+        root = tmp_path / "mc"
+        root.mkdir()
+        for split in ("clean", "jitter_0"):
+            with h5py.File(root / f"{split}.h5", "w") as f:
+                f.create_dataset("data", data=np.zeros((4, 8, 3), np.float32))
+                f.create_dataset("label", data=np.zeros((4, 1), np.int64))
+        missing = missing_modelnet_c_files(str(root), ("jitter",), 2)
+        assert missing == ["jitter_1"]
+        with pytest.raises(FileNotFoundError, match="jitter_1.h5"):
+            eval_corrupt_wrapper(lambda p: np.zeros((len(p), 4)), None,
+                                 batch_size=4, corruptions=("jitter",),
+                                 levels=2, data_root=str(root))
+
+    def test_h5_cells_feed_variable_point_counts_raw(self, tmp_path):
+        """ModelNet-C files carry different point counts per cell
+        (dropout removes points, add appends); the h5 path must hand each
+        file's clouds to eval_fn at their native size — the reference's
+        test_corrupt does model(data) with NO resample
+        (runner_finetune.py:641-651)."""
+        import h5py
+
+        from point_dae_tpu.engine.robustness import eval_corrupt_wrapper
+
+        root = tmp_path / "mc"
+        root.mkdir()
+        seen_npts = {}
+
+        def write(split, npts):
+            with h5py.File(root / f"{split}.h5", "w") as f:
+                f.create_dataset(
+                    "data", data=np.ones((6, npts, 3), np.float32))
+                f.create_dataset("label", data=np.zeros((6, 1), np.int64))
+
+        write("clean", 64)
+        write("dropout_global_0", 16)   # fewer points than clean
+        write("add_global_0", 96)       # more points than clean
+
+        def eval_fn(pts):
+            pts = np.asarray(pts)
+            seen_npts[pts.shape[1]] = True
+            return np.tile(np.eye(4)[0], (pts.shape[0], 1))
+
+        res = eval_corrupt_wrapper(
+            eval_fn, None, batch_size=6,
+            corruptions=("dropout_global", "add_global"), levels=1,
+            data_root=str(root))
+        assert res["clean_OA"] == 1.0
+        # every file's native point count reached the model untouched
+        assert set(seen_npts) == {64, 16, 96}
+
+    def test_make_eval_step_raw_no_fps(self):
+        """make_eval_step_raw consumes clouds at their native size (no
+        FPS): feeding N=24 and N=80 both work and differ from the
+        FPS-to-npoints path's fixed input size."""
+        import functools
+
+        from point_dae_tpu.engine.finetune import make_eval_step_raw
+        from point_dae_tpu.engine.train_state import TrainState
+        from point_dae_tpu.models import build_model_from_cfg
+        import optax
+
+        model = build_model_from_cfg({"NAME": "PointNet_NoT", "cls_dim": 5})
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                "droppath": jax.random.key(2)}
+        v = jax.jit(functools.partial(model.init, train=True))(
+            rngs, jnp.zeros((2, 24, 3)))
+        st = TrainState.create(model.apply, v["params"],
+                               v.get("batch_stats", {}), optax.identity())
+        step = make_eval_step_raw(model, mesh=None)
+        for n in (24, 80):
+            logits = step(st, jnp.ones((2, n, 6)))
+            assert logits.shape == (2, 5)
+            assert np.isfinite(np.asarray(logits)).all()
