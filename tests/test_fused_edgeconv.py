@@ -151,3 +151,49 @@ class TestBf16Policy:
         got = fused.apply(args, x, train=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0.05, atol=0.05)
+
+
+class TestAggregateKernelMultiTile:
+    """N=256 with tn=128 exercises the grid's second row tile: the
+    backward kernel's zero-init predicate (program_id(1)==0) and the
+    cross-tile accumulation into the shared (B, N, C) output block are
+    otherwise untested off-hardware (every other interpret test is a
+    single 128-point tile)."""
+
+    def test_forward_matches_xla_two_tiles(self):
+        B, N, C, Cf, k = 2, 256, 16, 8, 5
+        U = _rand((B, N, C), 7)
+        xf = _rand((B, N, Cf), 8)
+        M, m, S1, S2, idx = knn_aggregate(U, xf, k, tn=128, interpret=True)
+        _, idx_ref = knn(xf, xf, k)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1),
+                                      np.sort(np.asarray(idx_ref), -1))
+        Mr, mr, S1r, S2r = knn_aggregate_xla(U, idx_ref)
+        np.testing.assert_allclose(np.asarray(M), np.asarray(Mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(mr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S1r), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(S2), np.asarray(S2r), atol=1e-4)
+
+    def test_gradient_matches_xla_two_tiles(self):
+        B, N, C, Cf, k = 2, 256, 8, 4, 4
+        U = _rand((B, N, C), 9)
+        xf = _rand((B, N, Cf), 11)
+        w = [_rand((B, N, C), 20 + i) for i in range(4)]
+        idx_ref = jax.lax.stop_gradient(knn(xf, xf, k)[1])
+
+        def loss_pallas(U):
+            M, m, S1, S2, _ = knn_aggregate(U, xf, k, tn=128, interpret=True)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        def loss_xla(U):
+            M, m, S1, S2 = knn_aggregate_xla(U, idx_ref)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        gp = jax.grad(loss_pallas)(U)
+        gx = jax.grad(loss_xla)(U)
+        # a broken zero-init or per-tile accumulation shows up as a
+        # first-tile-only (or doubled) gradient — exact per-element match
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-4)
