@@ -6,13 +6,14 @@ cd /root/repo
 mkdir -p evidence
 for i in $(seq 1 200); do
   TF=$(timeout 120 python - <<'PY' 2>/dev/null
-import time, jax, jax.numpy as jnp, numpy as np
+import time, jax, jax.numpy as jnp
 x = jnp.ones((4096, 4096), jnp.bfloat16)
 f = jax.jit(lambda a: a @ a)
-y = f(x); _ = float(np.asarray(y)[0,0])
+# scalar read forces completion without pulling 32 MiB through the tunnel
+y = f(x); _ = float(y[0,0])
 t0 = time.perf_counter()
 for _ in range(20): y = f(x)
-_ = float(np.asarray(y)[0,0])
+_ = float(y[0,0])
 print(int(2*4096**3*20/(time.perf_counter()-t0)/1e12))
 PY
 )

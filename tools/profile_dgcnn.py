@@ -42,7 +42,7 @@ def main():
 
     enable_compilation_cache()
     sys.path.insert(0, ".")
-    from bench import _wait_for_healthy_device
+    from bench import DEGRADED_TFLOPS, _wait_for_healthy_device
 
     tflops = _wait_for_healthy_device()
     print(f"# probe {tflops:.0f} TFLOP/s", file=sys.stderr, flush=True)
@@ -88,7 +88,7 @@ def main():
         holder["s"], m = step(holder["s"], raw, key, jnp.float32(0.5))
         return m
 
-    ref_step_dt = timeit("full_train_step", run_step)
+    timeit("full_train_step", run_step)
 
     # pieces (forward only, jitted in isolation)
     knn_j = jax.jit(lambda a: knn(a, a, k)[1])
@@ -133,9 +133,14 @@ def main():
                ev["batch_stats"], x3)
 
     # full train step with each EdgeConv restructuring (three-way A/B at
-    # the level that decides the dispatch default)
-    step_ms = {"reference": ref_step_dt}
-    for impl in ("fused", "fused_pallas"):
+    # the level that decides the dispatch default). The tunnel degrades
+    # transiently for long stretches, so a single-shot sequential A/B can
+    # be decided by drift rather than by the kernels: measure all three
+    # impls INTERLEAVED over several rounds, take best-of per impl, and
+    # re-probe device health each round so a drift-poisoned verdict is
+    # flagged instead of silently recorded.
+    runners = {}
+    for impl in ("reference", "fused", "fused_pallas"):
         config["model"]["edgeconv_impl"] = impl
         model2 = build_model_from_cfg(config["model"])
         params2, bs2 = init_model(model2, config, raw)
@@ -148,11 +153,36 @@ def main():
             holder2["s"], m = step2(holder2["s"], raw, key, jnp.float32(0.5))
             return m
 
-        step_ms[impl] = timeit(f"full_train_step[{impl}]", run_step2)
+        # compile + warm up outside the timed rounds
+        m = run_step2()
+        _ = float(jax.tree_util.tree_leaves(m)[0].reshape(-1)[0])
+        runners[impl] = run_step2
+
+    xp = jnp.ones((4096, 4096), jnp.bfloat16)
+    fp = jax.jit(lambda a: a @ a)
+
+    def quick_probe() -> float:
+        y = fp(xp)
+        _ = float(y[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(5):
+            y = fp(xp)
+        _ = float(y[0, 0])
+        return 2 * 4096 ** 3 * 5 / (time.perf_counter() - t0) / 1e12
+
+    best = {impl: float("inf") for impl in runners}
+    probes = []
+    for r in range(3):
+        probes.append(round(quick_probe(), 1))
+        for impl, fn in runners.items():
+            dt = timeit(f"full_train_step[{impl}]@r{r}", fn)
+            best[impl] = min(best[impl], dt)
     print(json.dumps({"name": "verdict",
-                      "best_impl": min(step_ms, key=step_ms.get),
+                      "best_impl": min(best, key=best.get),
                       "step_ms": {k: round(v * 1e3, 2)
-                                  for k, v in step_ms.items()}}), flush=True)
+                                  for k, v in best.items()},
+                      "probe_tflops_per_round": probes,
+                      "degraded": min(probes) < DEGRADED_TFLOPS}), flush=True)
 
 
 if __name__ == "__main__":
