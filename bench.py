@@ -19,6 +19,27 @@ import time
 DEGRADED_TFLOPS = 20.0
 
 
+def probe_tflops(iters: int = 20) -> float:
+    """One health-probe sample: achieved TFLOP/s of a 4096^2 bf16 matmul.
+    The single source of the probe definition (also used by
+    tools/profile_dgcnn.py and tools/hw_watch.sh). Completion is forced via
+    a device-side scalar read: float(y[0, 0]) moves 4 bytes, whereas
+    np.asarray(y) would pull the whole 32 MiB matrix through the tunnel
+    and conflate compute with transfer bandwidth."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    y = f(x)
+    _ = float(y[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = f(x)
+    _ = float(y[0, 0])
+    return 2 * 4096 ** 3 * iters / (time.perf_counter() - t0) / 1e12
+
+
 def _wait_for_healthy_device(min_tflops: float = DEGRADED_TFLOPS,
                              tries: int = 8,
                              sleep_s: float = 45.0) -> float:
@@ -29,23 +50,9 @@ def _wait_for_healthy_device(min_tflops: float = DEGRADED_TFLOPS,
     bench always fits the driver's timeout — a degraded-but-reported number
     beats a timeout with no number). Returns the last probed TFLOP/s so the
     caller can flag the output as degraded instead of suppressing it."""
-    import jax
-    import jax.numpy as jnp
-
-    x = jnp.ones((4096, 4096), jnp.bfloat16)
-    f = jax.jit(lambda a: a @ a)
     tflops = 0.0
     for attempt in range(tries):
-        y = f(x)
-        # force completion via a device-side scalar read: float(y[0, 0])
-        # moves 4 bytes; np.asarray(y) would pull the whole 32 MiB matrix
-        # through the tunnel and conflate compute with transfer bandwidth
-        _ = float(y[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(20):
-            y = f(x)
-        _ = float(y[0, 0])
-        tflops = 2 * 4096 ** 3 * 20 / (time.perf_counter() - t0) / 1e12
+        tflops = probe_tflops()
         if tflops >= min_tflops:
             return tflops
         print(f"# device degraded ({tflops:.1f} TFLOP/s), waiting...",

@@ -127,18 +127,20 @@ def missing_modelnet_c_files(data_root: str,
             if not os.path.isfile(os.path.join(data_root, f"{s}.h5"))]
 
 
-def _batched_accuracy(eval_fn, pts: np.ndarray, labels: np.ndarray,
+def _batched_accuracy(eval_fn, pts, labels: np.ndarray,
                       batch_size: int) -> float:
-    """Chunked padded eval shared by the h5 and on-device paths."""
+    """Chunked padded eval shared by the h5 and on-device paths. ``pts``
+    may be numpy (h5 path: eval_fn's shard_batch uploads each chunk once)
+    or a device array (fallback path: the corrupted split stays on device
+    and shard_batch is a device-side reshard, no host round trip)."""
+    xp = jnp if isinstance(pts, jax.Array) else np
     correct = 0
     for s in range(0, len(pts), batch_size):
         chunk = pts[s:s + batch_size]
         n = chunk.shape[0]
         if n < batch_size:
-            chunk = np.concatenate([chunk, np.zeros(
-                (batch_size - n,) + chunk.shape[1:], np.float32)])
-        # hand eval_fn the numpy chunk — it shard_batches internally, and a
-        # jnp.asarray here would upload unsharded first (double copy)
+            chunk = xp.pad(chunk, ((0, batch_size - n),)
+                           + ((0, 0),) * (chunk.ndim - 1))
         logits = np.asarray(eval_fn(chunk))[:n]
         correct += int((np.argmax(logits, -1) == labels[s:s + n]).sum())
     return correct / max(len(pts), 1)
@@ -210,9 +212,12 @@ def eval_corrupt_wrapper(eval_fn: Callable[[np.ndarray], np.ndarray],
         # see tests/test_eval_harnesses.py regression pairing).
         pts_cell = ds_pts
         if corrupt is not None and len(ds_pts):
-            pts_cell = np.asarray(corrupt_batch_level(
+            # result stays on device: _batched_accuracy slices/pads device
+            # arrays directly and eval_fn's shard_batch is then a
+            # device-side reshard instead of a download + re-upload
+            pts_cell = corrupt_batch_level(
                 jax.random.key(seed), jnp.asarray(ds_pts),
-                corrupt[0], corrupt[1]))
+                corrupt[0], corrupt[1])
         return _batched_accuracy(eval_fn, pts_cell, ds_labels, batch_size)
 
     oa_clean = accuracy(None)

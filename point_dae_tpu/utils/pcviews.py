@@ -22,7 +22,11 @@ def point_cloud_to_volume(points: np.ndarray, vsize: int,
     [-radius, radius]^3 (pc_utils.py:40-53)."""
     vol = np.zeros((vsize, vsize, vsize), dtype=np.float32)
     voxel = 2 * radius / float(vsize)
-    loc = ((np.asarray(points, np.float64) + radius) / voxel).astype(np.int64)
+    # floor before the int cast: astype truncates toward zero, which would
+    # wrap points just below -radius into voxel index 0 instead of letting
+    # the keep mask drop them
+    loc = np.floor((np.asarray(points, np.float64) + radius)
+                   / voxel).astype(np.int64)
     keep = ((loc >= 0) & (loc < vsize)).all(axis=1)
     loc = loc[keep]
     vol[loc[:, 0], loc[:, 1], loc[:, 2]] = 1.0

@@ -5,7 +5,6 @@ import functools
 import os
 
 import numpy as np
-import pytest
 
 from tests.test_partseg_e2e import _fake_shapenetpart
 
@@ -14,7 +13,6 @@ def test_partseg_visual_writes_objs(tmp_path):
     import jax
     import jax.numpy as jnp
 
-    from point_dae_tpu.engine.partseg import SEG_CLASSES
     from point_dae_tpu.models import build_model_from_cfg
     from point_dae_tpu.utils.checkpoint import save_checkpoint
     from point_dae_tpu.engine.train_state import TrainState
@@ -114,9 +112,15 @@ def test_pcviews_voxel_roundtrip_and_views(tmp_path):
     vol = pcviews.point_cloud_to_volume(pts, vsize=12, radius=1.0)
     assert vol.shape == (12, 12, 12)
     assert 0 < vol.sum() <= 256
-    # out-of-radius points are dropped, not wrapped
-    far = np.array([[5.0, 0.0, 0.0]], np.float32)
+    # out-of-radius points are dropped, not wrapped — including points just
+    # below -radius, where int truncation (instead of floor) would wrap the
+    # index to 0 and falsely occupy a boundary voxel
+    far = np.array([[5.0, 0.0, 0.0], [-1.05, 0.3, 0.3]], np.float32)
     assert pcviews.point_cloud_to_volume(far, 12).sum() == 0
+    # ...while a point just INSIDE -radius lands in the index-0 voxel
+    edge = np.array([[-0.99, 0.0, 0.0]], np.float32)
+    vol_edge = pcviews.point_cloud_to_volume(edge, 12)
+    assert vol_edge[0, 6, 6] == 1.0 and vol_edge.sum() == 1
 
     back = pcviews.volume_to_point_cloud(vol)
     assert back.shape[1] == 3 and len(back) == int(vol.sum())

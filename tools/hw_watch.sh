@@ -5,18 +5,8 @@
 cd /root/repo
 mkdir -p evidence
 for i in $(seq 1 200); do
-  TF=$(timeout 120 python - <<'PY' 2>/dev/null
-import time, jax, jax.numpy as jnp
-x = jnp.ones((4096, 4096), jnp.bfloat16)
-f = jax.jit(lambda a: a @ a)
-# scalar read forces completion without pulling 32 MiB through the tunnel
-y = f(x); _ = float(y[0,0])
-t0 = time.perf_counter()
-for _ in range(20): y = f(x)
-_ = float(y[0,0])
-print(int(2*4096**3*20/(time.perf_counter()-t0)/1e12))
-PY
-)
+  TF=$(timeout 120 python -c \
+    "from bench import probe_tflops; print(int(probe_tflops()))" 2>/dev/null)
   echo "$(date +%H:%M:%S) probe: ${TF:-hang} TFLOP/s" >> evidence/hw_watch.log
   if [ -n "$TF" ] && [ "$TF" -ge 20 ]; then
     echo "$(date +%H:%M:%S) healthy - running battery" >> evidence/hw_watch.log
@@ -32,5 +22,5 @@ PY
   fi
   sleep 300
 done
-echo "gave up after 60 probes" >> evidence/hw_watch.log
+echo "gave up after 200 probes" >> evidence/hw_watch.log
 exit 1

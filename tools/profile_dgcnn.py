@@ -42,7 +42,7 @@ def main():
 
     enable_compilation_cache()
     sys.path.insert(0, ".")
-    from bench import DEGRADED_TFLOPS, _wait_for_healthy_device
+    from bench import DEGRADED_TFLOPS, _wait_for_healthy_device, probe_tflops
 
     tflops = _wait_for_healthy_device()
     print(f"# probe {tflops:.0f} TFLOP/s", file=sys.stderr, flush=True)
@@ -158,25 +158,16 @@ def main():
         _ = float(jax.tree_util.tree_leaves(m)[0].reshape(-1)[0])
         runners[impl] = run_step2
 
-    xp = jnp.ones((4096, 4096), jnp.bfloat16)
-    fp = jax.jit(lambda a: a @ a)
-
-    def quick_probe() -> float:
-        y = fp(xp)
-        _ = float(y[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(5):
-            y = fp(xp)
-        _ = float(y[0, 0])
-        return 2 * 4096 ** 3 * 5 / (time.perf_counter() - t0) / 1e12
-
     best = {impl: float("inf") for impl in runners}
     probes = []
     for r in range(3):
-        probes.append(round(quick_probe(), 1))
+        probes.append(round(probe_tflops(iters=5), 1))
         for impl, fn in runners.items():
             dt = timeit(f"full_train_step[{impl}]@r{r}", fn)
             best[impl] = min(best[impl], dt)
+    # closing probe: degradation that starts DURING the last round would
+    # otherwise skew its timings while every pre-round probe read healthy
+    probes.append(round(probe_tflops(iters=5), 1))
     print(json.dumps({"name": "verdict",
                       "best_impl": min(best, key=best.get),
                       "step_ms": {k: round(v * 1e3, 2)
