@@ -103,20 +103,23 @@ def _make_step_body(model, config) -> Callable:
     normal_weight = float(config.get("normal_weight", 1.0))
 
     bn_sched = config.get("bnmscheduler") is not None
+    supervised = bool(getattr(model, "is_supervised", False))
 
-    def step(state: TrainState, raw: Array, key: jax.Array,
-             gradual_weight: Array, bn_momentum: Optional[Array] = None):
+    def body(state: TrainState, raw: Array, key: jax.Array,
+             gradual_weight: Array, bn_momentum: Optional[Array],
+             labels: Optional[Array]):
         k_pipe, k_corrupt, k_mask, k_dp, k_drop = jax.random.split(key, 5)
         corrupted, clean = device_pipeline(k_pipe, raw, aug_type,
                                            corrupt_type, npoints)
 
         def loss_fn(params):
+            kw = {"labels": labels} if supervised else {}
             (loss_xyz, loss_normal), mut = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 corrupted, clean, train=True,
                 rngs={"corrupt": k_corrupt, "mask": k_mask,
                       "droppath": k_dp, "dropout": k_drop},
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], **kw)
             loss = compute_loss(loss_type, loss_xyz, loss_normal,
                                 normal_weight, gradual_weight)
             return loss, (loss_xyz, loss_normal, mut["batch_stats"])
@@ -137,12 +140,24 @@ def _make_step_body(model, config) -> Callable:
         metrics = {"loss_xyz": loss_xyz, "loss_normal": loss_normal}
         return state, metrics
 
+    if supervised:
+        # supervised-pretraining ablation (PointCAE_transformer_supervised,
+        # PointCAE_transformer.py:3113-3255): class labels ride along as an
+        # extra batch-sharded arg right after the points
+        def step(state, raw, labels, key, gradual_weight,
+                 bn_momentum: Optional[Array] = None):
+            return body(state, raw, key, gradual_weight, bn_momentum, labels)
+    else:
+        def step(state, raw, key, gradual_weight,
+                 bn_momentum: Optional[Array] = None):
+            return body(state, raw, key, gradual_weight, bn_momentum, None)
     return step
 
 
 def make_train_step(model, config, mesh=None) -> Callable:
     """Build the jitted pretrain step. Signature:
-    (state, raw_batch (B, Nraw, C), key, gradual_weight) -> (state, metrics).
+    (state, raw_batch (B, Nraw, C), [labels (B,) when the model
+    is_supervised,] key, gradual_weight) -> (state, metrics).
     """
     step = _make_step_body(model, config)
     if mesh is None:
@@ -151,9 +166,11 @@ def make_train_step(model, config, mesh=None) -> Callable:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
+    n_labels = 1 if getattr(model, "is_supervised", False) else 0
     n_scalars = 3 if config.get("bnmscheduler") is not None else 2
     return jax.jit(step, donate_argnums=0,
-                   in_shardings=(None, bsh) + (rep,) * n_scalars,
+                   in_shardings=(None, bsh) + (bsh,) * n_labels
+                   + (rep,) * n_scalars,
                    out_shardings=(None, None))
 
 
@@ -171,6 +188,11 @@ def make_train_step_multi(model, config, mesh=None, k: int = 8) -> Callable:
     Signature: (state, raw_chunk (k, B, Nraw, C), key, gradual_weight)
     -> (state, metrics of the LAST step).
     """
+    if getattr(model, "is_supervised", False):
+        raise NotImplementedError(
+            "steps_per_dispatch > 1 is not supported for supervised models "
+            "(labels would need staging alongside the point chunk); "
+            "run_net falls back to the single-dispatch step")
     step = _make_step_body(model, config)
 
     def multi(state: TrainState, raw_chunk: Array, key: jax.Array,
@@ -343,7 +365,8 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
             args.experiment_path, state)
 
     train_step = make_train_step(model, config, mesh)
-    spd = int(config.get("steps_per_dispatch", 1))
+    supervised = bool(getattr(model, "is_supervised", False))
+    spd = 1 if supervised else int(config.get("steps_per_dispatch", 1))
     multi_step = make_train_step_multi(model, config, mesh, spd) \
         if spd > 1 else None
     val_np = int(config["dataset"].get("val", {}).get("others", {})
@@ -388,7 +411,15 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
             if multi_step is None:
                 raw = shard_batch(mesh, np.asarray(batch["points"]),
                                   local=True)
-                state, metrics = train_step(state, raw, sub, gw, *bn_args)
+                label_args = ()
+                if supervised:
+                    # supervised-pretrain ablation: class labels from the
+                    # dataset (ShapeNetClass-style) ride with the batch
+                    label_args = (shard_batch(
+                        mesh, np.asarray(batch["label"]).reshape(-1)
+                        .astype(np.int32), local=True),)
+                state, metrics = train_step(state, raw, *label_args, sub, gw,
+                                            *bn_args)
                 log_metrics(metrics, 1)
                 continue
             pending.append(batch["points"])

@@ -57,6 +57,8 @@ def test_vis_reconstruction(config, args, logger_name="PointDAE",
     from ..utils.checkpoint import (flatten_keys, load_params,
                                     merge_pretrained)
 
+    import itertools
+
     dcfg = config["dataset"]
     split = dcfg.get("test", dcfg.get("val", dcfg["train"]))
     dataset = build_dataset_from_cfg(split["_base_"], split["others"])
@@ -64,9 +66,17 @@ def test_vis_reconstruction(config, args, logger_name="PointDAE",
     npoints = int(config.get("npoints", 1024))
     rngs = {"params": jax.random.key(0), "corrupt": jax.random.key(1),
             "mask": jax.random.key(2), "droppath": jax.random.key(3)}
-    dummy = jnp.zeros((2, npoints, 3))
-    variables = dict(jax.jit(functools.partial(model.init, train=False))(
-        rngs, dummy, dummy))
+    out_dir = os.path.join(args.experiment_path, "vis")
+    os.makedirs(out_dir, exist_ok=True)
+    loader = DataLoader(dataset, 4, shuffle=False, drop_last=True)
+    it = iter(loader)
+    first = next(it)
+    # init through the reconstruct method itself with the dataset's real
+    # channel count: surfel/curve models consume normals past channel 3,
+    # and token_dis's dVAE-decoder params exist only on this path
+    dummy = jnp.zeros((2, npoints, first["points"].shape[-1]))
+    variables = dict(jax.jit(functools.partial(
+        model.init, train=False, method="reconstruct"))(rngs, dummy))
     if getattr(args, "ckpts", None):
         pre = load_params(args.ckpts, args.ckpts)
         variables["params"] = merge_pretrained(
@@ -76,15 +86,19 @@ def test_vis_reconstruction(config, args, logger_name="PointDAE",
     recon = jax.jit(functools.partial(
         model.apply, train=False, method="reconstruct"),
         static_argnames=())
-    out_dir = os.path.join(args.experiment_path, "vis")
-    os.makedirs(out_dir, exist_ok=True)
-    loader = DataLoader(dataset, 4, shuffle=False, drop_last=True)
     done = 0
-    for batch in loader:
-        pts = jnp.asarray(batch["points"][:, :npoints, :3], jnp.float32)
-        out = recon(variables, pts, rngs={"corrupt": jax.random.key(9),
-                                          "mask": jax.random.key(10)})
-        coarse, rebuild = out[0], out[1]
+    for batch in itertools.chain([first], it):
+        pts_all = jnp.asarray(batch["points"][:, :npoints], jnp.float32)
+        pts = pts_all[..., :3]
+        out = recon(variables, pts_all, rngs={"corrupt": jax.random.key(9),
+                                              "mask": jax.random.key(10)})
+        if isinstance(out, (tuple, list)):
+            coarse, rebuild = out[0], out[1]
+        else:
+            # single-output reconstruct (e.g. Point_CAE_DGCNN_FCOnly's FC
+            # cloud): indexing the ARRAY would silently render batch
+            # samples 0/1 as coarse/rebuild
+            coarse = rebuild = out
         coarse = np.asarray(coarse)
         rebuild = np.asarray(rebuild).reshape(pts.shape[0], -1, 3)
         for b in range(pts.shape[0]):

@@ -301,17 +301,8 @@ class DGCNN_CrossPoint(nn.Module):
 
 class _DGCNNPartSegDAEBase(_DGCNNDAEBase):
     """Same skeleton over the segmentation-style DGCNN encoder
-    (dgcnn_util.py dgcnn_encoder_partseg)."""
-
-    def _encode_corrupted(self, corrupted: Array, train: bool) -> Array:
-        from .dgcnn import DGCNNPartSegEncoder  # noqa: F401  (setup uses it)
-
-        corrupted = corrupted[..., :3]
-        if train and self.corrupt_type:
-            key = self.make_rng("corrupt")
-            corrupted = apply_input_dropout(key, corrupted, self.corrupt_type)
-        feat, _ = self.encoder(corrupted, train=train)
-        return feat
+    (dgcnn_util.py dgcnn_encoder_partseg); _encode_corrupted is inherited —
+    subclasses only swap the encoder in setup."""
 
 
 @MODELS.register_module()

@@ -20,7 +20,8 @@ from ..utils.registry import MODELS
 from .dae_pointnet2 import SetAbstraction
 from .layers import MLP, PosEmbedMLP, TransformerBlock
 from .transformer import (_CAETransformerBase, _masked_loss_fn,
-                          sample_patch_mask, static_num_masked)
+                          sample_block_mask, sample_patch_mask,
+                          static_num_masked)
 
 Array = jax.Array
 
@@ -66,11 +67,19 @@ class _Detr3Base(_CAETransformerBase):
         center, tokens = self.pre_encoder(pts, train=train)
         B, G = tokens.shape[:2]
         rand = str(t.get("rand_ratio", "False")) == "True"
-        mask = sample_patch_mask(self.make_rng("mask"), B, G,
-                                 t.get("mask_ratio", 0.6), rand)
+        if t.get("mask_type", "rand") == "block":
+            # block masking: fixed ratio, nearest-patch ball around a seed
+            # (MaskTransformer supports both mask types for the 3detr arch
+            # too, PointCAE_transformer.py:441-445)
+            mask = sample_block_mask(self.make_rng("mask"), center,
+                                     t.get("mask_ratio", 0.6))
+            min_ratio = float(t.get("mask_ratio", 0.6))
+        else:
+            mask = sample_patch_mask(self.make_rng("mask"), B, G,
+                                     t.get("mask_ratio", 0.6), rand)
+            min_ratio = 0.5 if rand else float(t.get("mask_ratio", 0.6))
         # pack the PE-free encoder blocks to the static visible capacity
         # (same design as MaskTransformerEncoder); consumers are mask-aware
-        min_ratio = 0.5 if rand else float(t.get("mask_ratio", 0.6))
         V = G - static_num_masked(min_ratio, G)
         if V >= G:
             x = self.blocks(tokens, key_mask=jnp.logical_not(mask),

@@ -203,7 +203,13 @@ class DGCNNEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
         if self.impl in ("fused", "fused_pallas"):
-            FEC = functools.partial(FusedEdgeConv,
+            # remat composes with the fused impls too (recompute the whole
+            # block in the bwd; mostly moot for fused_pallas, whose residual
+            # is just the (B, N, k) indices, but honoring the flag beats
+            # silently changing the activation-memory profile)
+            cls = nn.remat(FusedEdgeConv, static_argnums=(2,)) if self.remat \
+                else FusedEdgeConv
+            FEC = functools.partial(cls,
                                     use_pallas=self.impl == "fused_pallas")
             x1 = FEC(64, self.k, self.dtype, name="ec1")(x, train)
             x2 = FEC(64, self.k, self.dtype, name="ec2")(x1, train)

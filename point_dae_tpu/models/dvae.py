@@ -145,6 +145,18 @@ class DiscreteVAE(nn.Module):
         logits = self.encoder(neigh, train=train)
         return self.dgcnn_1(logits, center)
 
+    def decode_tokens(self, ids: Array, center: Array,
+                      train: bool = False) -> Tuple[Array, Array]:
+        """Decode per-patch token ids (B, G) through codebook -> dgcnn_2 ->
+        folding decoder: (coarse (B, G, M, 3), fine (B, G, S, 3)), both
+        patch-centered. Vis path for token-predicting students
+        (MaskSurf_v2_token_dis renders its predictions through the frozen
+        tokenizer's decoder, Point-BERT style)."""
+        onehot = jax.nn.one_hot(ids, self.num_tokens, dtype=jnp.float32)
+        sampled = jnp.einsum("bgn,nc->bgc", onehot, self.codebook)
+        feat = self.dgcnn_2(sampled, center)
+        return self.decoder(feat, train=train)
+
     def __call__(self, pts: Array, temperature: float = 1.0,
                  hard: bool = False, train: bool = True):
         logits, neigh, center = self.tokenize(pts, train=train)

@@ -55,7 +55,8 @@ class MaskFeat_transformer(_CAETransformerBase):
             num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
             drop_path_rate=t.get("drop_path_rate", 0.1),
             mask_ratio=t.get("mask_ratio", 0.6),
-            rand_ratio=str(t.get("rand_ratio", "False")) == "True", name=name)
+            rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+            mask_type=t.get("mask_type", "rand"), name=name)
         self.MAE_encoder = mk("MAE_encoder")
         self.teacher = mk("teacher")
         self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],
@@ -102,6 +103,7 @@ class MaskFeat_dgcnn(_CAETransformerBase):
             drop_path_rate=t.get("drop_path_rate", 0.1),
             mask_ratio=t.get("mask_ratio", 0.6),
             rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+            mask_type=t.get("mask_type", "rand"),
             name="MAE_encoder")
         self.teacher = DGCNNEncoder(name="teacher")
         self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],

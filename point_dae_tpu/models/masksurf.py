@@ -57,7 +57,7 @@ class _MaskSurfBase(_CAETransformerBase):
         xyz, attr, center = self._group_surfels(clean)
         x_vis, mask = self.MAE_encoder(xyz, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
-        return xyz, attr, center, x_rec, mask
+        return xyz, attr, center, x_vis, x_rec, mask
 
     def encode(self, pts: Array, train: bool = False) -> Array:
         G, S = self.config["num_group"], self.config["group_size"]
@@ -65,25 +65,29 @@ class _MaskSurfBase(_CAETransformerBase):
         x, _ = self.MAE_encoder(neigh, center, noaug=True, train=train)
         return jnp.max(x, axis=1) + jnp.mean(x, axis=1)
 
-    def reconstruct(self, clean: Array, train: bool = False):
-        """Visualization path (role of main_vis_surfels.py / vis_masksurf.py:
-        the reference saves vis/masked/rebuild views of surfel models):
-        (visible cloud, rebuilt masked patches at their centers, rebuilt
-        per-point normals, mask). Works for the 3S-point + 3S-normal v1
-        heads; v2's 7-channel head overrides."""
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
-        S = self.config["group_size"]
-        B, G = mask.shape
+    def _vis_views(self, xyz, center, mask, rebuild, normals):
+        """(visible cloud, rebuilt masked patches at their centers, rebuilt
+        per-point normals, mask) from per-patch rebuild/normal tensors."""
+        B = mask.shape[0]
         off = center[:, :, None, :]
-        rebuild = self.increase_dim(x_rec).astype(jnp.float32)
-        rebuild = rebuild.reshape(B, G, S, 3) + off
-        normals = self.increase_dim2(x_rec).astype(jnp.float32)
-        normals = normals.reshape(B, G, S, 3)
         vis_cloud = jnp.where(mask[..., None, None], 0.0, xyz + off)
-        rebuild_m = jnp.where(mask[..., None, None], rebuild, 0.0)
+        rebuild_m = jnp.where(mask[..., None, None], rebuild + off, 0.0)
         return (vis_cloud.reshape(B, -1, 3), rebuild_m.reshape(B, -1, 3),
                 jnp.where(mask[..., None, None], normals,
                           0.0).reshape(B, -1, 3), mask)
+
+    def reconstruct(self, clean: Array, train: bool = False):
+        """Visualization path (role of main_vis_surfels.py / vis_masksurf.py:
+        the reference saves vis/masked/rebuild views of surfel models) for
+        the 3S-point + 3S-normal v1 heads; the 7/8-channel v2 heads
+        override."""
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        S = self.config["group_size"]
+        B, G = mask.shape
+        rebuild = self.increase_dim(x_rec).astype(jnp.float32)
+        normals = self.increase_dim2(x_rec).astype(jnp.float32)
+        return self._vis_views(xyz, center, mask, rebuild.reshape(B, G, S, 3),
+                               normals.reshape(B, G, S, 3))
 
 
 def _surf_encoder(self):
@@ -115,7 +119,7 @@ class MaskSurf(_MaskSurfBase):
         self.normal_dis = _normal_dis_for(self.config.get("loss", "cdl2normal"))
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         S = self.config["group_size"]
         w, x_loc, xyz_p, nrm_p = self._pack_local(mask, x_rec, xyz,
                                                   attr[..., :3])
@@ -145,7 +149,7 @@ class MaskSurf_estimated_position(_MaskSurfBase):
         self.normal_dis = _normal_dis_for(self.config.get("loss", "cdl2normal"))
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         S = self.config["group_size"]
         w, x_loc, xyz_p, nrm_p, ctr_p = self._pack_local(
             mask, x_rec, xyz, attr[..., :3], center)
@@ -201,6 +205,17 @@ class _SurfV2Base(_MaskSurfBase):
         loss_pos = jnp.sum((p1 + p2) * w) / denom
         return loss_xyz, loss_normal, loss_pos
 
+    def reconstruct(self, clean: Array, train: bool = False):
+        """Vis path for the 7-channel surfel head (local_point_* variants:
+        single increase_dim, no coarse head)."""
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        S = self.config["group_size"]
+        B, G = mask.shape
+        surf = self.increase_dim(x_rec).astype(jnp.float32)
+        surf = surf.reshape(B, G, S, 7)
+        return self._vis_views(xyz, center, mask, surf[..., :3],
+                               surf[..., 3:6])
+
 
 @MODELS.register_module()
 class MaskSurf_v2_local_global_point(_SurfV2Base):
@@ -220,15 +235,14 @@ class MaskSurf_v2_local_global_point(_SurfV2Base):
         self.coarse_pred = MLP((1024, 1024, 7 * 64), name="coarse_pred")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         loss_xyz, loss_normal, loss_pos = self._local_losses(
             x_rec, xyz, attr, center, mask)
 
-        # global head: pooled visible feature -> 64 coarse surfels vs centers
-        vis = jnp.logical_not(mask)[..., None]
-        x = jnp.where(vis, x_rec, 0.0)
-        cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
-        gfeat = jnp.max(jnp.where(vis, x_rec, -1e9), 1) + jnp.sum(x, 1) / cnt
+        # global head: pooled visible ENCODER feature -> 64 coarse surfels
+        # vs centers (the reference pools x_vis, MaskSurf_v2.py:1084-1085,
+        # not the decoder output)
+        gfeat = self._global_feature(x_vis, mask)
         coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], 64, 7)
         c_xyz = coarse[..., :3]
         c_nrm = coarse[..., 3:6]
@@ -257,17 +271,14 @@ class MaskSurf_v2_local_global_point(_SurfV2Base):
     def reconstruct(self, clean: Array, train: bool = False):
         """Vis path for the 7-channel surfel head: (coarse global surfel
         xyz, rebuilt masked patch points, rebuilt normals, mask)."""
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         S = self.config["group_size"]
         B, G = mask.shape
         surf = self.increase_dim(x_rec).astype(jnp.float32)
         surf = surf.reshape(B, G, S, 7)
         rebuild = surf[..., :3] + center[:, :, None, :]
         normals = surf[..., 3:6]
-        vis = jnp.logical_not(mask)[..., None]
-        x = jnp.where(vis, x_rec, 0.0)
-        cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
-        gfeat = jnp.max(jnp.where(vis, x_rec, -1e9), 1) + jnp.sum(x, 1) / cnt
+        gfeat = self._global_feature(x_vis, mask)
         coarse = self.coarse_pred(gfeat).reshape(B, 64, 7)[..., :3]
         rebuild_m = jnp.where(mask[..., None, None], rebuild, 0.0)
         return (coarse, rebuild_m.reshape(B, -1, 3),
@@ -290,7 +301,7 @@ class MaskSurf_v2_local_point_only(_SurfV2Base):
                                      name="increase_dim")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         loss_xyz, _, _ = self._local_losses(x_rec, xyz, attr, center, mask)
         return loss_xyz, jnp.zeros(())
 
@@ -309,7 +320,7 @@ class MaskSurf_v2_local_point_normal(_SurfV2Base):
                                      name="increase_dim")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         loss_xyz, loss_normal, _ = self._local_losses(x_rec, xyz, attr,
                                                       center, mask)
         return loss_xyz, loss_normal
@@ -329,7 +340,7 @@ class MaskSurf_v2_local_point_position(_SurfV2Base):
                                      name="increase_dim")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         loss_xyz, _, loss_pos = self._local_losses(x_rec, xyz, attr,
                                                    center, mask)
         return loss_xyz, loss_pos
@@ -350,7 +361,7 @@ class MaskSurf_v2_local_point_normal_position(_SurfV2Base):
                                      name="increase_dim")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
         loss_xyz, loss_normal, loss_pos = self._local_losses(
             x_rec, xyz, attr, center, mask)
         return loss_xyz, loss_normal + loss_pos
@@ -387,7 +398,7 @@ class MaskSurf_v2_token_dis(_MaskSurfBase):
         self.increase_dim = nn.Dense(self.num_tokens, name="increase_dim")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
 
         # teacher tokenizes ALL patches (its DGCNN mixes features across
         # groups, so it cannot run on a subset); the student's vocab-wide
@@ -406,6 +417,24 @@ class MaskSurf_v2_token_dis(_MaskSurfBase):
         ce = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
         loss = jnp.sum(ce.reshape(-1) * w) / jnp.maximum(jnp.sum(w), 1e-8)
         return loss, jnp.zeros(())
+
+    def reconstruct(self, clean: Array, train: bool = False):
+        """Vis path: decode the student's predicted patch tokens through the
+        frozen dVAE's decoder (Point-BERT style; the token head itself has
+        no point output): (visible cloud, dVAE-decoded fine patches at their
+        centers for masked patches, predicted token ids, mask). Note the
+        dVAE decoder params only exist when initialized through this method
+        (or loaded from the teacher checkpoint) — the CE training path never
+        creates them."""
+        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        B, G = mask.shape
+        ids = jnp.argmax(self.increase_dim(x_rec).astype(jnp.float32), -1)
+        _, fine = self.dvae_teacher.decode_tokens(ids, center, train=False)
+        off = center[:, :, None, :]
+        vis_cloud = jnp.where(mask[..., None, None], 0.0, xyz + off)
+        rebuild_m = jnp.where(mask[..., None, None], fine + off, 0.0)
+        return (vis_cloud.reshape(B, -1, 3), rebuild_m.reshape(B, -1, 3),
+                ids, mask)
 
 
 class _SurfCurveBase(_MaskSurfBase):
@@ -474,6 +503,19 @@ class _SurfCurveBase(_MaskSurfBase):
         term (MaskSurf_v2.py:2423-2426): term * sg(ref / term)."""
         return term * jax.lax.stop_gradient(
             ref / jnp.maximum(term, 1e-8))
+
+    def reconstruct(self, clean: Array, train: bool = False):
+        """Vis path for the 8-channel surfel head (requires >=6-channel
+        clean: xyz + normal [+ curve])."""
+        xyz, attr, center = self._group_curve(clean)
+        x_vis, mask = self.MAE_encoder(xyz, center, train=train)
+        x_rec = self._decode(x_vis, mask, center, train)
+        S = self.config["group_size"]
+        B, G = mask.shape
+        surf = self.increase_dim(x_rec).astype(jnp.float32)
+        surf = surf.reshape(B, G, S, 8)
+        return self._vis_views(xyz, center, mask, surf[..., :3],
+                               surf[..., 3:6])
 
 
 @MODELS.register_module()

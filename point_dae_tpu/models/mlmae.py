@@ -20,8 +20,8 @@ from ..losses import masked_chamfer_l2
 from ..ops import group_neighborhood
 from ..utils.registry import MODELS
 from .layers import PatchEncoder, PosEmbedMLP, TransformerBlock
-from .transformer import (_CAETransformerBase, sample_patch_mask,
-                          static_num_masked)
+from .transformer import (_CAETransformerBase, sample_block_mask,
+                          sample_patch_mask, static_num_masked)
 
 Array = jax.Array
 
@@ -35,6 +35,7 @@ class _MlEncoder(nn.Module):
     drop_path_rate: float
     mask_ratio: float
     rand_ratio: bool
+    mask_type: str = "rand"
     fetch_idx: Tuple[int, ...] = (3, 7, 11)
 
     def setup(self):
@@ -60,9 +61,17 @@ class _MlEncoder(nn.Module):
                     feats.append(self.norm(x))
             return feats, jnp.zeros((B, G), bool), tokens
 
-        mask = sample_patch_mask(self.make_rng("mask"), B, G,
-                                 self.mask_ratio, self.rand_ratio)
-        min_ratio = 0.5 if self.rand_ratio else self.mask_ratio
+        if self.mask_type == "block":
+            # block masking always uses the fixed ratio (rand_ratio is a
+            # rand-mask-only knob, Point_MlMAE.py:318-321 via Point_MAE's
+            # _mask_center_block)
+            mask = sample_block_mask(self.make_rng("mask"), center,
+                                     self.mask_ratio)
+        else:
+            mask = sample_patch_mask(self.make_rng("mask"), B, G,
+                                     self.mask_ratio, self.rand_ratio)
+        min_ratio = self.mask_ratio if self.mask_type == "block" else \
+            (0.5 if self.rand_ratio else self.mask_ratio)
         V = G - static_num_masked(min_ratio, G)
         if V >= G:                      # nothing masked statically
             tokens = self.patch_embed(neighborhood, train=train)
@@ -146,6 +155,7 @@ class Point_MlMAE(_CAETransformerBase):
             drop_path_rate=t.get("drop_path_rate", 0.1),
             mask_ratio=t.get("mask_ratio", 0.6),
             rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+            mask_type=t.get("mask_type", "rand"),
             name="MAE_encoder")
         self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],
                                              name="decoder_pos_embed")

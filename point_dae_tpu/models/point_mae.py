@@ -33,6 +33,7 @@ class Point_MAE(_CAETransformerBase):
             drop_path_rate=t.get("drop_path_rate", 0.1),
             mask_ratio=t.get("mask_ratio", 0.6),
             rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+            mask_type=t.get("mask_type", "rand"),
             name="MAE_encoder")
         self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],
                                              name="decoder_pos_embed")
@@ -79,6 +80,7 @@ class Point_MAE_folding(_CAETransformerBase):
             drop_path_rate=t.get("drop_path_rate", 0.1),
             mask_ratio=t.get("mask_ratio", 0.6),
             rand_ratio=str(t.get("rand_ratio", "False")) == "True",
+            mask_type=t.get("mask_type", "rand"),
             name="MAE_encoder")
         self.decoder_pos_embed = PosEmbedMLP(t["trans_dim"],
                                              name="decoder_pos_embed")

@@ -313,6 +313,18 @@ class _CAETransformerBase(nn.Module):
             return jnp.ones(mask.shape, jnp.float32).reshape(-1)
         return mask.astype(jnp.float32).reshape(-1)
 
+    def _global_feature(self, x: Array, mask: Array) -> Array:
+        """max + mean over *visible* encoder tokens
+        (PointCAE_transformer.py:1024, MaskSurf_v2.py:1084).
+
+        With the static-shape design masked slots hold garbage, so both
+        reductions are mask-aware."""
+        vis = jnp.logical_not(mask)[..., None]
+        neg = jnp.where(vis, x, -1e9)
+        cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
+        mean = jnp.sum(jnp.where(vis, x, 0.0), axis=1) / cnt
+        return jnp.max(neg, axis=1) + mean
+
     def _local_recon_inputs(self, x_rec: Array, neigh: Array, mask: Array):
         """(decoded tokens, GT patches, loss weights) for the local
         reconstruction head.
@@ -477,17 +489,6 @@ class PointCAE_transformer_fc_global_folding_local(_CAETransformerBase):
                                       dtype=self.compute_dtype, name="fold")
         self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
         self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
-
-    def _global_feature(self, x: Array, mask: Array) -> Array:
-        """max + mean over *visible* tokens (PointCAE_transformer.py:1024).
-
-        With the static-shape design masked slots hold garbage, so both
-        reductions are mask-aware."""
-        vis = jnp.logical_not(mask)[..., None]
-        neg = jnp.where(vis, x, -1e9)
-        cnt = jnp.maximum(jnp.sum(vis, axis=1), 1.0)
-        mean = jnp.sum(jnp.where(vis, x, 0.0), axis=1) / cnt
-        return jnp.max(neg, axis=1) + mean
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
         pts = clean[..., :3]
@@ -890,8 +891,12 @@ class PointCAE_transformer_fold_all(_CAETransformerBase):
 @MODELS.register_module()
 class PointCAE_transformer_supervised(_CAETransformerBase):
     """Supervised-pretraining ablation (PointCAE_transformer.py:3113-3255):
-    classification head on the pooled (corrupted-input) feature; called with
-    labels instead of a reconstruction target."""
+    classification head on the pooled (corrupted-input) feature; trained with
+    class labels (the engine threads batch['label'] through the train step
+    when is_supervised) instead of a reconstruction target."""
+
+    # tells engine/pretrain to pass labels into the train step
+    is_supervised = True
 
     def setup(self):
         self.MAE_encoder = self._make_encoder()

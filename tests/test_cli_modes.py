@@ -93,6 +93,38 @@ class TestCLIModes:
                        logger_name="t_test")
         assert 0.0 <= acc <= 100.0
 
+    @pytest.mark.parametrize("model_cfg", [
+        # single-array reconstruct (FC cloud): used to be unpacked as a
+        # tuple, silently rendering batch samples 0/1 as coarse/rebuild
+        {"NAME": "Point_CAE_DGCNN_FCOnly", "corrupt_type": [],
+         "num_group": 16, "loss": "cdl2"},
+        # tuple reconstruct (coarse, rebuild, mask) on the flagship
+        {"NAME": "PointCAE_transformer_fc_global_folding_local",
+         "corrupt_type": ["affine_r3", "Drop-Patch"], "all_patch": "False",
+         "group_size": 8, "num_group": 8, "loss": "cdl2",
+         "transformer_config": {
+             "rand_ratio": "False", "mask_ratio": 0.5, "mask_type": "rand",
+             "trans_dim": 32, "encoder_dims": 32, "depth": 1,
+             "drop_path_rate": 0.0, "cls_dim": 8, "num_heads": 2,
+             "decoder_depth": 1, "decoder_num_heads": 2}},
+    ], ids=["fconly_single_array", "flagship_tuple"])
+    def test_vis_reconstruction(self, tmp_path, model_cfg):
+        import os
+
+        from point_dae_tpu.engine.visualization import test_vis_reconstruction
+
+        out_dir = test_vis_reconstruction(
+            _cfg(model=dict(model_cfg)), _args(tmp_path),
+            logger_name="t_vis", max_samples=2)
+        npz = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+        assert len(npz) == 2
+        d = np.load(os.path.join(out_dir, npz[0]))
+        # coarse/rebuild are full per-sample clouds, not batch slices
+        assert d["gt"].shape == (64, 3)
+        assert d["coarse"].ndim == 2 and d["coarse"].shape[-1] == 3
+        assert d["rebuild"].ndim == 2 and d["rebuild"].shape[-1] == 3
+        assert np.isfinite(d["rebuild"]).all()
+
     def test_saliency(self, ckpt, tmp_path):
         from point_dae_tpu.engine.saliency import vis_saliency_map
 

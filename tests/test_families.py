@@ -470,9 +470,13 @@ class TestMlMAEPackingInvariance:
 
 class TestMaskSurfReconstruct:
     """Surfel visualization path (main_vis_surfels.py role): reconstruct()
-    yields finite vis/rebuild/normal clouds with masked-slot zeroing."""
+    yields finite vis/rebuild clouds with masked-slot zeroing, for EVERY
+    registered surfel variant (the v2 local_point_*/curve/token_dis classes
+    used to inherit a base reconstruct whose head widths didn't fit).
+    Init goes through method='reconstruct' like engine/visualization.py
+    (token_dis's dVAE-decoder params only exist on that path)."""
 
-    def _run(self, name):
+    def _run(self, name, check_normals=True):
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -484,6 +488,8 @@ class TestMaskSurfReconstruct:
             "NAME": name, "corrupt_type": ["Drop-Patch"],
             "all_patch": "False", "group_size": 8, "num_group": 16,
             "loss": "cdl2normal", "position_weight": 1.0,
+            "dvae_config": {"num_tokens": 32, "encoder_dims": 16,
+                            "tokens_dims": 16, "decoder_dims": 16},
             "transformer_config": {
                 "rand_ratio": "False", "mask_ratio": 0.5, "mask_type": "rand",
                 "trans_dim": 32, "encoder_dims": 32, "depth": 1,
@@ -494,24 +500,44 @@ class TestMaskSurfReconstruct:
         clean = jnp.asarray(rng.normal(size=(2, 128, 6)).astype(np.float32))
         rngs = {"params": jax.random.key(0), "corrupt": jax.random.key(1),
                 "mask": jax.random.key(2), "droppath": jax.random.key(3)}
-        v = model.init(rngs, clean, clean, train=True)
+        v = model.init(rngs, clean, train=False, method="reconstruct")
         out = model.apply(
             {"params": v["params"], **({"batch_stats": v["batch_stats"]}
                                        if "batch_stats" in v else {})},
             clean, train=False, method="reconstruct",
             rngs={"corrupt": jax.random.key(4), "mask": jax.random.key(5)})
-        head, rebuild, normals, mask = out
+        head, rebuild, third, mask = out
         assert rebuild.shape == (2, 16 * 8, 3)
-        assert normals.shape == (2, 16 * 8, 3)
-        for a in (head, rebuild, normals):
-            assert np.isfinite(np.asarray(a)).all()
+        if check_normals:
+            assert third.shape == (2, 16 * 8, 3)
+        for a in (head, rebuild, third):
+            assert np.isfinite(np.asarray(a).astype(np.float32)).all()
         # visible slots zeroed in the masked-rebuild cloud
         m = np.asarray(mask)
         r = np.asarray(rebuild).reshape(2, 16, 8, 3)
         assert np.all(r[~m] == 0.0)
+        # ...and masked slots are actually populated (a broken head would
+        # leave all-zero output)
+        assert np.abs(r[m]).sum() > 0
 
     def test_v1(self):
         self._run("MaskSurf")
 
+    def test_v1_estimated_position(self):
+        self._run("MaskSurf_estimated_position")
+
     def test_v2_local_global_point(self):
         self._run("MaskSurf_v2_local_global_point")
+
+    def test_v2_local_point_only(self):
+        self._run("MaskSurf_v2_local_point_only")
+
+    def test_v2_local_point_normal_position(self):
+        self._run("MaskSurf_v2_local_point_normal_position")
+
+    def test_v2_curve(self):
+        self._run("MaskSurf_v2_local_point_normal_position_curve")
+
+    def test_v2_token_dis(self):
+        # third output = predicted token ids (B, G), not normals
+        self._run("MaskSurf_v2_token_dis", check_normals=False)

@@ -47,6 +47,13 @@ FAMILY_MODELS = {
         "NAME": "MaskFeat_transformer", "corrupt_type": ["Drop-Patch"],
         "all_patch": "False", "group_size": 8, "num_group": 16,
         "loss": "cdl2", "transformer_config": TF},
+    # supervised-pretraining ablation: CE on batch labels threaded through
+    # the train step (is_supervised), PointCAE_transformer.py:3113-3255
+    "supervised": {
+        "NAME": "PointCAE_transformer_supervised",
+        "corrupt_type": ["Drop-Patch"], "all_patch": "False",
+        "group_size": 8, "num_group": 16, "loss": "cdl2",
+        "transformer_config": dict(TF, cls_dim=3)},
 }
 
 

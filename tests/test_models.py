@@ -217,6 +217,64 @@ class TestMaskingEquivalence:
                   "droppath": jax.random.key(6)})
         assert np.isfinite(float(out[0]))
 
+    def test_mask_type_forwarded_to_every_family_encoder(self):
+        """mask_type must reach the encoder in EVERY masked family — the
+        Point_MAE/MaskFeat/MlMAE constructors used to omit it, silently
+        training rand masking on a 'block' config while the pack-capacity
+        logic (_masked_pack_idx) DID honor block, mismatching capacities."""
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.utils.config import ConfigDict
+
+        # depth 4: Point_MlMAE fetches encoder level 3
+        tcfg = {"rand_ratio": "False", "mask_ratio": 0.5,
+                "mask_type": "block", "trans_dim": 32, "encoder_dims": 32,
+                "depth": 4, "drop_path_rate": 0.0, "cls_dim": 8,
+                "num_heads": 2, "decoder_depth": 1, "decoder_num_heads": 2}
+        rng = np.random.default_rng(0)
+        clean = jnp.asarray(rng.normal(size=(2, 128, 6)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "corrupt": jax.random.key(1),
+                "mask": jax.random.key(2), "droppath": jax.random.key(3)}
+        for name in ("Point_MAE", "Point_MAE_folding", "MaskFeat_transformer",
+                     "MaskFeat_dgcnn", "Point_MlMAE", "MaskSurf",
+                     "MaskSurf_v2_local_point_only", "PointCAE_transformer"):
+            cfg = ConfigDict({
+                "NAME": name, "corrupt_type": ["Drop-Patch"],
+                "all_patch": "False", "group_size": 8, "num_group": 16,
+                "loss": "cdl2", "transformer_config": dict(tcfg)})
+            model = build_model_from_cfg(cfg)
+            v = model.init(rngs, clean, clean, train=True)
+            bound = model.bind(dict(v))
+            assert bound.MAE_encoder.mask_type == "block", name
+
+    def test_block_mask_end_to_end_mlmae(self):
+        """_MlEncoder's block branch runs end-to-end with finite losses and
+        an actually-contiguous mask (it had no block support at all)."""
+        from point_dae_tpu.models import build_model_from_cfg
+        from point_dae_tpu.utils.config import ConfigDict
+
+        cfg = ConfigDict({
+            "NAME": "Point_MlMAE", "corrupt_type": ["Drop-Patch"],
+            "all_patch": "False", "group_size": 8, "num_group": 16,
+            "loss": "cdl2", "feat_loss": "high3",
+            "transformer_config": {
+                "rand_ratio": "True", "mask_ratio": 0.6, "mask_type": "block",
+                "trans_dim": 32, "encoder_dims": 32, "depth": 4,
+                "drop_path_rate": 0.0, "cls_dim": 8, "num_heads": 2,
+                "decoder_depth": 2, "decoder_num_heads": 2}})
+        model = build_model_from_cfg(cfg)
+        rng = np.random.default_rng(1)
+        clean = jnp.asarray(rng.normal(size=(2, 128, 3)).astype(np.float32))
+        rngs = {"params": jax.random.key(0), "corrupt": jax.random.key(1),
+                "mask": jax.random.key(2), "droppath": jax.random.key(3)}
+        v = model.init(rngs, clean, clean, train=True)
+        out, _ = model.apply(
+            {"params": v["params"], **({"batch_stats": v["batch_stats"]}
+                                       if "batch_stats" in v else {})},
+            clean, clean, train=True, mutable=["batch_stats"],
+            rngs={"corrupt": jax.random.key(4), "mask": jax.random.key(5),
+                  "droppath": jax.random.key(6)})
+        assert np.isfinite(float(out[0]))
+
     def test_rand_ratio_mask_within_static_capacity(self):
         """rand_ratio masked counts always fit the packed-buffer capacities
         derived from the 0.5/0.8 endpoints."""
