@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import furthest_point_sample, gather_points
-from ..parallel import (data_sharding, get_mesh, replicate,
+from ..parallel import (data_sharding, get_mesh, pad_to_batch, replicate,
                         replicated_sharding, shard_batch)
 from ..utils.logger import ScalarWriter, print_log
 from ..utils.meters import AverageMeter
@@ -90,9 +90,24 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
         aug = config.get("train_aug", "none")
     loss_fn = functools.partial(smooth_cross_entropy, eps=0.3) if smooth \
         else cross_entropy
-    # linear-probe mode freezes pretrained BN statistics (set_bn_eval,
-    # runner_finetune.py:30-37, applied when optimizer.part == 'only_new')
+    # linear-probe mode runs every BatchNorm in EVAL mode during training
+    # (set_bn_eval, runner_finetune.py:30-37, applied when optimizer.part ==
+    # 'only_new'): normalization uses the pretrained running stats — the same
+    # distribution the eval forward sees — and the stats are never updated.
+    # Other stochastic layers (dropout/droppath) stay in train mode, exactly
+    # like the reference's module-selective .eval().
     freeze_bn = config.get("optimizer", {}).get("part") == "only_new"
+    import flax.linen as nn
+
+    def _bn_eval_interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if isinstance(mod, nn.BatchNorm) and context.method_name == "__call__" \
+                and mod.use_running_average is False:
+            # bound modules are per-apply clones, so this only affects the
+            # current trace (merge_param forbids passing the kwarg when the
+            # attribute is already set)
+            object.__setattr__(mod, "use_running_average", True)
+        return next_fun(*args, **kwargs)
 
     def step(state: TrainState, pts: Array, labels: Array, key: jax.Array):
         k_fps, k_aug, k_drop = jax.random.split(key, 3)
@@ -127,11 +142,18 @@ def make_finetune_step(model, config, mesh=None, smooth: bool = False,
                                  -0.02, 0.02)
 
         def lossf(params):
-            logits, mut = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                pts, train=True,
-                rngs={"dropout": k_drop, "droppath": k_drop},
-                mutable=["batch_stats"])
+            def apply():
+                return state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    pts, train=True,
+                    rngs={"dropout": k_drop, "droppath": k_drop},
+                    mutable=["batch_stats"])
+
+            if freeze_bn:
+                with nn.intercept_methods(_bn_eval_interceptor):
+                    logits, mut = apply()
+            else:
+                logits, mut = apply()
             loss = loss_fn(logits, labels)
             acc = jnp.mean(jnp.argmax(logits, -1) == labels)
             return loss, (acc, mut["batch_stats"])
@@ -228,10 +250,10 @@ def evaluate(eval_step, state, loader, mesh, batch_size: int) -> float:
         pts = np.asarray(batch["points"], np.float32)
         labels = np.asarray(batch["label"])
         n = pts.shape[0]
-        if n < batch_size:
-            pts = np.concatenate(
-                [pts, np.zeros((batch_size - n,) + pts.shape[1:], np.float32)])
-        logits = jax.device_get(eval_step(state, shard_batch(mesh, jnp.asarray(pts))))
+        # numpy straight to shard_batch: one upload per shard (jnp.asarray
+        # first would upload the full batch unsharded, then reshard)
+        logits = jax.device_get(eval_step(
+            state, shard_batch(mesh, pad_to_batch(pts, batch_size))))
         pred = np.argmax(logits[:n], -1)
         correct += int((pred == labels).sum())
         total += n
@@ -313,6 +335,10 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
                                            "ckpt-last")))
     if getattr(args, "resume", False) or auto:
         state, start_epoch, best_acc = resume_checkpoint(args.experiment_path, state)
+        # the restored leaves are host-local arrays; put them back on the
+        # mesh (multi-host resume would otherwise feed process-local arrays
+        # into a jit expecting the replicated placement)
+        state = replicate(mesh, state)
 
     for epoch in range(start_epoch, max_epoch + 1):
         loader.set_epoch(epoch)
@@ -344,11 +370,15 @@ def run_finetune(config, args, logger_name: str = "PointDAE"):
         writer.add_scalar("Metric/ACC", acc, epoch)
         print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f} "
                   f"time = {time.time() - t0:.1f}s", logger=logger_name)
-        if acc > best_acc:
+        better = acc > best_acc
+        if better:
             best_acc = acc
             save_checkpoint(args.experiment_path, "ckpt-best", state, epoch, best_acc)
-        # voting trigger thresholds from runner_finetune.py:254-262
-        if getattr(args, "vote", False) and (acc > 92.1 or (best_acc > 91 and acc > 91)):
+        # voting trigger (runner_finetune.py:254-262): acc > 92.1 always
+        # votes; the 91 band only on IMPROVING epochs (gating on the
+        # post-update best_acc would degenerate to acc > 91 and re-run the
+        # 10-draw eval every late epoch)
+        if getattr(args, "vote", False) and (acc > 92.1 or (better and acc > 91)):
             key, sub = jax.random.split(key)
             vacc = _vote_eval(vote_step, state, val_loader_fn(), mesh, total_bs, sub)
             best_vote = max(best_vote, vacc)
@@ -364,11 +394,9 @@ def _vote_eval(vote_step, state, loader, mesh, batch_size, key) -> float:
         pts = np.asarray(batch["points"], np.float32)
         labels = np.asarray(batch["label"])
         n = pts.shape[0]
-        if n < batch_size:
-            pts = np.concatenate(
-                [pts, np.zeros((batch_size - n,) + pts.shape[1:], np.float32)])
         key, sub = jax.random.split(key)
-        probs = jax.device_get(vote_step(state, shard_batch(mesh, jnp.asarray(pts)), sub))
+        probs = jax.device_get(vote_step(
+            state, shard_batch(mesh, pad_to_batch(pts, batch_size)), sub))
         pred = np.argmax(probs[:n], -1)
         correct += int((pred == labels).sum())
         total += n

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.partseg import seg_nll_loss
-from ..parallel import (data_sharding, get_mesh, replicate,
+from ..parallel import (data_sharding, get_mesh, pad_to_batch, replicate,
                         replicated_sharding, shard_batch)
 from ..utils.logger import print_log
 from ..utils.meters import AverageMeter
@@ -152,6 +152,13 @@ def run_partseg(config, args, logger_name="PointDAE"):
         pre = load_params(args.ckpts, args.ckpts)
         params = merge_pretrained(params, flatten_keys(pre["params"]),
                                   logger=logger_name)
+        # BN running stats ride along (the reference loads the full state
+        # dict incl. buffers); epoch-0 eval would otherwise normalize with
+        # init stats (mean 0 / var 1)
+        if pre.get("batch_stats"):
+            batch_stats = merge_pretrained(
+                batch_stats, flatten_keys(pre["batch_stats"]),
+                logger=logger_name)
     tx, _ = build_optimizer(config, params, max(len(loader), 1),
                             config.get("grad_norm_clip"))
     state = replicate(mesh, TrainState.create(model.apply, params,
@@ -190,22 +197,22 @@ def run_partseg(config, args, logger_name="PointDAE"):
         preds, gts, names = [], [], []
         ev = DataLoader(test_set, total_bs, shuffle=False, drop_last=False)
         for batch in ev:
-            pts = np.asarray(batch["points"][..., :3], np.float32)
-            n = pts.shape[0]
-            if n < total_bs:
-                pts = np.concatenate([pts, np.zeros(
-                    (total_bs - n,) + pts.shape[1:], np.float32)])
+            pts = pad_to_batch(
+                np.asarray(batch["points"][..., :3], np.float32), total_bs)
+            n = len(batch["label"])
             labels = np.asarray(batch["label"])
-            onehot = jax.nn.one_hot(jnp.asarray(
-                np.concatenate([labels, np.zeros(total_bs - n, np.int64)])), 16)
+            onehot = np.eye(16, dtype=np.float32)[
+                np.concatenate([labels, np.zeros(total_bs - n, np.int64)])]
+            # numpy straight to shard_batch (one upload per shard)
             logp = jax.device_get(eval_step(
-                state, shard_batch(mesh, jnp.asarray(pts)),
+                state, shard_batch(mesh, pts),
                 shard_batch(mesh, onehot)))[:n]
             bnames = [cat_names[int(l)] for l in labels]
             preds.append(category_restricted_argmax(logp, bnames))
             gts.append(np.asarray(batch["seg"]))
             names.extend(bnames)
         m = compute_miou(np.concatenate(preds), np.concatenate(gts), names)
+        improved = m["instance_miou"] > best_inst
         best_inst = max(best_inst, m["instance_miou"])
         best_cls = max(best_cls, m["class_miou"])
         print_log(
@@ -215,6 +222,10 @@ def run_partseg(config, args, logger_name="PointDAE"):
         print_log(f"Best inctance avg mIOU is: {best_inst:.5f}",
                   logger=logger_name)
         print_log(f"Best class avg mIOU is: {best_cls:.5f}", logger=logger_name)
-        save_checkpoint(args.experiment_path, "best_model", state, epoch,
-                        best_inst)
+        # best_model holds the best-mIoU WEIGHTS (segmentation/main.py saves
+        # only on improvement); an unconditional save would overwrite the
+        # best epoch with whatever came last
+        if improved:
+            save_checkpoint(args.experiment_path, "best_model", state, epoch,
+                            best_inst)
     return {"best_instance_miou": best_inst, "best_class_miou": best_cls}

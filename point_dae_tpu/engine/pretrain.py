@@ -291,6 +291,13 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
     extra_set = build_dataset_from_cfg(dcfg["extra_train"]["_base_"],
                                        dcfg["extra_train"]["others"]) \
         if "extra_train" in dcfg else None
+    if (val_set is None) != (extra_set is None):
+        # SVM validation needs BOTH probe splits; warn loudly instead of
+        # silently skipping every epoch (no [Validation] lines, no
+        # ckpt-best, best_acc stuck at 0)
+        print_log("[WARNING] dataset config has only one of val/extra_train "
+                  "- per-epoch SVM validation is DISABLED (no ckpt-best "
+                  "will be written)", logger=logger_name)
 
     total_bs = int(config.get("total_bs", 32))
     # per-host striding + local batch (DistributedSampler role); the step
@@ -363,6 +370,8 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
     if getattr(args, "resume", False) or auto:
         state, start_epoch, best_acc = resume_checkpoint(
             args.experiment_path, state)
+        # restored leaves are host-local; re-place them on the mesh
+        state = replicate(mesh, state)
 
     train_step = make_train_step(model, config, mesh)
     supervised = bool(getattr(model, "is_supervised", False))
@@ -461,18 +470,19 @@ def _svm_validate(feature_fn, state, train_set, test_set, config, mesh,
     implicit: jit outputs are replicated/addressable on host."""
     from ..data.loader import DataLoader
 
+    from ..parallel import pad_to_batch, shard_batch
+
     def extract(ds):
         feats, labels = [], []
-        npoints = int(config["dataset"]["val"]["others"].get("npoints", 1024))
         loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False)
         for batch in loader:
-            pts = jnp.asarray(batch["points"][..., :3])
-            if pts.shape[0] < batch_size:   # pad tail batch for static shapes
-                pad = batch_size - pts.shape[0]
-                pts = jnp.concatenate([pts, jnp.zeros((pad,) + pts.shape[1:])])
-                f = jax.device_get(feature_fn(state, pts))[:batch_size - pad]
-            else:
-                f = jax.device_get(feature_fn(state, pts))
+            pts = np.asarray(batch["points"][..., :3], np.float32)
+            n = pts.shape[0]
+            # shard_batch like every other eval path: uploads each shard
+            # once, and a multi-process mesh cannot auto-reshard a
+            # host-committed array into feature_fn's in_shardings
+            f = jax.device_get(feature_fn(
+                state, shard_batch(mesh, pad_to_batch(pts, batch_size))))[:n]
             feats.append(f)
             labels.append(batch["label"])
         return np.concatenate(feats), np.concatenate(labels)

@@ -12,8 +12,8 @@ import numpy as np
 import optax
 
 from ..ops import furthest_point_sample, gather_points
-from ..parallel import (data_sharding, get_mesh, replicated_sharding,
-                        shard_batch)
+from ..parallel import (data_sharding, get_mesh, pad_to_batch,
+                        replicated_sharding, shard_batch)
 from ..utils.logger import print_log
 
 Array = jax.Array
@@ -41,10 +41,8 @@ def extract_features(model, variables, dataset, npoints: int,
     for batch in loader:
         pts = np.asarray(batch["points"], np.float32)
         n = pts.shape[0]
-        if n < batch_size:
-            pts = np.concatenate(
-                [pts, np.zeros((batch_size - n,) + pts.shape[1:], np.float32)])
-        f = jax.device_get(jfn(shard_batch(mesh, jnp.asarray(pts))))[:n]
+        f = jax.device_get(jfn(shard_batch(
+            mesh, pad_to_batch(pts, batch_size))))[:n]
         feats.append(f)
         labels.append(np.asarray(batch["label"]))
     return np.concatenate(feats), np.concatenate(labels)

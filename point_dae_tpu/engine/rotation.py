@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import corruptions as C
-from ..parallel import get_mesh, replicate, shard_batch
+from ..parallel import get_mesh, pad_to_batch, replicate, shard_batch
 from ..utils.logger import print_log
 from .finetune import fps_resample, cross_entropy
 from .train_state import TrainState, build_optimizer
@@ -169,12 +169,10 @@ def run_net_rotation(config, args, logger_name="PointDAE"):
             pts = np.asarray(batch["points"][..., :3], np.float32)
             labels = np.asarray(batch["label"])
             n = pts.shape[0]
-            if n < total_bs:
-                pts = np.concatenate([pts, np.zeros(
-                    (total_bs - n,) + pts.shape[1:], np.float32)])
             key, sub = jax.random.split(key)
             logits = jax.device_get(eval_step(
-                state, shard_batch(mesh, jnp.asarray(pts)), sub))[:n]
+                state, shard_batch(mesh, pad_to_batch(pts, total_bs)),
+                sub))[:n]
             correct += int((np.argmax(logits, -1) == labels).sum())
             total += n
         acc = 100.0 * correct / max(total, 1)

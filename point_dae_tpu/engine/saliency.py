@@ -54,6 +54,13 @@ def vis_saliency_map(config, args, logger_name="PointDAE",
         variables["params"] = merge_pretrained(
             variables["params"], flatten_keys(pre["params"]),
             logger=logger_name)
+        # BN running stats too: the eval forward (train=False) normalizes
+        # with them — init stats (mean 0 / var 1) would corrupt the logits
+        # the saliency gradient differentiates
+        if pre.get("batch_stats"):
+            variables["batch_stats"] = merge_pretrained(
+                variables.get("batch_stats", {}),
+                flatten_keys(pre["batch_stats"]), logger=logger_name)
     saliency = make_saliency_fn(model, variables)
     out_dir = os.path.join(args.experiment_path, "saliency")
     os.makedirs(out_dir, exist_ok=True)

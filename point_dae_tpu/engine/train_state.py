@@ -113,6 +113,15 @@ def build_optimizer(config: Dict, params, steps_per_epoch: int,
     wd = float(opti["kwargs"].get("weight_decay", 0.05))
     part = opti.get("part", "all")
     sched = make_lr_schedule(config, steps_per_epoch)
+    # Under gradient accumulation (step_per_update k > 1) optax.MultiSteps
+    # advances the inner optimizer's count once per k minibatches, so the
+    # optimizer-side schedule must count UPDATES per epoch, not minibatches
+    # (otherwise warmup/cosine run k-times slower than the reference's
+    # per-epoch schedulers). The returned `sched` stays minibatch-based for
+    # logging (callers index it with the minibatch step).
+    spu = int(config.get("step_per_update", 1))
+    opt_sched = sched if spu == 1 else make_lr_schedule(
+        config, max(-(-steps_per_epoch // spu), 1))
 
     decay_mask = jax.tree_util.tree_map_with_path(
         lambda p, x: not _no_decay(p, x), params)
@@ -134,30 +143,30 @@ def build_optimizer(config: Dict, params, steps_per_epoch: int,
                 lambda p, x: "frozen" if "teacher" in _path_str(p).lower()
                 else "train", params)
             chain.append(optax.multi_transform(
-                {"train": adamw(sched), "frozen": optax.set_to_zero()}, label))
+                {"train": adamw(opt_sched), "frozen": optax.set_to_zero()}, label))
         else:
-            chain.append(adamw(sched))
+            chain.append(adamw(opt_sched))
     elif part == "only_new":
         # only 'cls' params are trained; everything else frozen
         label = jax.tree_util.tree_map_with_path(
             lambda p, x: "new" if "cls" in _path_str(p).lower() else "frozen",
             params)
         chain.append(optax.multi_transform(
-            {"new": adamw(sched), "frozen": optax.set_to_zero()}, label))
+            {"new": adamw(opt_sched), "frozen": optax.set_to_zero()}, label))
     elif part == "diff_lr":
         label = jax.tree_util.tree_map_with_path(
             lambda p, x: "new" if "cls" in _path_str(p).lower() else "pretrained",
             params)
         chain.append(optax.multi_transform(
-            {"new": adamw(sched),
-             "pretrained": adamw(lambda s: sched(s) * 0.1)}, label))
+            {"new": adamw(opt_sched),
+             "pretrained": adamw(lambda s: opt_sched(s) * 0.1)}, label))
     elif part == "decoder":
         keys = ("decoder_pos_embed", "mae_decoder", "increase_dim")
         label = jax.tree_util.tree_map_with_path(
             lambda p, x: "new" if any(k in _path_str(p).lower() for k in keys)
             else "frozen", params)
         chain.append(optax.multi_transform(
-            {"new": adamw(sched), "frozen": optax.set_to_zero()}, label))
+            {"new": adamw(opt_sched), "frozen": optax.set_to_zero()}, label))
     else:
         raise NotImplementedError(f"optimizer.part {part!r}")
 
@@ -165,7 +174,6 @@ def build_optimizer(config: Dict, params, steps_per_epoch: int,
     # gradient accumulation (runner_pretrain.py:196-199 divides the loss by
     # step_per_update and calls optimizer.step every k batches): MultiSteps
     # accumulates the mean gradient over k mini-steps then applies one update
-    spu = int(config.get("step_per_update", 1))
     if spu > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=spu)
     return tx, sched

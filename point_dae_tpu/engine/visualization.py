@@ -82,6 +82,12 @@ def test_vis_reconstruction(config, args, logger_name="PointDAE",
         variables["params"] = merge_pretrained(
             variables["params"], flatten_keys(pre["params"]),
             logger=logger_name)
+        # BN running stats too: reconstruct runs train=False and would
+        # otherwise normalize with init stats (mean 0 / var 1)
+        if pre.get("batch_stats"):
+            variables["batch_stats"] = merge_pretrained(
+                variables.get("batch_stats", {}),
+                flatten_keys(pre["batch_stats"]), logger=logger_name)
 
     recon = jax.jit(functools.partial(
         model.apply, train=False, method="reconstruct"),

@@ -5,11 +5,13 @@ from .mesh import (
     shard_batch,
     shard_params,
     loader_shard_kwargs,
+    pad_to_batch,
     replicate,
     data_sharding,
     replicated_sharding,
 )
 
 __all__ = ["initialize_distributed", "get_mesh", "get_mesh_2d",
-           "shard_batch", "shard_params", "loader_shard_kwargs", "replicate", "data_sharding",
+           "shard_batch", "shard_params", "loader_shard_kwargs",
+           "pad_to_batch", "replicate", "data_sharding",
            "replicated_sharding"]

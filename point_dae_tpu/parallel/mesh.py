@@ -63,6 +63,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pad_to_batch(arr: np.ndarray, batch_size: int) -> np.ndarray:
+    """Zero-pad a (possibly short tail) batch along axis 0 to ``batch_size``
+    so every eval dispatch reuses one compiled shape. Callers slice the
+    jit output back to the true count. Shared by every engine eval loop —
+    the hand-rolled copies had drifted (double uploads, dtype differences)."""
+    n = arr.shape[0]
+    if n >= batch_size:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((batch_size - n,) + arr.shape[1:], arr.dtype)])
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data", dim: int = 0,
                 local: bool = False):
     """Place a pytree of host arrays with array dim ``dim`` (the batch dim)

@@ -368,6 +368,38 @@ class TestGradAccumulation:
         np.testing.assert_allclose(np.asarray(up2["w"]), np.asarray(upm["w"]),
                                    rtol=1e-6)
 
+    def test_schedule_counts_updates_not_minibatches(self):
+        """Under step_per_update=k the optimizer-side schedule must reach
+        end-of-training LR after total_minibatches/k UPDATES — MultiSteps
+        advances the inner count once per k minibatches, so an unscaled
+        schedule would decay k-times slower than the reference's per-epoch
+        schedulers."""
+        import optax
+
+        spe, k, epochs = 8, 4, 2
+        cfg = {"optimizer": {"type": "AdamW", "part": "all",
+                             "kwargs": {"lr": 1.0, "weight_decay": 0.0}},
+               "scheduler": {"type": "StepLR",
+                             "kwargs": {"step_size": 1, "gamma": 0.1,
+                                        "epochs": epochs}},
+               "step_per_update": k}
+        params = {"w": jnp.ones(())}
+        tx, _ = build_optimizer(cfg, params, spe)
+        st = tx.init(params)
+        g = {"w": jnp.ones(())}
+        # one epoch of minibatches (spe/k real updates), then one more full
+        # accumulation window — its applied update is the first of epoch 1:
+        # StepLR(step_size=1, gamma=.1) -> lr 0.1. With a constant gradient
+        # AdamW's normalized update magnitude ~= lr, so |up| ~ 0.1 tells the
+        # schedule advanced one epoch after spe/k updates; the unscaled bug
+        # would still be at lr 1.0.
+        for _ in range(spe):
+            up, st = tx.update(g, st, params)
+        for _ in range(k):
+            up, st = tx.update(g, st, params)
+        mag = float(jnp.abs(up["w"]))
+        assert 0.05 < mag < 0.2, mag
+
 
 class TestBNMomentumScheduler:
     def test_reblend_matches_schedule(self):
@@ -498,6 +530,66 @@ class TestWarmStartBatchStats:
         for leaf in jax.tree_util.tree_leaves(
                 jax.device_get(out["state"].batch_stats)):
             np.testing.assert_allclose(np.asarray(leaf), 0.123, rtol=1e-6)
+
+
+class TestFreezeBNForwardSemantics:
+    def test_only_new_trains_with_running_stats(self):
+        """'only_new' probe training must normalize with the pretrained
+        RUNNING stats (reference set_bn_eval puts BN in eval mode,
+        runner_finetune.py:30-37) — not merely freeze the stat updates while
+        still normalizing per batch. DGCNN_Linear has BN but no dropout, so
+        the probe step's loss must equal the eval-mode CE exactly."""
+        import optax
+
+        from point_dae_tpu.engine.finetune import (cross_entropy,
+                                                   fps_resample,
+                                                   make_finetune_step)
+        from point_dae_tpu.models import build_model_from_cfg
+
+        npoints = 64
+        cfg = ConfigDict({
+            "optimizer": {"type": "AdamW", "part": "only_new",
+                          "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
+            "scheduler": {"type": "function", "kwargs": {}},
+            "model": {"NAME": "DGCNN_Linear", "cls_dim": 5},
+            "npoints": npoints})
+        model = build_model_from_cfg(cfg["model"])
+        rng = np.random.default_rng(3)
+        pts = jnp.asarray(rng.normal(size=(4, npoints, 3)).astype(np.float32)
+                          + 0.7)   # nonzero mean: batch vs running stats differ
+        labels = jnp.asarray(rng.integers(0, 5, 4))
+        v = model.init({"params": jax.random.key(0),
+                        "dropout": jax.random.key(1)}, pts, train=True)
+        key = jax.random.key(9)
+
+        # expected: eval-mode forward (running stats) on the same resample
+        # (computed first — the train steps donate their state buffers)
+        k_fps, _, _ = jax.random.split(key, 3)
+        p = fps_resample(k_fps, pts[..., :3], npoints)
+        logits_eval = model.apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            p, train=False)
+        loss_eval = float(cross_entropy(logits_eval, labels))
+
+        def fresh_state():
+            copy = jax.tree_util.tree_map(jnp.array, v)
+            return TrainState.create(model.apply, copy["params"],
+                                     copy.get("batch_stats", {}),
+                                     optax.adamw(1e-3))
+
+        step = make_finetune_step(model, cfg, mesh=None)
+        _, metrics = step(fresh_state(), pts, labels, key)
+        np.testing.assert_allclose(float(metrics["loss"]), loss_eval,
+                                   rtol=1e-5)
+
+        # sanity: a non-probe config (part=all, batch statistics) differs,
+        # i.e. this test would catch a regression to batch-stat training
+        cfg2 = ConfigDict(dict(cfg, optimizer={
+            "type": "AdamW", "part": "all",
+            "kwargs": {"lr": 0.001, "weight_decay": 0.05}}))
+        step2 = make_finetune_step(model, cfg2, mesh=None)
+        _, metrics2 = step2(fresh_state(), pts, labels, key)
+        assert abs(float(metrics2["loss"]) - loss_eval) > 1e-4
 
 
 class TestEvalOutputReplication:
