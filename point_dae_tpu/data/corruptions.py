@@ -38,10 +38,21 @@ _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 # --------------------------------------------------------------- helpers
 
-def pc_normalize(pc: Array) -> Array:
-    """Center and scale to the unit sphere (corrupt_util.py:7-17)."""
-    pc = pc - jnp.mean(pc, axis=0, keepdims=True)
-    m = jnp.max(jnp.sqrt(jnp.sum(pc ** 2, axis=1)))
+def pc_normalize(pc: Array, mask: Optional[Array] = None) -> Array:
+    """Center and scale to the unit sphere (corrupt_util.py:7-17). With a
+    validity ``mask`` (N,) the statistics come from valid rows only — the
+    reference operates on the physically-shrunk array, so masked-out rows
+    must not shift the mean or inflate the max norm."""
+    if mask is None:
+        pc = pc - jnp.mean(pc, axis=0, keepdims=True)
+        m = jnp.max(jnp.sqrt(jnp.sum(pc ** 2, axis=1)))
+        return pc / jnp.maximum(m, 1e-12)
+    w = mask.astype(pc.dtype)[:, None]
+    cnt = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(pc * w, axis=0, keepdims=True) / cnt
+    pc = pc - mean
+    norms = jnp.sqrt(jnp.sum(pc ** 2, axis=1))
+    m = jnp.max(jnp.where(mask, norms, 0.0))
     return pc / jnp.maximum(m, 1e-12)
 
 
@@ -431,14 +442,15 @@ def corrupt_cloud(key: jax.Array, pts: Array, types: Sequence[str],
             pts = _mm(pts, A) + b
         elif t == "scale":
             # corrupt_scale (:59-69): anisotropic s=2 scale + re-normalisation
+            # (mask-aware: dropped/unvalidated rows must not shift the stats)
             A, _ = affine_scale_nonorm(k_op, level)
-            pts = pc_normalize(_mm(pts, A))
+            pts = pc_normalize(_mm(pts, A), mask)
         elif t == "scale_single":
             # corrupt_scale_single (:71-80): level-indexed scale table + norm
             table = jnp.array([1.6, 1.7, 1.8, 1.9, 2.0])
             sv = table[level.astype(jnp.int32)]
             factor = jax.random.uniform(k_op, (1,), minval=1.0 / sv, maxval=sv)
-            pts = pc_normalize(pts * factor)
+            pts = pc_normalize(pts * factor, mask)
         elif t == "jitter":
             pts = corrupt_jitter(k_op, pts, level)
         elif t.startswith("jitter_p"):
@@ -448,7 +460,11 @@ def corrupt_cloud(key: jax.Array, pts: Array, types: Sequence[str],
         elif t == "dropout_local":
             mask = dropout_local(k_op, pts, mask)
         elif t.startswith("dropout_local_c"):
-            # c{1,2,3,5,8}d{1,3,5,7,9}: cluster-count upper bound and ratio
+            # c{1,2,3,5,8}d{1,3,5,7,9}: cluster-count bound and drop ratio.
+            # Reference quirk preserved: np.random.randint(1, c) has an
+            # EXCLUSIVE high, so c clusters are never actually drawn (c5 ->
+            # 1..4, c2 -> always 1, corrupt_util.py:626,698,722); c1 means
+            # exactly 1 (:674). max(int(c), 2) reproduces every case.
             spec = t[len("dropout_local_c"):]
             c, d = spec.split("d")
             mask = dropout_local(k_op, pts, mask, drop_ratio=int(d) / 10.0,

@@ -205,23 +205,30 @@ def dropout_global_patches(key: jax.Array, neigh: Array, level=None) -> Array:
 
 def add_local_patches(key: jax.Array, neigh: Array, level=None) -> Array:
     """corrupt_add_local (corrupt_util_tensor.py:462-502): jitter a random
-    subset of each patch and append. Fixed-shape version: the appended points
-    *replace* a random subset of duplicated slots so S stays constant —
-    distributionally the patch gains the same noised points; the reference
-    instead grew S (and the encoder max-pools, so extra duplicates are inert).
-    """
+    subset of each patch and append. Fixed-shape approximation: the noised
+    copies replace a UNIFORMLY-RANDOM subset of slots so S stays constant
+    (the reference grew S to S*(1+rate); at fixed S the grown patch's noise
+    PROPORTION is preserved via add_n = S*rate/(1+rate), at the cost of
+    dropping add_n random originals — never the kNN-nearest/center slots,
+    which slot order would otherwise select)."""
     B, G, S, _ = neigh.shape
     k_lv, k_pick, k_sigma, k_noise = jax.random.split(key, 4)
     if level is None:
-        level = jax.random.uniform(k_lv, (), minval=0.0, maxval=4.0)
-    add_n = (S * (level + 1.0) * 0.1 / (1.0 + (level + 1.0) * 0.1)).astype(jnp.int32)
+        # discrete severity like the reference's level=None branch
+        # (corrupt_util_tensor.py:475-477 random.choice([0..4]))
+        level = jax.random.randint(k_lv, (), 0, 5).astype(jnp.float32)
+    add_n = jnp.asarray(
+        S * (level + 1.0) * 0.1 / (1.0 + (level + 1.0) * 0.1)).astype(jnp.int32)
     sigma = jax.random.uniform(k_sigma, (), minval=0.075, maxval=0.125)
     r = jax.random.uniform(k_pick, (B, G, S))
     order = jnp.argsort(r, axis=-1)
-    noised = jnp.take_along_axis(neigh, order[..., None], axis=2) + \
-        sigma * jax.random.normal(k_noise, neigh.shape)
+    # random arrangement of the patch; the first add_n of it become noised
+    # copies (sources ARE the randomly-picked points, reference :494-500),
+    # the rest keep the remaining originals
+    perm = jnp.take_along_axis(neigh, order[..., None], axis=2)
+    noised = perm + sigma * jax.random.normal(k_noise, neigh.shape)
     slot = jnp.arange(S)[None, None, :, None]
-    return jnp.where(slot < add_n, noised, neigh)
+    return jnp.where(slot < add_n, noised, perm)
 
 
 def scan_density_patches(key: jax.Array, neigh: Array, center: Array,
@@ -273,10 +280,17 @@ def corrupt_patches(key: jax.Array, neigh: Array, center: Array,
         elif t == "jitter":
             neigh, center = jitter_patches(k, neigh, center, 4.0)
         elif t == "dropout_global":
-            neigh = dropout_global_patches(k, neigh)
+            # level pinned to 4 like jitter/affine: the reference's
+            # corrupt_data reaches non-affine entries with the level
+            # variable leaked from the affine_r3 branch (= 4,
+            # corrupt_util_tensor.py:716-726; without a preceding affine_r3
+            # the reference NameErrors, i.e. those lists are dead upstream)
+            neigh = dropout_global_patches(k, neigh, level=4)
         elif t == "add_local":
-            neigh = add_local_patches(k, neigh)
+            neigh = add_local_patches(k, neigh, level=4.0)
         elif t == "scan":
+            # density(level=4) draws uniform(0, 4) internally
+            # (corrupt_util_tensor.py:541-543), identical to level=None
             neigh = scan_density_patches(k, neigh, center)
         else:
             raise NotImplementedError(f"patch corruption {t!r}")

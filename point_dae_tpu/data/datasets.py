@@ -262,8 +262,10 @@ class ShapeNetPart(PointDataset):
             for ln in f:
                 name, synset = ln.strip().split()
                 self.cat[name] = synset
-        splits = {"train": ["train", "val"], "trainval": ["train", "val"],
-                  "test": ["test"]}[self.subset]
+        # distinct splits like the reference (segmentation/dataset.py:98-106:
+        # 'train' is train-only; training recipes use 'trainval')
+        splits = {"train": ["train"], "val": ["val"],
+                  "trainval": ["train", "val"], "test": ["test"]}[self.subset]
         ids = set()
         for sp in splits:
             with open(os.path.join(

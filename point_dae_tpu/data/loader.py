@@ -73,17 +73,35 @@ class DataLoader:
         # reader) hand the whole index slice to C++ instead of per-item python
         fast = getattr(self.dataset, "load_batch", None)
 
+        def put(item) -> bool:
+            """Bounded put that keeps checking the stop flag, so a consumer
+            abandoning the iterator mid-epoch never leaves the worker (and
+            its prefetched batch) blocked on a full queue forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
-            for b in range(nb):
-                if stop.is_set():
-                    return
-                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                if fast is not None:
-                    batch = fast([int(i) for i in sel])
-                else:
-                    batch = _collate([self.dataset[int(i)] for i in sel])
-                q.put(batch)
-            q.put(None)
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    if fast is not None:
+                        batch = fast([int(i) for i in sel])
+                    else:
+                        batch = _collate([self.dataset[int(i)] for i in sel])
+                    if not put(batch):
+                        return
+                put(None)
+            except BaseException as e:  # noqa: BLE001 - re-raised on consumer
+                # without this, a dataset read error kills the thread before
+                # the end sentinel and the consumer blocks in q.get() forever
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -92,6 +110,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

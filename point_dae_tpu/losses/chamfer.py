@@ -26,18 +26,16 @@ Array = jax.Array
 # ---------------------------------------------------------------- primitives
 
 def _nn_half_xla(x: Array, y: Array) -> Tuple[Array, Array]:
-    """min_j ||x_i - y_j||^2 and argmin. x: (B, N, D), y: (B, M, D)."""
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
-    xx = jnp.sum(x * x, axis=-1, keepdims=True)
-    yy = jnp.sum(y * y, axis=-1, keepdims=True)
-    d = xx - 2.0 * jnp.matmul(x, jnp.swapaxes(y, -1, -2),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST) \
-        + jnp.swapaxes(yy, -1, -2)
+    """min_j ||x_i - y_j||^2 and argmin. x: (B, N, D), y: (B, M, D).
+    Shares ops.geometry.pairwise_sqdist (f32 casts, HIGHEST-precision
+    matmul, clamp at zero) so the numeric-sensitive construction lives in
+    one place."""
+    from ..ops.geometry import pairwise_sqdist
+
+    d = pairwise_sqdist(x, y)
     idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
     dist = jnp.take_along_axis(d, idx[..., None], axis=-1)[..., 0]
-    return jnp.maximum(dist, 0.0), idx
+    return dist, idx
 
 
 def _nn_half_pallas(x: Array, y: Array) -> Tuple[Array, Array]:

@@ -50,7 +50,9 @@ def knn(query: Array, database: Array, k: int,
     query: (B, M, D), database: (B, N, D) -> (dists (B, M, k), idx (B, M, k)),
     sorted ascending by distance (same convention as KNN_CUDA with
     ``transpose_mode=True``). ``db_mask`` (B, N) marks valid database points;
-    invalid ones are never selected (distance pushed to +inf).
+    invalid ones sort behind every valid one (distance +inf), so they only
+    appear as fill when fewer than k valid points exist — and then carry an
+    inf distance so callers can exclude them exactly.
     """
     B, N_db = database.shape[0], database.shape[1]
     Nq = query.shape[1]
@@ -73,7 +75,11 @@ def knn(query: Array, database: Array, k: int,
         return d, i
     d = pairwise_sqdist(query, database)                  # (B, M, N)
     if db_mask is not None:
-        d = jnp.where(db_mask[..., None, :], d, _BIG)
+        # +inf, not a large finite sentinel: when fewer than k valid points
+        # exist the fill slots are unavoidable, but an inf distance lets
+        # callers exclude them exactly (e.g. 1/(inf+eps) interpolation
+        # weights collapse to 0; 1e10 would leave tiny nonzero weights)
+        d = jnp.where(db_mask[..., None, :], d, jnp.inf)
     neg_d, idx = jax.lax.top_k(-d, k)
     return -neg_d, idx.astype(jnp.int32)
 

@@ -191,6 +191,47 @@ class TestPatchCorruptions:
                                     ("affine_r3", "Drop-Patch"))
         assert tn.shape == neigh.shape and tc.shape == center.shape
 
+    def test_add_local_replaces_random_slots_not_nearest(self, rng):
+        """add_local keeps S - add_n ORIGINAL points chosen uniformly — in
+        particular slot 0 (the kNN-nearest/center point) must survive in a
+        healthy fraction of patches (the old code always overwrote the first
+        add_n slots, deleting every patch's nearest points)."""
+        neigh, center = self._patches(rng, B=4, G=16, S=18)
+        out = np.asarray(CP.add_local_patches(jax.random.key(3), neigh,
+                                              level=4.0))
+        src = np.asarray(neigh)
+        B, G, S, _ = src.shape
+        add_n = int(S * 0.5 / 1.5)
+        kept_counts, slot0_kept = [], 0
+        for b in range(B):
+            for g in range(G):
+                outset = out[b, g]
+                kept = [p for p in src[b, g]
+                        if np.any(np.all(np.isclose(outset, p, atol=1e-6), -1))]
+                kept_counts.append(len(kept))
+                if any(np.allclose(src[b, g, 0], p) for p in kept):
+                    slot0_kept += 1
+        # exactly S - add_n originals survive per patch (noised copies are
+        # almost surely not equal to any original)
+        assert all(c == S - add_n for c in kept_counts), set(kept_counts)
+        # slot 0 survives at the uniform-keep rate, not never
+        assert slot0_kept / (B * G) > 0.4
+
+    def test_masked_scale_normalizes_valid_rows_only(self, rng):
+        """'dropout_local' then 'scale': pc_normalize must use only the
+        surviving rows — the valid cloud ends exactly on the unit sphere
+        and centered, regardless of what the dead rows hold."""
+        pts = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32) * 5.0)
+        out, mask = C.corrupt_cloud(jax.random.key(5), pts,
+                                    ("dropout_local", "scale"))
+        o = np.asarray(out)
+        m = np.asarray(mask)
+        assert m.sum() > 0 and not m.all()
+        valid = o[m]
+        np.testing.assert_allclose(valid.mean(0), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(valid, axis=1).max(), 1.0,
+                                   rtol=1e-5)
+
 
 ALL_NAMES = [
     "clean", "scale", "scale_single", "scale_nonorm", "scale_nonorm_1p5",

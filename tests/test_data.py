@@ -48,6 +48,45 @@ class TestLoader:
         ids1 = {m for b in l1 for m in b["model_id"]}
         assert not ids0 & ids1
 
+    def test_dataset_error_propagates(self):
+        """A dataset read error must RAISE on the consumer, not kill the
+        prefetch thread before the end sentinel and hang q.get() forever."""
+
+        class Exploding:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i >= 4:
+                    raise OSError(f"bad shard {i}")
+                return {"points": np.zeros((16, 3), np.float32),
+                        "label": 0}
+
+        loader = DataLoader(Exploding(), 4, shuffle=False, drop_last=True)
+        import pytest
+
+        with pytest.raises(OSError, match="bad shard"):
+            for _ in loader:
+                pass
+
+    def test_abandoned_iterator_does_not_leak_blocked_worker(self):
+        """Breaking out mid-epoch must release the worker thread (it checks
+        the stop flag while blocked on the full prefetch queue)."""
+        import threading
+
+        before = threading.active_count()
+        ds = Synthetic({"size": 64, "N_POINTS": 16})
+        for _ in range(8):
+            it = iter(DataLoader(ds, 4, shuffle=False, prefetch=1))
+            next(it)
+            it.close()          # abandon mid-epoch
+        import time
+
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before + 1
+
 
 class TestTransforms:
     def setup_method(self):
