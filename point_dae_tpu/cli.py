@@ -162,10 +162,22 @@ def main(argv=None):
 
     _log_cfg(config)
 
+    # segmentation configs are recognized by dataset (see the ShapeNetPart
+    # dispatch below); their model signature (pts, cls_label) doesn't fit the
+    # classification/reconstruction test harnesses, so --test routes to the
+    # partseg evaluator FIRST
+    _train_base = config.get("dataset", {}).get("train", {}).get("_base_", {})
+    _ds_name = _train_base.get("NAME", "") if isinstance(_train_base, dict) \
+        else str(_train_base)
+    _is_partseg = "ShapeNetPart" in str(_ds_name)
     if args.test_corruption:
         from .engine.robustness import test_net_corruption
 
         return test_net_corruption(config, args, logger_name=args.log_name)
+    if args.test and _is_partseg:
+        from .engine.partseg import test_partseg
+
+        return test_partseg(config, args, logger_name=args.log_name)
     if args.test:
         if args.finetune_model:
             from .engine.finetune import test_net
@@ -188,10 +200,7 @@ def main(argv=None):
     # equivalent) — classification heads that merely use the partseg-style
     # ENCODER (e.g. DGCNN_PartSeg, PointNetNoT_PartSeg) go through the normal
     # finetune path like the reference's main.py does
-    _train_base = config.get("dataset", {}).get("train", {}).get("_base_", {})
-    _ds_name = _train_base.get("NAME", "") if isinstance(_train_base, dict) \
-        else str(_train_base)
-    if "ShapeNetPart" in str(_ds_name):
+    if _is_partseg:
         from .engine.partseg import run_partseg
 
         return run_partseg(config, args, logger_name=args.log_name)

@@ -118,6 +118,77 @@ def compute_miou(preds, targets, cat_names) -> Dict[str, float]:
     }
 
 
+def evaluate_partseg(eval_step, state, test_set, total_bs, mesh, cat_names
+                     ) -> Dict[str, float]:
+    """Category-restricted mIoU eval over the test split
+    (segmentation/main.py:231-295), shared by training and --test."""
+    from ..data.loader import DataLoader
+
+    preds, gts, names = [], [], []
+    ev = DataLoader(test_set, total_bs, shuffle=False, drop_last=False)
+    for batch in ev:
+        pts = pad_to_batch(
+            np.asarray(batch["points"][..., :3], np.float32), total_bs)
+        n = len(batch["label"])
+        labels = np.asarray(batch["label"])
+        onehot = np.eye(16, dtype=np.float32)[
+            np.concatenate([labels, np.zeros(total_bs - n, np.int64)])]
+        # numpy straight to shard_batch (one upload per shard)
+        logp = jax.device_get(eval_step(
+            state, shard_batch(mesh, pts),
+            shard_batch(mesh, onehot)))[:n]
+        bnames = [cat_names[int(l)] for l in labels]
+        preds.append(category_restricted_argmax(logp, bnames))
+        gts.append(np.asarray(batch["seg"]))
+        names.extend(bnames)
+    return compute_miou(np.concatenate(preds), np.concatenate(gts), names)
+
+
+def test_partseg(config, args, logger_name="PointDAE"):
+    """--test on a ShapeNetPart config: load a trained checkpoint, run the
+    category-restricted mIoU eval once, print the reference log lines.
+    (The reference's segmentation/main.py has no test mode — evaluating a
+    saved best_model required rerunning training — so this is a sanctioned
+    addition reachable from the same CLI surface.)"""
+    import optax
+
+    from ..data.datasets import build_dataset_from_cfg
+    from ..models import build_model_from_cfg
+    from ..utils.checkpoint import (flatten_keys, load_params,
+                                    merge_pretrained)
+
+    mesh = get_mesh()
+    dcfg = config["dataset"]
+    split = dcfg.get("test", dcfg["train"])
+    test_set = build_dataset_from_cfg(split["_base_"], split["others"])
+    cat_names = sorted(SEG_CLASSES)
+    total_bs = int(config.get("total_bs", 16))
+    model = build_model_from_cfg(config["model"])
+    npoints = int(config.get("npoints", 2048))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        rngs, jnp.zeros((2, npoints, 3)), jnp.zeros((2, 16)))
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if not getattr(args, "ckpts", None):
+        raise ValueError("--test on a partseg config requires --ckpts")
+    pre = load_params(args.ckpts, args.ckpts)
+    params = merge_pretrained(params, flatten_keys(pre["params"]),
+                              logger=logger_name)
+    if pre.get("batch_stats"):
+        batch_stats = merge_pretrained(batch_stats,
+                                       flatten_keys(pre["batch_stats"]),
+                                       logger=logger_name)
+    state = replicate(mesh, TrainState.create(model.apply, params,
+                                              batch_stats, optax.identity()))
+    eval_step = make_seg_eval_step(model, mesh)
+    m = evaluate_partseg(eval_step, state, test_set, total_bs, mesh,
+                         cat_names)
+    print_log(f"[TEST] test inctance avg mIOU = {m['instance_miou']:.5f} "
+              f"class avg mIOU = {m['class_miou']:.5f}", logger=logger_name)
+    return m
+
+
 def run_partseg(config, args, logger_name="PointDAE"):
     """Full ShapeNetPart loop (segmentation/main.py:181-323)."""
     from ..data.datasets import build_dataset_from_cfg
@@ -193,25 +264,8 @@ def run_partseg(config, args, logger_name="PointDAE"):
         # logs "Train accuracy" and the loss meter per epoch)
         print_log(f"Epoch {epoch} train loss = {meters.avg(0):.5f} "
                   f"train acc = {meters.avg(1):.5f}", logger=logger_name)
-        # eval
-        preds, gts, names = [], [], []
-        ev = DataLoader(test_set, total_bs, shuffle=False, drop_last=False)
-        for batch in ev:
-            pts = pad_to_batch(
-                np.asarray(batch["points"][..., :3], np.float32), total_bs)
-            n = len(batch["label"])
-            labels = np.asarray(batch["label"])
-            onehot = np.eye(16, dtype=np.float32)[
-                np.concatenate([labels, np.zeros(total_bs - n, np.int64)])]
-            # numpy straight to shard_batch (one upload per shard)
-            logp = jax.device_get(eval_step(
-                state, shard_batch(mesh, pts),
-                shard_batch(mesh, onehot)))[:n]
-            bnames = [cat_names[int(l)] for l in labels]
-            preds.append(category_restricted_argmax(logp, bnames))
-            gts.append(np.asarray(batch["seg"]))
-            names.extend(bnames)
-        m = compute_miou(np.concatenate(preds), np.concatenate(gts), names)
+        m = evaluate_partseg(eval_step, state, test_set, total_bs, mesh,
+                             cat_names)
         improved = m["instance_miou"] > best_inst
         best_inst = max(best_inst, m["instance_miou"])
         best_cls = max(best_cls, m["class_miou"])

@@ -145,10 +145,15 @@ def param_spec(path: str, ndim: int) -> P:
 
 
 def shard_params(mesh: Mesh, tree):
-    """Place a param/opt-state pytree with ViT-block weights sharded over the
+    """Place a PARAM dict pytree with ViT-block weights sharded over the
     'model' axis (everything else replicated). With jit over a sharded tree,
     GSPMD propagates the layouts through fwd/bwd and inserts the Megatron
-    all-reduces on ICI; the train step code is unchanged."""
+    all-reduces on ICI; the train step code is unchanged.
+
+    Optimizer state is NOT passed here: build it AFTER sharding the params
+    (optax init ops inherit each param's placement, so Adam moments land
+    sharded for free); non-dict pytrees fed to this function are replicated
+    as a conservative fallback."""
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     if "model" not in mesh.axis_names or mesh.shape["model"] == 1:

@@ -85,6 +85,11 @@ def load_params(experiment_path: str, name: str = "ckpt-best") -> Dict:
     elif os.path.exists(name) and experiment_path == name:
         # a relative checkpoint path passed through both arguments
         path = os.path.abspath(name)
+    elif experiment_path == name:
+        # same value in both args but nothing on disk: report the path the
+        # user actually typed instead of joining it with itself (a baffling
+        # doubled path in orbax's error)
+        raise FileNotFoundError(f"checkpoint not found: {name!r}")
     else:
         path = os.path.abspath(os.path.join(experiment_path, name))
     restored = _ckptr().restore(path)
@@ -97,7 +102,7 @@ def flatten_keys(tree, prefix="") -> Dict[str, Any]:
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(flatten_keys(v, f"{prefix}{k}/" if prefix or True else k))
+            out.update(flatten_keys(v, f"{prefix}{k}/"))
     else:
         out[prefix[:-1]] = tree
     return out

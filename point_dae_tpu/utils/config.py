@@ -61,6 +61,14 @@ def merge_new_config(config: Dict, new_config: Dict, *, base_dir: str = ".") -> 
     """
     for key, val in new_config.items():
         if key == "_base_":
+            if isinstance(val, dict):
+                # already-inlined base: save_config serializes merged configs
+                # with _base_ as a nested dict; re-reading the copied
+                # config.yaml (the resume flow) must merge it, not
+                # os.path.isabs(dict)-crash
+                config["_base_"] = ConfigDict()
+                merge_new_config(config["_base_"], val, base_dir=base_dir)
+                continue
             path = val if os.path.isabs(val) else os.path.join(base_dir, val)
             if not os.path.exists(path) and os.path.exists(val):
                 path = val
@@ -73,7 +81,9 @@ def merge_new_config(config: Dict, new_config: Dict, *, base_dir: str = ".") -> 
                 config[key] = ConfigDict()
             merge_new_config(config[key], val, base_dir=base_dir)
         else:
-            config[key] = val
+            # _wrap so dicts nested inside LISTS get attribute access too
+            # (EasyDict parity; plain scalars pass through unchanged)
+            config[key] = _wrap(val)
     return config
 
 

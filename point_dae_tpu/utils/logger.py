@@ -19,12 +19,25 @@ _loggers: Dict[str, logging.Logger] = {}
 
 def get_logger(name: str = "PointDAE", log_file: Optional[str] = None,
                level: int = logging.INFO) -> logging.Logger:
+    fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     if name in _loggers:
-        return _loggers[name]
+        logger = _loggers[name]
+        # a cached logger must still honor a NEW log_file (a second
+        # experiment run in the same process would otherwise write into the
+        # first run's file and leave its own experiment dir without a log —
+        # the log-line formats are an API scraped per experiment dir)
+        if log_file is not None and not any(
+                isinstance(h, logging.FileHandler)
+                and h.baseFilename == os.path.abspath(log_file)
+                for h in logger.handlers):
+            os.makedirs(os.path.dirname(log_file), exist_ok=True)
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+        return logger
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
-    fmt = logging.Formatter("%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     sh = logging.StreamHandler()
     sh.setFormatter(fmt)
     logger.addHandler(sh)

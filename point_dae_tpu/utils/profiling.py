@@ -24,6 +24,8 @@ def cost_analysis(fn: Callable, *args) -> Dict[str, Any]:
     ca = compiled.cost_analysis()
     if isinstance(ca, list):  # some backends return one dict per device
         ca = ca[0] if ca else {}
+    if ca is None:            # ...and some return nothing at all
+        ca = {}
     return {
         "flops": ca.get("flops", float("nan")),
         "bytes_accessed": ca.get("bytes accessed", float("nan")),

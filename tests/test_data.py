@@ -343,6 +343,62 @@ class TestGeneratedConfigCorpus:
                 yaml.load(fh, Loader=_Strict)
 
 
+class TestConfigRoundtrip:
+    def test_saved_experiment_config_reloads(self, tmp_path):
+        """save_config inlines _base_ as a nested dict; re-reading the
+        copied config.yaml (the resume flow) must merge it instead of
+        crashing in os.path.isabs(dict)."""
+        from point_dae_tpu.utils.config import (cfg_from_yaml_file,
+                                                save_config)
+
+        base = tmp_path / "cfgs" / "dataset_configs" / "Base.yaml"
+        base.parent.mkdir(parents=True)
+        base.write_text("NAME: Synthetic\nN_POINTS: 64\n")
+        main = tmp_path / "cfgs" / "main.yaml"
+        main.write_text(
+            "dataset:\n  train:\n    _base_: cfgs/dataset_configs/Base.yaml\n"
+            "    others: {subset: train, npoints: 32}\n"
+            "model: {NAME: PointNet_NoT, cls_dim: 5}\n")
+        cfg = cfg_from_yaml_file(str(main))
+        assert cfg["dataset"]["train"]["_base_"]["NAME"] == "Synthetic"
+        saved = tmp_path / "exp" / "config.yaml"
+        save_config(cfg, str(saved))
+        cfg2 = cfg_from_yaml_file(str(saved))
+        assert cfg2["dataset"]["train"]["_base_"]["NAME"] == "Synthetic"
+        assert cfg2["model"]["NAME"] == "PointNet_NoT"
+
+    def test_list_of_dicts_gets_attribute_access(self, tmp_path):
+        from point_dae_tpu.utils.config import cfg_from_yaml_file
+
+        f = tmp_path / "c.yaml"
+        f.write_text("stages:\n  - {NAME: a, dim: 1}\n  - {NAME: b, dim: 2}\n")
+        cfg = cfg_from_yaml_file(str(f))
+        assert cfg.stages[0].NAME == "a" and cfg.stages[1].dim == 2
+
+
+class TestUtilRegression:
+    def test_load_params_typo_reports_original_path(self):
+        from point_dae_tpu.utils.checkpoint import load_params
+
+        import pytest
+
+        with pytest.raises(FileNotFoundError, match="no/such/ckpt-bets"):
+            load_params("no/such/ckpt-bets", "no/such/ckpt-bets")
+
+    def test_logger_honors_new_log_file(self, tmp_path):
+        """A cached logger must attach a handler for a NEW log file so a
+        second run in the same process still writes its own log."""
+        from point_dae_tpu.utils.logger import get_logger
+
+        f1 = tmp_path / "run1" / "a.log"
+        f2 = tmp_path / "run2" / "b.log"
+        lg = get_logger("t_logger_cache", str(f1))
+        lg.info("first")
+        lg2 = get_logger("t_logger_cache", str(f2))
+        lg2.info("second")
+        assert "second" in f2.read_text()
+
+
 class TestNativeBatchPath:
     def test_shapenet_load_batch_matches_getitem(self, tmp_path):
         """ShapeNet.load_batch (native threaded reader) returns the same

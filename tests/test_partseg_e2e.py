@@ -97,3 +97,16 @@ def test_run_partseg_end_to_end(tmp_path):
     assert out["best_instance_miou"] > 0.0
     assert out["best_class_miou"] > 0.0
     assert os.path.isdir(args.experiment_path)
+
+    # --test on the saved best_model (the cli routes partseg --test here;
+    # reference has no test mode at all): reproduces the training-time eval
+    from point_dae_tpu.engine.partseg import test_partseg
+
+    args2 = types.SimpleNamespace(
+        seed=0, ckpts=os.path.join(args.experiment_path, "best_model"),
+        experiment_path=args.experiment_path)
+    m = test_partseg(config, args2, logger_name="partseg-e2e-test")
+    # the dataset random-subsamples points per access (reference parity),
+    # so the re-eval is close to, not bitwise-equal to, the training eval
+    assert m["instance_miou"] > 0.0
+    assert abs(m["instance_miou"] - out["best_instance_miou"]) < 0.05
