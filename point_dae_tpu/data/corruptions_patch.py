@@ -30,6 +30,13 @@ Array = jax.Array
 
 AFFINE_NAMES = ("translate", "scale_nonorm", "rotate", "reflection", "shear")
 
+# every name corrupt_patches dispatches (config generators/validators check
+# transformer model corrupt_type against this so emitted recipes can't
+# NotImplementedError at the first train-step trace)
+PATCH_SUPPORTED = frozenset(AFFINE_NAMES) | {
+    "clean", "Drop-Patch", "affine_r3", "rotate_z", "jitter",
+    "dropout_global", "add_local", "scan"}
+
 # geometry transforms must not run at TPU-default (bfloat16) matmul precision
 from functools import partial
 _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)

@@ -199,6 +199,19 @@ class TestParseResults:
                 os.path.dirname(os.path.abspath(__file__))))
         assert "91.20" in out.stdout
 
+    def test_test_vote_line_outranks_plain_test(self, tmp_path):
+        """A test-mode log holds both [TEST] and [TEST_VOTE] lines; the
+        aggregate must report the (higher) vote best, matching the engine's
+        actual 'best = ' spelling (finetune.test_net)."""
+        from tools.parse_results import best_from_log
+
+        log = tmp_path / "t.log"
+        log.write_text(
+            "[TEST] acc = 92.1000\n"
+            "[TEST_VOTE] iter 0: acc = 92.8000 best = 92.8000\n"
+            "[TEST_VOTE] iter 1: acc = 92.5000 best = 93.1000\n")
+        assert best_from_log(str(log), "acc") == 93.1
+
     def _run(self, *argv):
         import subprocess
         import sys
@@ -338,9 +351,19 @@ class TestGeneratedConfigCorpus:
 
         _Strict.add_constructor(
             yaml.resolver.BaseResolver.DEFAULT_MAPPING_TAG, _no_dupes)
+        from point_dae_tpu.data.corruptions_patch import PATCH_SUPPORTED
+
         for f in files:
             with open(f) as fh:
-                yaml.load(fh, Loader=_Strict)
+                loaded = yaml.load(fh, Loader=_Strict)
+            # transformer recipes corrupt IN-MODEL at patch level: every
+            # model corrupt_type must be dispatchable by corrupt_patches
+            # (an unsupported name NotImplementedErrors at the first
+            # train-step trace — ~50 generated maskpatch files used to)
+            mdl = loaded.get("model", {})
+            if "transformer" in str(mdl.get("NAME", "")):
+                for c in mdl.get("corrupt_type", []):
+                    assert c in PATCH_SUPPORTED, (f.name, c)
 
 
 class TestConfigRoundtrip:

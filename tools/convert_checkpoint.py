@@ -69,14 +69,26 @@ def init_variables(model, config, seed: int = 0):
             "mask": jax.random.key(seed + 2),
             "droppath": jax.random.key(seed + 3),
             "dropout": jax.random.key(seed + 4)}
-    try:
-        return jax.jit(functools.partial(model.init, train=True))(
-            rngs, jnp.zeros((2, npoints, 3), jnp.float32))
-    except TypeError:
+    pts = jnp.zeros((2, npoints, 3), jnp.float32)
+    attempts = (
+        ("classification (pts)", (pts,)),
         # pretrain DAE signature: (corrupted, clean-with-normals)
-        return jax.jit(functools.partial(model.init, train=True))(
-            rngs, jnp.zeros((2, npoints, 3), jnp.float32),
-            jnp.zeros((2, npoints, 6), jnp.float32))
+        ("pretrain DAE (corrupted, clean)",
+         (pts, jnp.zeros((2, npoints, 6), jnp.float32))),
+        # part segmentation: (pts, category one-hot)
+        ("part-seg (pts, cls_onehot)",
+         (pts, jnp.zeros((2, 16), jnp.float32))),
+    )
+    errors = []
+    for label, args_ in attempts:
+        try:
+            return jax.jit(functools.partial(model.init, train=True))(
+                rngs, *args_)
+        except TypeError as e:
+            errors.append(f"  {label}: {e}")
+    raise TypeError(
+        "could not initialize the model with any known call signature:\n"
+        + "\n".join(errors))
 
 
 def convert(pth: str, config_path: str, out: str, family: str = None,

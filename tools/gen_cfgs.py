@@ -475,15 +475,25 @@ def main():
                      base=base, normal_weight=1.0,
                      loss_type="xyznormal_gradual")
                 n += 1
-        # transformer flagship: masked-patch recipe (Drop-Patch in-model)
-        fn = f"pretrain_PointCAE_transformer_{name}_maskpatch.yaml"
-        tcor = corrupt + ["Drop-Patch"] if "dropout" not in name else corrupt
-        tstr = ", ".join(f"'{c}'" for c in tcor)
-        emit(fn, epochs=300, corrupt=cstr,
-             model=TRANSFORMER_MODEL.replace("corrupt_type: []",
-                                             f"corrupt_type: [{tstr}]"),
-             normal_weight=0.005, loss_type="xyznormal")
-        n += 1
+        # transformer flagship: masked-patch recipe. Corruption runs
+        # IN-MODEL at patch level (dataset stays 'clean', like the
+        # hand-written transformer recipes and the reference's
+        # pretrain_PointCAE_transformer_* configs), so only emit for names
+        # corrupt_patches actually dispatches — anything else would
+        # NotImplementedError at the first train-step trace.
+        patch_ok = {"clean", "affine_r3", "translate", "scale_nonorm",
+                    "rotate", "reflection", "shear", "rotate_z", "jitter",
+                    "dropout_global", "add_local", "scan"}
+        if all(c in patch_ok for c in corrupt):
+            fn = f"pretrain_PointCAE_transformer_{name}_maskpatch.yaml"
+            tcor = corrupt + ["Drop-Patch"] if "dropout" not in name \
+                else corrupt
+            tstr = ", ".join(f"'{c}'" for c in tcor)
+            emit(fn, epochs=300, corrupt="'clean'",
+                 model=TRANSFORMER_MODEL.replace("corrupt_type: []",
+                                                 f"corrupt_type: [{tstr}]"),
+                 normal_weight=0.005, loss_type="xyznormal")
+            n += 1
 
     n += reference_name_closure(emit)
 

@@ -39,11 +39,24 @@ def generate(dataset_train, dataset_test, out_root: str, ways, shots,
                 train, test = [], []
                 for new_label, c in enumerate(chosen):
                     tr = by_class_train[int(c)]
-                    te = by_class_test.get(int(c), tr)
+                    te = by_class_test.get(int(c))
                     tr_idx = rng.choice(len(tr), shot, replace=len(tr) < shot)
+                    train += [(tr[j], new_label) for j in tr_idx]
+                    if te is None:
+                        # no test samples for this class: draw the fold's
+                        # test pool from the train samples NOT used as
+                        # shots — silently reusing the shot pool would
+                        # leak identical clouds into both splits
+                        rest = [j for j in range(len(tr))
+                                if j not in set(tr_idx.tolist())]
+                        if not rest:
+                            raise ValueError(
+                                f"class {c} has no test split and no "
+                                f"train samples beyond the {shot} shots - "
+                                "cannot build a leak-free fold")
+                        te = [tr[j] for j in rest]
                     te_idx = rng.choice(len(te), min(test_per_class, len(te)),
                                         replace=False)
-                    train += [(tr[j], new_label) for j in tr_idx]
                     test += [(te[j], new_label) for j in te_idx]
                 with open(os.path.join(out_dir, f"{fold}.pkl"), "wb") as f:
                     pickle.dump({"train": train, "test": test}, f)

@@ -27,7 +27,9 @@ PATTERNS = {
     "val_acc": re.compile(r"\[Validation\] EPOCH: \d+\s+acc = ([\d.]+)"),
     "vote_acc": re.compile(r"\[Validation_vote\].*?vote_acc = ([\d.]+)"),
     "test_acc": re.compile(r"\[TEST\] acc = ([\d.]+)"),
-    "test_vote": re.compile(r"\[TEST_VOTE.*?best(?:_acc| acc) = ([\d.]+)"),
+    # engine line: "[TEST_VOTE] iter N: acc = X best = Y" (optional _acc/
+    # " acc" spellings tolerated for older logs)
+    "test_vote": re.compile(r"\[TEST_VOTE\].*best(?:_acc| acc)? = ([\d.]+)"),
     "miou": re.compile(r"Best inctance avg mIOU is: ([\d.]+)"),
     "affinity": re.compile(r"\[TaskAffinity\] test CE = ([\d.]+)"),
     # reference task-affinity line (runner_finetune.py:1269)
@@ -39,7 +41,10 @@ PATTERNS = {
 
 
 def best_from_log(path: str, mode: str) -> float | None:
-    keys = {"acc": ("vote_acc", "val_acc", "test_acc", "test_vote"),
+    # vote results outrank their plain counterparts: a test log holds both
+    # [TEST] and [TEST_VOTE] lines, and stopping at the first matching key
+    # would report the lower non-vote number
+    keys = {"acc": ("vote_acc", "test_vote", "val_acc", "test_acc"),
             "miou": ("miou",),
             "taskaffinity": ("affinity", "affinity_ref"),
             "svm": ("svm",)}[mode]

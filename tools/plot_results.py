@@ -74,22 +74,20 @@ def _scan(path: str, regex):
 
 
 def _best_acc(path: str) -> list:
-    """Best accuracy per seed-run log under ``path`` (TEST preferred,
-    else max Validation), mirroring parse_test_res.py's per-directory max."""
+    """Best accuracy per seed-run log under ``path`` — delegates to
+    parse_results.best_from_log so the figure numbers and the text
+    summaries can never drift (the log-line regexes are an API maintained
+    in ONE place)."""
+    try:
+        from parse_results import best_from_log       # run as a script
+    except ImportError:
+        from tools.parse_results import best_from_log  # imported as module
+
     out = []
     for log in _logs_under(path):
-        vals = []
-        with open(log, errors="replace") as f:
-            for line in f:
-                m = _TEST.search(line)
-                if m:
-                    vals.append(float(m.group(1)))
-                    continue
-                m = _VAL.search(line)
-                if m:
-                    vals.append(float(m.group(2)))
-        if vals:
-            out.append(max(vals))
+        v = best_from_log(log, "acc")
+        if v is not None:
+            out.append(v)
     return out
 
 
@@ -303,8 +301,13 @@ def plot_affinity_matrix(dirs, out):
     for i in range(len(rows)):
         for j in range(len(cols)):
             if np.isfinite(mat[i, j]):
+                # black on the bright (high) end of viridis, white on the
+                # dark end — CE values have arbitrary scale, so normalize
+                lo, hi = np.nanmin(mat), np.nanmax(mat)
+                frac = 0.5 if hi <= lo else (mat[i, j] - lo) / (hi - lo)
                 ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
-                        fontsize=7, color="white")
+                        fontsize=7,
+                        color="black" if frac > 0.6 else "white")
     ax.set_title("corruption x task affinity")
     fig.colorbar(im, ax=ax, shrink=0.8)
     fig.tight_layout()

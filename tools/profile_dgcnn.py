@@ -9,8 +9,12 @@ k 20) so kernel work targets the measured bottleneck instead of a guess.
 Prints one JSON line per measurement: {"name", "ms", "per_item_ms"}.
 """
 import json
+import os
 import sys
 import time
+
+# repo root on sys.path regardless of cwd (bench + point_dae_tpu imports)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(name, fn, *args, iters=8, b=256):
@@ -41,7 +45,6 @@ def main():
     from point_dae_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    sys.path.insert(0, ".")
     from bench import DEGRADED_TFLOPS, _wait_for_healthy_device, probe_tflops
 
     tflops = _wait_for_healthy_device()
@@ -65,9 +68,16 @@ def main():
                       "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
         "scheduler": {"type": "CosLR", "kwargs": {"epochs": 300,
                                                   "initial_epochs": 10}},
+        # corruption lives in DATASET corrupt_type like the real recipe
+        # (cfgs/pretrain_PointCAE_affine_r3_dropout_local_4xlonger.yaml):
+        # device_pipeline runs affine compose + dropout_local + masked
+        # resample per cloud per step — in model corrupt_type those names
+        # are ignored (apply_input_dropout only acts on dropout_patch/
+        # global), which would profile a lighter step than the recipe
         "dataset": {"train": {"others": {"npoints": 1024,
                                          "aug_type": ["norm"],
-                                         "corrupt_type": ["clean"]}}},
+                                         "corrupt_type": ["affine_r3",
+                                                          "dropout_local"]}}},
         "model": {"NAME": "Point_CAE_DGCNN_FCOnly",
                   "corrupt_type": ["affine_r3", "dropout_local"],
                   "loss": "cdl2", "dtype": "bf16"},

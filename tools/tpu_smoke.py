@@ -7,10 +7,12 @@ references on the attached TPU, plus one train step. Run on any TPU host:
 
     python tools/tpu_smoke.py
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# repo root on sys.path regardless of cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -111,7 +113,9 @@ def main():
                        == np.sort(np.asarray(idx_ref), -1)).mean())
     Mr, mr, S1r, S2r = knn_aggregate_xla(U, idx_ref)
     np.testing.assert_allclose(np.asarray(M), np.asarray(Mr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_), np.asarray(mr), atol=1e-4)
     np.testing.assert_allclose(np.asarray(S1), np.asarray(S1r), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(S2), np.asarray(S2r), atol=1e-3)
     w = [jnp.asarray(rng.normal(size=U.shape).astype("f4"))
          for _ in range(4)]
 
