@@ -736,3 +736,123 @@ class TestPthPipeline:
         got = np.asarray(fm.apply({"params": params, "batch_stats": bs},
                                   jnp.asarray(groups.numpy()), train=False))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestGradientParity:
+    """Beyond forward parity: a TRAIN-mode backward pass through the
+    converted weights must produce the same parameter gradients as torch.
+    Gradients share every weight's name and shape, so they convert through
+    the exact same rules — a mismatch would mean the two frameworks train
+    differently from the same checkpoint even though forwards agree."""
+
+    @pytest.mark.parametrize("impl", ["reference", "fused"])
+    def test_dgcnn_encoder_training_gradients_match_torch(self, tmp_path,
+                                                          impl):
+        from point_dae_tpu.models.dgcnn import DGCNNEncoder
+
+        torch.manual_seed(21)
+        tm = TorchDGCNNEncoder(k=6).train()
+        pts = torch.randn(2, 3, 48)
+        w = torch.randn(1024)
+        feat = tm(pts)                       # train-mode BN statistics
+        loss_t = (feat @ w).mean()
+        loss_t.backward()
+
+        sd, gd = {}, {}
+        for i in range(1, 6):
+            conv = getattr(tm, f"conv{i}")
+            sd[f"dgcnn_encoder.conv{i}.0.weight"] = \
+                conv[0].weight.detach().numpy()
+            gd[f"dgcnn_encoder.conv{i}.0.weight"] = \
+                conv[0].weight.grad.numpy()
+            for leaf, v in conv[1].state_dict().items():
+                sd[f"dgcnn_encoder.bn{i}.{leaf}"] = np.asarray(
+                    v.detach() if hasattr(v, "detach") else v)
+            gd[f"dgcnn_encoder.bn{i}.weight"] = conv[1].weight.grad.numpy()
+            gd[f"dgcnn_encoder.bn{i}.bias"] = conv[1].bias.grad.numpy()
+
+        flat_w = _via_pth(tmp_path, sd, "dgcnn")
+        pf, bsf = _split_flat(flat_w, "dgcnn_encoder/")
+        # gradients ride the SAME conversion (same names -> same reshapes)
+        flat_g = _via_pth(tmp_path, gd, "dgcnn")
+        gf, _ = _split_flat(flat_g, "dgcnn_encoder/")
+
+        fm = DGCNNEncoder(k=6, impl=impl)
+        x = jnp.asarray(pts.numpy().transpose(0, 2, 1))
+        v = fm.init({"params": jax.random.key(0)}, x, train=True)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        wj = jnp.asarray(w.numpy())
+
+        def loss_fn(p):
+            (g, _), _ = fm.apply({"params": p, "batch_stats": bs}, x,
+                                 train=True, mutable=["batch_stats"])
+            return jnp.mean(g @ wj)
+
+        lj, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(lj), float(loss_t), rtol=1e-4)
+        got = flatten_keys(jax.device_get(grads))
+        assert set(gf) <= set(got), sorted(set(gf) - set(got))
+        for k in sorted(gf):
+            np.testing.assert_allclose(
+                got[k], gf[k], rtol=2e-3, atol=2e-4,
+                err_msg=f"gradient mismatch at {k} (impl={impl})")
+
+    def test_transformer_encoder_training_gradients_match_torch(self,
+                                                                tmp_path):
+        """Same statement for the transformer stack: TRAIN-mode backward
+        (BatchNorm batch statistics in the patch embed, LN/attention/MLP in
+        the blocks) through converted weights reproduces torch's parameter
+        gradients."""
+        from point_dae_tpu.models.transformer import MaskTransformerEncoder
+
+        torch.manual_seed(22)
+        tm = TorchMaskTransformerEncoder(dim=64, depth=2, heads=2).train()
+        B, G, S = 2, 8, 6
+        groups = torch.randn(B, G, S, 3)
+        centers = torch.randn(B, G, 3)
+        w = torch.randn(64)
+        loss_t = (tm(groups, centers) @ w).mean()
+        loss_t.backward()
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        gd = {k: p.grad.numpy() for k, p in tm.named_parameters()
+              if p.grad is not None}
+        flat_w = _via_pth(tmp_path, sd, "transformer",
+                          wrap="module.MAE_encoder.")
+        pf, bsf = _split_flat(flat_w)
+        flat_g = _via_pth(tmp_path, gd, "transformer",
+                          wrap="module.MAE_encoder.")
+        gf, _ = _split_flat(flat_g)
+
+        fm = MaskTransformerEncoder(trans_dim=64, depth=2, num_heads=2,
+                                    encoder_dims=64, drop_path_rate=0.0,
+                                    rand_ratio=False)
+        gj = jnp.asarray(groups.numpy())
+        cj = jnp.asarray(centers.numpy())
+        wj = jnp.asarray(w.numpy())
+        v = fm.init({"params": jax.random.key(0), "mask": jax.random.key(1),
+                     "droppath": jax.random.key(2)},
+                    gj, cj, noaug=True, train=True)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+
+        def loss_fn(p):
+            (x, _), _ = fm.apply(
+                {"params": p, "batch_stats": bs}, gj, cj, noaug=True,
+                train=True, mutable=["batch_stats"],
+                rngs={"mask": jax.random.key(3),
+                      "droppath": jax.random.key(4)})
+            feat = jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+            return jnp.mean(feat @ wj)
+
+        lj, grads = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(lj), float(loss_t), rtol=1e-4)
+        got = flatten_keys(jax.device_get(grads))
+        assert set(gf) <= set(got), sorted(set(gf) - set(got))
+        for k in sorted(gf):
+            # atol 5e-4: the deep f32 chain (patch-embed max-pool near-ties)
+            # leaves a handful of elements at ~3e-4 absolute noise
+            np.testing.assert_allclose(
+                got[k], gf[k], rtol=2e-3, atol=5e-4,
+                err_msg=f"gradient mismatch at {k}")
