@@ -856,3 +856,62 @@ class TestGradientParity:
             np.testing.assert_allclose(
                 got[k], gf[k], rtol=2e-3, atol=5e-4,
                 err_msg=f"gradient mismatch at {k}")
+
+
+class TestOptimizerStepParity:
+    def test_adamw_update_matches_torch(self):
+        """One full AdamW update from identical (param, grad) pairs matches
+        torch.optim.AdamW bitwise-closely — including the no-decay masking
+        of 1-D/bias/token leaves (builder.py:41-66 add_weight_decay).
+        Together with the gradient-parity tests this extends checkpoint
+        parity to the training step itself."""
+        import optax
+
+        from point_dae_tpu.engine.train_state import build_optimizer
+
+        torch.manual_seed(30)
+        lr, wd = 1e-3, 0.05
+        shapes = {
+            "dense": {"kernel": (16, 8), "bias": (8,)},
+            "bn": {"scale": (16,), "bias": (16,)},
+            "mask_token": (1, 1, 8),
+        }
+
+        def rand_tree(tree, seed=0):
+            rng = np.random.default_rng(seed)
+            return jax.tree_util.tree_map(
+                lambda s: jnp.asarray(
+                    rng.normal(size=s).astype(np.float32)), tree,
+                is_leaf=lambda x: isinstance(x, tuple))
+
+        params = rand_tree(shapes, 1)
+        grads = rand_tree(shapes, 2)
+
+        cfg = {"optimizer": {"type": "AdamW", "part": "all",
+                             "kwargs": {"lr": lr, "weight_decay": wd}},
+               "scheduler": {"type": "function", "kwargs": {}}}
+        tx, _ = build_optimizer(cfg, params, 1)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        new = optax.apply_updates(params, upd)
+
+        # torch: decay only on the dense kernel (2-D, not bias/1-D/token)
+        flat_p = flatten_keys(jax.device_get(params))
+        flat_g = flatten_keys(jax.device_get(grads))
+        t_params = {k: torch.nn.Parameter(torch.as_tensor(np.array(v)))
+                    for k, v in flat_p.items()}
+        decay = [t_params["dense/kernel"]]
+        no_decay = [v for k, v in t_params.items() if k != "dense/kernel"]
+        opt = torch.optim.AdamW(
+            [{"params": decay, "weight_decay": wd},
+             {"params": no_decay, "weight_decay": 0.0}],
+            lr=lr, betas=(0.9, 0.999), eps=1e-8)
+        for k, p in t_params.items():
+            p.grad = torch.as_tensor(np.array(flat_g[k]))
+        opt.step()
+
+        flat_new = flatten_keys(jax.device_get(new))
+        for k in flat_p:
+            np.testing.assert_allclose(
+                flat_new[k], t_params[k].detach().numpy(),
+                rtol=1e-5, atol=1e-7, err_msg=f"AdamW update differs at {k}")
