@@ -376,6 +376,11 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
     train_step = make_train_step(model, config, mesh)
     supervised = bool(getattr(model, "is_supervised", False))
     spd = 1 if supervised else int(config.get("steps_per_dispatch", 1))
+    if supervised and int(config.get("steps_per_dispatch", 1)) > 1:
+        print_log("[WARNING] steps_per_dispatch > 1 is not supported for "
+                  "supervised models (labels are not staged into the scan "
+                  "chunk) - falling back to single-step dispatch",
+                  logger=logger_name)
     multi_step = make_train_step_multi(model, config, mesh, spd) \
         if spd > 1 else None
     val_np = int(config["dataset"].get("val", {}).get("others", {})

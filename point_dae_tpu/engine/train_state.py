@@ -55,8 +55,14 @@ def _no_decay(path, leaf) -> bool:
     return leaf.ndim <= 1 or p.endswith("bias") or "token" in p
 
 
-def make_lr_schedule(config: Dict, steps_per_epoch: int) -> Callable:
-    """Per-step schedule implementing the reference's per-epoch schedulers."""
+def make_lr_schedule(config: Dict, steps_per_epoch) -> Callable:
+    """Per-step schedule implementing the reference's per-epoch schedulers.
+
+    ``steps_per_epoch`` may be fractional: under gradient accumulation the
+    optimizer count advances steps_per_epoch/k times per epoch ON AVERAGE
+    (accumulation windows span epoch boundaries), so the caller passes the
+    exact rational instead of a rounded integer that would drift over
+    training."""
     opti = config["optimizer"]
     sche = config["scheduler"]
     base_lr = float(opti["kwargs"]["lr"])
@@ -71,8 +77,8 @@ def make_lr_schedule(config: Dict, steps_per_epoch: int) -> Callable:
         t_max = int(kw.get("t_max", epochs))
 
         def sched(step):
-            epoch = step // steps_per_epoch
-            e = jnp.asarray(epoch, jnp.float32)
+            e = jnp.floor(jnp.asarray(step, jnp.float32)
+                          / jnp.float32(steps_per_epoch))
             warm = warmup_lr + (base_lr - warmup_lr) * e / jnp.maximum(warmup_epochs, 1)
             t = jnp.clip((e - warmup_epochs) / jnp.maximum(t_max - warmup_epochs, 1), 0.0, 1.0)
             cos = min_lr + 0.5 * (base_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * t))
@@ -85,7 +91,8 @@ def make_lr_schedule(config: Dict, steps_per_epoch: int) -> Callable:
         decay_step = float(kw.get("decay_step", 1))
 
         def sched(step):
-            epoch = (step // steps_per_epoch).astype(jnp.float32)
+            epoch = jnp.floor(jnp.asarray(step, jnp.float32)
+                              / jnp.float32(steps_per_epoch))
             return base_lr * jnp.maximum(decay ** (epoch / decay_step), lowest)
 
         return sched
@@ -94,7 +101,8 @@ def make_lr_schedule(config: Dict, steps_per_epoch: int) -> Callable:
         gamma = float(kw.get("gamma", 0.1))
 
         def sched(step):
-            epoch = step // steps_per_epoch
+            epoch = jnp.floor(jnp.asarray(step, jnp.float32)
+                              / jnp.float32(steps_per_epoch))
             return base_lr * gamma ** (epoch // step_size)
 
         return sched
@@ -120,8 +128,10 @@ def build_optimizer(config: Dict, params, steps_per_epoch: int,
     # per-epoch schedulers). The returned `sched` stays minibatch-based for
     # logging (callers index it with the minibatch step).
     spu = int(config.get("step_per_update", 1))
+    # exact rational updates-per-epoch: MultiSteps accumulates across epoch
+    # boundaries, so ceil() would under-count and drift over training
     opt_sched = sched if spu == 1 else make_lr_schedule(
-        config, max(-(-steps_per_epoch // spu), 1))
+        config, max(steps_per_epoch / spu, 1e-9))
 
     decay_mask = jax.tree_util.tree_map_with_path(
         lambda p, x: not _no_decay(p, x), params)

@@ -70,7 +70,14 @@ def test_vis_reconstruction(config, args, logger_name="PointDAE",
     os.makedirs(out_dir, exist_ok=True)
     loader = DataLoader(dataset, 4, shuffle=False, drop_last=True)
     it = iter(loader)
-    first = next(it)
+    try:
+        first = next(it)
+    except StopIteration:
+        # split smaller than the batch size: nothing to render (the old
+        # plain for-loop degraded the same way instead of crashing)
+        print_log(f"[Vis] split has no full batch - saved 0 samples to "
+                  f"{out_dir}", logger=logger_name)
+        return out_dir
     # init through the reconstruct method itself with the dataset's real
     # channel count: surfel/curve models consume normals past channel 3,
     # and token_dis's dVAE-decoder params exist only on this path

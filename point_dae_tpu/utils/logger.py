@@ -25,11 +25,18 @@ def get_logger(name: str = "PointDAE", log_file: Optional[str] = None,
         # a cached logger must still honor a NEW log_file (a second
         # experiment run in the same process would otherwise write into the
         # first run's file and leave its own experiment dir without a log —
-        # the log-line formats are an API scraped per experiment dir)
+        # the log-line formats are an API scraped per experiment dir).
+        # The previous run's file handler is REPLACED, not kept: appending
+        # run 2's lines to run 1's file would make run 1's directory report
+        # run 2's results to the scraper.
         if log_file is not None and not any(
                 isinstance(h, logging.FileHandler)
                 and h.baseFilename == os.path.abspath(log_file)
                 for h in logger.handlers):
+            for h in [h for h in logger.handlers
+                      if isinstance(h, logging.FileHandler)]:
+                logger.removeHandler(h)
+                h.close()
             os.makedirs(os.path.dirname(log_file), exist_ok=True)
             fh = logging.FileHandler(log_file)
             fh.setFormatter(fmt)

@@ -420,6 +420,11 @@ class TestUtilRegression:
         lg2 = get_logger("t_logger_cache", str(f2))
         lg2.info("second")
         assert "second" in f2.read_text()
+        # ...and the old file handler is REPLACED: run 2's lines must not
+        # land in run 1's log (the scraper takes a per-file max, so run 1's
+        # dir would otherwise report run 2's results)
+        assert "second" not in f1.read_text()
+        assert "first" in f1.read_text()
 
 
 class TestNativeBatchPath:

@@ -400,6 +400,22 @@ class TestGradAccumulation:
         mag = float(jnp.abs(up["w"]))
         assert 0.05 < mag < 0.2, mag
 
+    def test_schedule_fractional_steps_per_epoch_no_drift(self):
+        """When steps_per_epoch % k != 0 the updates-per-epoch is fractional
+        (MultiSteps windows span epoch boundaries); the schedule must accept
+        the exact rational — a ceil() would drift further every epoch."""
+        from point_dae_tpu.engine.train_state import make_lr_schedule
+
+        cfg = {"optimizer": {"type": "AdamW", "part": "all",
+                             "kwargs": {"lr": 1.0, "weight_decay": 0.0}},
+               "scheduler": {"type": "StepLR",
+                             "kwargs": {"step_size": 1, "gamma": 0.5,
+                                        "epochs": 100}}}
+        # 10 minibatches/epoch at k=4 -> exactly 2.5 updates per epoch
+        sched = make_lr_schedule(cfg, 2.5)
+        np.testing.assert_allclose(float(sched(24)), 0.5 ** 9)   # epoch 9
+        np.testing.assert_allclose(float(sched(25)), 0.5 ** 10)  # epoch 10
+
 
 class TestBNMomentumScheduler:
     def test_reblend_matches_schedule(self):

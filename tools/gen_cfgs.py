@@ -21,6 +21,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# repo root on sys.path regardless of cwd (PATCH_SUPPORTED import)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PRETRAIN_TMPL = """optimizer: {{type: AdamW, part: all, kwargs: {{lr: 0.001, weight_decay: 0.05}}}}
 scheduler: {{type: CosLR, kwargs: {{epochs: {epochs}, initial_epochs: 10}}}}
@@ -480,11 +484,11 @@ def main():
         # hand-written transformer recipes and the reference's
         # pretrain_PointCAE_transformer_* configs), so only emit for names
         # corrupt_patches actually dispatches — anything else would
-        # NotImplementedError at the first train-step trace.
-        patch_ok = {"clean", "affine_r3", "translate", "scale_nonorm",
-                    "rotate", "reflection", "shear", "rotate_z", "jitter",
-                    "dropout_global", "add_local", "scan"}
-        if all(c in patch_ok for c in corrupt):
+        # NotImplementedError at the first train-step trace. The set is
+        # imported from the dispatcher itself so new patch corruptions get
+        # their maskpatch recipe automatically.
+        from point_dae_tpu.data.corruptions_patch import PATCH_SUPPORTED
+        if all(c in PATCH_SUPPORTED for c in corrupt):
             fn = f"pretrain_PointCAE_transformer_{name}_maskpatch.yaml"
             tcor = corrupt + ["Drop-Patch"] if "dropout" not in name \
                 else corrupt
