@@ -356,6 +356,38 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
             batch_stats = merge_pretrained(
                 batch_stats, _reprefix(pre["batch_stats"]),
                 logger=logger_name)
+    # token_dis frozen tokenizer: dvae_config.ckpt (the reference loads it
+    # strictly into self.dvae, MaskSurf_v2.py:2086-2091). Accepts either a
+    # reference torch dVAE .pth (converted via the 'dvae' rule family) or
+    # one of our Orbax checkpoints (Point_dVAE trainer output, whose params
+    # live under 'dvae/').
+    dvae_ckpt = (config["model"].get("dvae_config") or {}).get("ckpt")
+    if dvae_ckpt and "dvae_teacher" in params:
+        from ..utils.checkpoint import (flatten_keys, load_params,
+                                        merge_pretrained)
+
+        if str(dvae_ckpt).endswith((".pth", ".pt")):
+            from ..utils.convert_torch import convert_checkpoint
+
+            flat = convert_checkpoint(dvae_ckpt, "dvae")
+            pflat = {k: v for k, v in flat.items()
+                     if not k.endswith(("/mean", "/var"))}
+            bflat = {k: v for k, v in flat.items()
+                     if k.endswith(("/mean", "/var"))}
+        else:
+            pre = load_params(dvae_ckpt, dvae_ckpt)
+            pflat = flatten_keys(pre["params"])
+            bflat = flatten_keys(pre.get("batch_stats") or {})
+
+        def _dv(d):
+            return {"dvae_teacher/" + (k[len("dvae/"):]
+                                       if k.startswith("dvae/") else k): v
+                    for k, v in d.items()}
+
+        params = merge_pretrained(params, _dv(pflat), logger=logger_name)
+        if bflat:
+            batch_stats = merge_pretrained(batch_stats, _dv(bflat),
+                                           logger=logger_name)
     tx, sched = build_optimizer(config, params, steps_per_epoch,
                                 config.get("grad_norm_clip"))
     state = TrainState.create(model.apply, params, batch_stats, tx)

@@ -237,6 +237,34 @@ _POINTNET2_RULES = [
 
 # ---- Point-M2AE family (Point_M2AE.py H_Encoder: token_embed /
 # encoder_pos_embeds / encoder_blocks.{i}.blocks.{j} / encoder_norms;
+# ---- dVAE tokenizer (DiscreteVAE, MaskSurf_v2.py:175-209 — the Point-BERT
+# dVAE.pth layout that MaskSurf_v2_token_dis's dvae_config.ckpt points at).
+# Torch roots: encoder. / dgcnn_1. / codebook / dgcnn_2. / decoder. ; our
+# SplitDense keeps the concat-kernel layout so decoder.final_conv.0 (Conv1d
+# over [global, seed, pt]) converts by straight transpose.
+_DVAE_RULES = [
+    (r"^encoder\.first_conv\.0\.(weight|bias)$", "encoder/conv1"),
+    (r"^encoder\.first_conv\.1\.(.*)$", "encoder/bn1"),
+    (r"^encoder\.first_conv\.3\.(weight|bias)$", "encoder/conv2"),
+    (r"^encoder\.second_conv\.0\.(weight|bias)$", "encoder/conv3"),
+    (r"^encoder\.second_conv\.1\.(.*)$", "encoder/bn2"),
+    (r"^encoder\.second_conv\.3\.(weight|bias)$", "encoder/conv4"),
+    (r"^codebook$", "codebook"),
+    (r"^dgcnn_(\d)\.input_trans\.(weight|bias)$", "dgcnn_{0}/input_trans"),
+    (r"^dgcnn_(\d)\.layer(\d)\.0\.weight$", "dgcnn_{0}/layer{1}"),
+    (r"^dgcnn_(\d)\.layer(\d)\.1\.(weight|bias)$", "dgcnn_{0}/layer{1}_gn"),
+    # folding decoder (Decoder, MaskSurf_v2.py:19-78): Linear mlp stack
+    # (indices 0/2/4) + Conv1d final_conv stack (0/1/3/4/6)
+    (r"^decoder\.mlp\.0\.(weight|bias)$", "decoder/mlp/dense0"),
+    (r"^decoder\.mlp\.2\.(weight|bias)$", "decoder/mlp/dense1"),
+    (r"^decoder\.mlp\.4\.(weight|bias)$", "decoder/mlp/dense2"),
+    (r"^decoder\.final_conv\.0\.(weight|bias)$", "decoder/final0"),
+    (r"^decoder\.final_conv\.1\.(.*)$", "decoder/final_bn0"),
+    (r"^decoder\.final_conv\.3\.(weight|bias)$", "decoder/final1"),
+    (r"^decoder\.final_conv\.4\.(.*)$", "decoder/final_bn1"),
+    (r"^decoder\.final_conv\.6\.(weight|bias)$", "decoder/final_out"),
+]
+
 # Token_Embed naming from Point_M2AE_modules.py:169-215).
 _M2AE_RULES = [
     (r"^h_encoder\.token_embed\.(\d+)\.first_conv\.0\.(weight|bias)$",
@@ -323,6 +351,7 @@ _FAMILIES = {
     "pointnet": _POINTNET_RULES,
     "pointnet2": _POINTNET2_RULES,
     "m2ae": _M2AE_RULES,
+    "dvae": _DVAE_RULES,
 }
 
 

@@ -915,3 +915,137 @@ class TestOptimizerStepParity:
             np.testing.assert_allclose(
                 flat_new[k], t_params[k].detach().numpy(),
                 rtol=1e-5, atol=1e-7, err_msg=f"AdamW update differs at {k}")
+
+
+class TorchPatchDGCNN(tnn.Module):
+    """DGCNN-over-patch-tokens twin (MaskSurf_v2.py:80-173: input_trans
+    Conv1d, 4 edge layers Conv2d+GroupNorm(4)+LeakyReLU(0.2) with k=4 kNN
+    over centers, concat(2304) -> Conv1d+GN+LReLU)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.input_trans = tnn.Conv1d(cin, 128, 1)
+        specs = [(256, 256), (512, 512), (1024, 512), (1024, 1024)]
+        for i, (a, b) in enumerate(specs, start=1):
+            setattr(self, f"layer{i}", tnn.Sequential(
+                tnn.Conv2d(a, b, 1, bias=False), tnn.GroupNorm(4, b),
+                tnn.LeakyReLU(0.2)))
+        self.layer5 = tnn.Sequential(tnn.Conv1d(2304, cout, 1, bias=False),
+                                     tnn.GroupNorm(4, cout),
+                                     tnn.LeakyReLU(0.2))
+
+    @staticmethod
+    def _graph_feature(coor, x, k=4):                    # (B,3,N), (B,C,N)
+        B, C, N = x.shape
+        xt = coor.transpose(2, 1)
+        idx = (torch.cdist(xt, xt) ** 2).topk(
+            k, dim=-1, largest=False).indices             # (B, N, k)
+        feat = torch.gather(
+            x.transpose(2, 1)[:, None].expand(B, N, N, C), 2,
+            idx[..., None].expand(B, N, k, C))            # (B, N, k, C)
+        xq = x.transpose(2, 1)[:, :, None, :].expand(B, N, k, C)
+        e = torch.cat([feat - xq, xq], dim=-1)            # (B, N, k, 2C)
+        return e.permute(0, 3, 1, 2)                      # (B, 2C, N, k)
+
+    def forward(self, f, coor):                           # (B,G,C), (B,G,3)
+        coor = coor.transpose(1, 2)
+        f = self.input_trans(f.transpose(1, 2))           # (B, 128, G)
+        feats = []
+        for i in range(1, 5):
+            e = self._graph_feature(coor, f)
+            f = getattr(self, f"layer{i}")(e).max(dim=-1)[0]
+            feats.append(f)
+        f = self.layer5(torch.cat(feats, dim=1))
+        return f.transpose(2, 1)                          # (B, G, cout)
+
+
+class TorchFoldingDecoder(tnn.Module):
+    """Per-patch coarse MLP + 2x2 folding twin (Decoder,
+    MaskSurf_v2.py:19-78)."""
+
+    def __init__(self, C, num_fine):
+        super().__init__()
+        self.num_fine = num_fine
+        self.grid_size = 2
+        self.num_coarse = num_fine // 4
+        self.mlp = tnn.Sequential(tnn.Linear(C, 1024), tnn.ReLU(),
+                                  tnn.Linear(1024, 1024), tnn.ReLU(),
+                                  tnn.Linear(1024, 3 * self.num_coarse))
+        self.final_conv = tnn.Sequential(
+            tnn.Conv1d(C + 3 + 2, 512, 1), tnn.BatchNorm1d(512), tnn.ReLU(),
+            tnn.Conv1d(512, 512, 1), tnn.BatchNorm1d(512), tnn.ReLU(),
+            tnn.Conv1d(512, 3, 1))
+        a = torch.linspace(-0.05, 0.05, self.grid_size).view(
+            1, self.grid_size).expand(self.grid_size, -1).reshape(1, -1)
+        b = torch.linspace(-0.05, 0.05, self.grid_size).view(
+            self.grid_size, 1).expand(-1, self.grid_size).reshape(1, -1)
+        self.register_buffer("folding_seed",
+                             torch.cat([a, b], 0).view(1, 2, 4))
+
+    def forward(self, feature_global):                    # (B, G, C)
+        bs, g, c = feature_global.shape
+        fg = feature_global.reshape(bs * g, c)
+        coarse = self.mlp(fg).reshape(bs * g, self.num_coarse, 3)
+        pt = coarse.unsqueeze(2).expand(-1, -1, 4, -1)
+        seed = self.folding_seed.unsqueeze(2).expand(bs * g, -1,
+                                                     self.num_coarse, -1)
+        seed = seed.reshape(bs * g, 2, self.num_fine)
+        fgx = fg.unsqueeze(2).expand(-1, -1, self.num_fine)
+        feat = torch.cat([fgx, seed,
+                          pt.reshape(bs * g, self.num_fine, 3)
+                          .transpose(2, 1)], dim=1)
+        fine = self.final_conv(feat) + pt.reshape(
+            bs * g, self.num_fine, 3).transpose(2, 1)
+        return (coarse.reshape(bs, g, self.num_coarse, 3),
+                fine.transpose(2, 1).reshape(bs, g, self.num_fine, 3))
+
+
+class TestDVAEConversion:
+    def test_patch_dgcnn_pth_roundtrip_parity(self, tmp_path):
+        """The Point-BERT dVAE.pth path (dvae_config.ckpt,
+        MaskSurf_v2.py:2086-2091): dgcnn_1 weights through
+        load -> convert('dvae') -> merge -> PatchDGCNN reproduce torch."""
+        from point_dae_tpu.models.dvae import PatchDGCNN
+
+        torch.manual_seed(25)
+        tm = TorchPatchDGCNN(cin=16, cout=32).eval()
+        f = torch.randn(2, 12, 16)
+        coor = torch.randn(2, 12, 3)
+        want = tm(f, coor).detach().numpy()
+
+        sd = {f"dgcnn_1.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "dvae")
+        pf, _ = _split_flat(flat, "dgcnn_1/")
+        fm = PatchDGCNN(32)
+        v = fm.init(jax.random.key(0), jnp.asarray(f.numpy()),
+                    jnp.asarray(coor.numpy()))
+        params = merge_pretrained(v["params"], pf)
+        got = np.asarray(fm.apply({"params": params},
+                                  jnp.asarray(f.numpy()),
+                                  jnp.asarray(coor.numpy())))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_folding_decoder_pth_roundtrip_parity(self, tmp_path):
+        from point_dae_tpu.models.dvae import FoldingPatchDecoder
+
+        torch.manual_seed(26)
+        tm = TorchFoldingDecoder(C=24, num_fine=8).eval()
+        feat = torch.randn(2, 5, 24)
+        wc, wf = tm(feat)
+
+        sd = {f"decoder.{k}": v.detach().numpy()
+              for k, v in tm.state_dict().items()}
+        flat = _via_pth(tmp_path, sd, "dvae")
+        pf, bsf = _split_flat(flat, "decoder/")
+        fm = FoldingPatchDecoder(8)
+        v = fm.init(jax.random.key(0), jnp.asarray(feat.numpy()),
+                    train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+        gc, gf = fm.apply({"params": params, "batch_stats": bs},
+                          jnp.asarray(feat.numpy()), train=False)
+        np.testing.assert_allclose(np.asarray(gc), wc.detach().numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf), wf.detach().numpy(),
+                                   rtol=1e-3, atol=1e-4)

@@ -54,6 +54,12 @@ FAMILY_MODELS = {
         "corrupt_type": ["Drop-Patch"], "all_patch": "False",
         "group_size": 8, "num_group": 16, "loss": "cdl2",
         "transformer_config": dict(TF, cls_dim=3)},
+    # trainable dVAE tokenizer (sanctioned addition: the reference consumes
+    # Point-BERT's released dVAE.pth, never trains one)
+    "dvae": {
+        "NAME": "Point_dVAE", "corrupt_type": ["clean"],
+        "group_size": 8, "num_group": 16, "num_tokens": 32,
+        "encoder_dims": 16, "tokens_dims": 16, "decoder_dims": 16},
 }
 
 
@@ -91,3 +97,53 @@ def test_run_pretrain_family(tmp_path, family):
                        logger_name=f"fam-{family}")
     assert 0.0 <= out["best_acc"] <= 1.0
     assert os.path.exists(os.path.join(tmp_path, "ckpt-last"))
+
+
+def test_token_dis_consumes_trained_dvae_ckpt(tmp_path):
+    """The in-framework tokenizer flow end-to-end: a Point_dVAE checkpoint
+    feeds MaskSurf_v2_token_dis via dvae_config.ckpt, landing in the frozen
+    dvae_teacher subtree exactly (the strict-load role of
+    MaskSurf_v2.py:2086-2091) — and staying frozen through training."""
+    import os
+
+    import jax
+    import numpy as np
+
+    # 1) train the tokenizer for one epoch and keep its params
+    args1 = types.SimpleNamespace(
+        experiment_path=str(tmp_path / "dvae"), tfboard_path=None, seed=0,
+        resume=False, val_freq=1, start_ckpts=None)
+    os.makedirs(args1.experiment_path, exist_ok=True)
+    out1 = run_pretrain(_cfg(FAMILY_MODELS["dvae"]), args1,
+                        logger_name="dvae-train")
+    trained = jax.device_get(out1["state"].params)["dvae"]
+
+    # 2) token_dis pointing dvae_config.ckpt at the saved checkpoint
+    dvae_cfg = {k: v for k, v in FAMILY_MODELS["dvae"].items()
+                if k not in ("NAME", "corrupt_type")}
+    model_cfg = {
+        "NAME": "MaskSurf_v2_token_dis", "corrupt_type": ["Drop-Patch"],
+        "all_patch": "False", "group_size": 8, "num_group": 16,
+        "loss": "cdl2",
+        "dvae_config": dict(dvae_cfg, NAME="DiscreteVAE",
+                            ckpt=os.path.join(args1.experiment_path,
+                                              "ckpt-last")),
+        "transformer_config": TF}
+    args2 = types.SimpleNamespace(
+        experiment_path=str(tmp_path / "tokendis"), tfboard_path=None,
+        seed=0, resume=False, val_freq=1, start_ckpts=None)
+    os.makedirs(args2.experiment_path, exist_ok=True)
+    out2 = run_pretrain(_cfg(model_cfg), args2, logger_name="tokendis")
+    teacher = jax.device_get(out2["state"].params)["dvae_teacher"]
+
+    # tokenizer weights arrived AND survived training unchanged (frozen)
+    flat_t = {"/".join(map(str, p)): v for p, v in
+              jax.tree_util.tree_leaves_with_path(trained)}
+    flat_s = {"/".join(map(str, p)): v for p, v in
+              jax.tree_util.tree_leaves_with_path(teacher)}
+    # the trainer only materializes the encode/tokenize params it used;
+    # compare the intersection and require the codebook is in it
+    common = set(flat_t) & set(flat_s)
+    assert any("codebook" in k for k in common)
+    for k in sorted(common):
+        np.testing.assert_array_equal(flat_t[k], flat_s[k])
