@@ -240,11 +240,18 @@ class DGCNNEncoder(nn.Module):
 
 class DGCNNPartSegEncoder(nn.Module):
     """Segmentation-style DGCNN (dgcnn_util.py:193-246): 3 EdgeConv stages
-    (first two with double conv), 64-d each, 1024-d fuse."""
+    (first two with double conv), 64-d each, 1024-d fuse.
+
+    ``return_stages=True`` also yields the per-point 64-d stage features
+    (x1, x2, x3) — the seg head's skip connections in the canonical DGCNN
+    part-seg layout (dgcnn_partseg.py's commented original; its live
+    forward unpacks four values from this encoder's single return, i.e.
+    the reference class crashes as shipped)."""
     k: int = 20
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
+    def __call__(self, x: Array, train: bool = True,
+                 return_stages: bool = False):
         def stage(x, dims, name):
             h = get_graph_feature(x, self.k)
             for j, d in enumerate(dims):
@@ -262,4 +269,6 @@ class DGCNNPartSegEncoder(nn.Module):
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn6")(h)
         h = leaky_relu02(h)
+        if return_stages:
+            return jnp.max(h, axis=1), h, (x1, x2, x3)
         return jnp.max(h, axis=1), h

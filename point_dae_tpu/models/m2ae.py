@@ -187,6 +187,12 @@ class HEncoder(nn.Module):
             # stay in-place with the key-mask. x_carry is never consumed
             # after the last stage, and decoder consumers read feats only
             # through where(vis, ...), so zeros at masked slots are exact.
+            # Documented approximation (same as MaskTransformerEncoder's
+            # packed patch embed): the reference embeds ALL G groups before
+            # gathering visible (Point_M2AE.py:126-133), so TokenEmbed's
+            # BatchNorm batch statistics here come from the ~V-group random
+            # subset instead of all G — small and unbiased under uniform
+            # masking, but not bitwise reference-equal at train time.
             G_i = centers[i].shape[1]
             V = G_i - static_num_masked(self.mask_ratio, G_i)
             if i == n - 1 and not noaug and V < G_i:
@@ -418,14 +424,22 @@ class Point_MDAE_with_fc_center_p(_M2AEBase, _M2AEDecoderMixin):
 
         feats, masks = self.h_encoder(t_neighs, t_centers, idxs, train=train)
 
-        # per-scale global heads: pooled visible feature -> GT centers
+        # per-scale global heads: pooled visible feature -> GT centers.
+        # Reference quirk preserved (Point_M2AE.py:443-453): the visible
+        # tokens are gathered into a (B, maxV, C) ZERO-padded buffer and
+        # max/mean run over the padded length — the max sees a zero row
+        # whenever a sample has fewer visible tokens than the batch max,
+        # and the mean divides by maxV for every row (not the row's own
+        # count). Both artifacts shipped into the released training runs.
         loss_global = jnp.zeros(())
         for i in range(self.scales):
             vis = jnp.logical_not(masks[i])[..., None]
             x = feats[i]
-            cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
-            g = jnp.max(jnp.where(vis, x, -1e9), 1) + \
-                jnp.sum(jnp.where(vis, x, 0.0), 1) / cnt
+            cnt = jnp.sum(vis, 1)                                # (B, 1)
+            maxv = jnp.maximum(jnp.max(cnt), 1.0)
+            gmax = jnp.max(jnp.where(vis, x, -1e9), 1)
+            gmax = jnp.where(cnt < maxv, jnp.maximum(gmax, 0.0), gmax)
+            g = gmax + jnp.sum(jnp.where(vis, x, 0.0), 1) / maxv
             coarse = self.coarse_preds[i](g).reshape(g.shape[0], -1, 3)
             loss_global = loss_global + chamfer_l2(coarse, centers[i])
 

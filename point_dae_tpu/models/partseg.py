@@ -110,9 +110,14 @@ def seg_nll_loss(logp: Array, target: Array) -> Array:
 
 @MODELS.register_module()
 class DGCNNPartSeg(nn.Module):
-    """DGCNN part-segmentation model (segmentation/models/dgcnn_partseg.py):
-    seg-style EdgeConv encoder, global max + one-hot category embedding
-    broadcast to all points, conv head to part logits."""
+    """DGCNN part-segmentation model (segmentation/models/dgcnn_partseg.py —
+    whose live forward unpacks four values from a one-value encoder and
+    crashes as shipped; this implements the evident intent, the canonical
+    AnTao97 DGCNN part-seg layout its commented blocks carry): per-point
+    input = [global(1024) + label-conv(64) broadcast, x1, x2, x3] (1280-d),
+    head conv8(256) dp conv9(256) dp conv10(128) conv11(parts), all
+    bias-free convs + BN + LeakyReLU(0.2). Param names mirror the torch
+    keys (conv7..conv11 / bn7..bn10)."""
     config: dict
 
     @nn.compact
@@ -121,35 +126,45 @@ class DGCNNPartSeg(nn.Module):
 
         parts = self.config.get("cls_dim", 50)
         B, N, _ = pts.shape
-        gfeat, pointwise = DGCNNPartSegEncoder(name="dgcnn_encoder")(
-            pts[..., :3], train=train)
-        lab = nn.Dense(64, use_bias=False, name="label_conv")(cls_label)
+        gfeat, _, (x1, x2, x3) = DGCNNPartSegEncoder(name="dgcnn_encoder")(
+            pts[..., :3], train=train, return_stages=True)
+        # conv7: label one-hot -> 64 (dgcnn_partseg.py:47-49)
+        lab = nn.Dense(64, use_bias=False, name="conv7")(cls_label)
         lab = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, name="label_bn")(lab)
+                           epsilon=1e-5, name="bn7")(lab)
         lab = leaky_relu02(lab)
-        glob = jnp.concatenate([gfeat, lab], -1)
-        # convs0 over concat([pointwise, glob broadcast over N]) — shared
+        glob = jnp.concatenate([gfeat, lab], -1)            # (B, 1088)
+        stages = jnp.concatenate([x1, x2, x3], -1)          # (B, N, 192)
+        # conv8 over concat([glob broadcast over N, x1, x2, x3]) — shared
         # half factorized out of the point axis (exact)
-        h = SplitDense(512, shared_last=True, use_bias=False,
-                       name="convs0")(glob, pointwise)
+        h = SplitDense(256, use_bias=False, name="conv8")(glob, stages)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bns0")(h)
-        h = leaky_relu02(h)
-        h = nn.Dropout(0.5, name="dp0")(h, deterministic=not train)
-        h = nn.Dense(256, use_bias=False, name="convs1")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bns1")(h)
+                         epsilon=1e-5, name="bn8")(h)
         h = leaky_relu02(h)
         h = nn.Dropout(0.5, name="dp1")(h, deterministic=not train)
-        h = nn.Dense(parts, name="head")(h)
+        h = nn.Dense(256, use_bias=False, name="conv9")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn9")(h)
+        h = leaky_relu02(h)
+        h = nn.Dropout(0.5, name="dp2")(h, deterministic=not train)
+        h = nn.Dense(128, use_bias=False, name="conv10")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="bn10")(h)
+        h = leaky_relu02(h)
+        h = nn.Dense(parts, use_bias=False, name="conv11")(h)
         return jax.nn.log_softmax(h, axis=-1)
 
 
 @MODELS.register_module()
 class PointNetNoTPartSeg(nn.Module):
     """PointNet(NoT) part segmentation
-    (segmentation/models/pointnetnot_partseg.py / PointCAE_pointnet_NoT_partseg.py):
-    pointwise MLP features + global max + category one-hot, conv seg head."""
+    (segmentation/models/pointnetnot_partseg.py:10-90 +
+    pointnet_not_util.py:148-209): five pointwise conv+BN stages whose
+    PRE-ReLU bn outputs out1..out5 are the skips, global max over the
+    pre-ReLU out5, RAW 16-d category one-hot concatenated (no label
+    embedding), per-point input [expand(2064), out1..out5] = 4944-d, head
+    convs1(256) convs2(256) convs3(128) convs4(parts) with biases and no
+    dropout. Param names mirror the torch keys."""
     config: dict
 
     @nn.compact
@@ -159,25 +174,24 @@ class PointNetNoTPartSeg(nn.Module):
         h = pts[..., :3]
         feats = []
         for i, d in enumerate((64, 128, 128, 512, 2048)):
-            h = nn.Dense(d, name=f"conv{i}")(h)
+            h = nn.Dense(d, name=f"conv{i + 1}")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn{i}")(h)
+                             epsilon=1e-5, name=f"bn{i + 1}")(h)
+            feats.append(h)                 # pre-ReLU bn outputs (outN)
             h = nn.relu(h)
-            feats.append(h)
-        gfeat = jnp.max(h, axis=1)                          # (B, 2048)
-        lab = nn.Dense(64, name="label_fc")(cls_label)
-        glob = jnp.concatenate([gfeat, lab], -1)
-        # seg0 over concat([pointwise feats, glob broadcast]) — shared half
+        gfeat = jnp.max(feats[-1], axis=1)                  # (B, 2048)
+        glob = jnp.concatenate([gfeat, cls_label], -1)      # (B, 2064)
+        # convs1 over concat([expand broadcast, out1..out5]) — shared half
         # factorized out of the point axis (exact)
-        h = SplitDense(256, shared_last=True, name="seg0")(
-            glob, jnp.concatenate(feats[:4], -1))
+        h = SplitDense(256, name="convs1")(
+            glob, jnp.concatenate(feats, -1))
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="segbn0")(h)
+                         epsilon=1e-5, name="bns1")(h)
         h = nn.relu(h)
-        for i, d in ((1, 256), (2, 128)):
-            h = nn.Dense(d, name=f"seg{i}")(h)
+        for i, d in ((2, 256), (3, 128)):
+            h = nn.Dense(d, name=f"convs{i}")(h)
             h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"segbn{i}")(h)
+                             epsilon=1e-5, name=f"bns{i}")(h)
             h = nn.relu(h)
-        h = nn.Dense(parts, name="head")(h)
+        h = nn.Dense(parts, name="convs4")(h)
         return jax.nn.log_softmax(h, axis=-1)

@@ -328,9 +328,21 @@ _M2AE_RULES = [
      "token_prop{0}/res{1}_bn2"),
     (r"^decoder_norm\.(.*)$", "decoder_norm"),
     # fc-center pretrain heads (Point_M2AE.py:343-366)
-    (r"^coarse_pred_(\d+)\.0\.(weight|bias)$", "coarse_pred{0}/dense0"),
-    (r"^coarse_pred_(\d+)\.2\.(weight|bias)$", "coarse_pred{0}/dense1"),
-    (r"^coarse_pred_(\d+)\.4\.(weight|bias)$", "coarse_pred{0}/dense2"),
+    # fc-center heads: INDEX ORDER IS REVERSED between frameworks — the
+    # reference's coarse_pred_0 consumes the COARSEST scale
+    # (encoder_dims[2] -> 3*num_groups[2], Point_M2AE.py:342-364, applied
+    # to the reversed x_vis_list at :443-453) while our coarse_pred_0 is
+    # the finest (built in num_groups order). Reference M2AE is always
+    # 3-scale, so the mapping is fixed.
+    (r"^coarse_pred_0\.0\.(weight|bias)$", "coarse_pred_2/dense0"),
+    (r"^coarse_pred_0\.2\.(weight|bias)$", "coarse_pred_2/dense1"),
+    (r"^coarse_pred_0\.4\.(weight|bias)$", "coarse_pred_2/dense2"),
+    (r"^coarse_pred_1\.0\.(weight|bias)$", "coarse_pred_1/dense0"),
+    (r"^coarse_pred_1\.2\.(weight|bias)$", "coarse_pred_1/dense1"),
+    (r"^coarse_pred_1\.4\.(weight|bias)$", "coarse_pred_1/dense2"),
+    (r"^coarse_pred_2\.0\.(weight|bias)$", "coarse_pred_0/dense0"),
+    (r"^coarse_pred_2\.2\.(weight|bias)$", "coarse_pred_0/dense1"),
+    (r"^coarse_pred_2\.4\.(weight|bias)$", "coarse_pred_0/dense2"),
     (r"^mask_token$", "mask_token"),
     (r"^rec_head\.(weight|bias)$", "rec_head"),
     # finetune head (Point_M2AE.py _Finetune: Linear BN ReLU Dropout
