@@ -384,7 +384,17 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
                                        if k.startswith("dvae/") else k): v
                     for k, v in d.items()}
 
-        params = merge_pretrained(params, _dv(pflat), logger=logger_name)
+        src = _dv(pflat)
+        hits = set(src) & set(flatten_keys(params))
+        if not hits:
+            # the reference strict-loads the tokenizer
+            # (MaskSurf_v2.py:2086-2091); silently training against a
+            # random-init teacher would waste the whole run
+            raise ValueError(
+                f"dvae_config.ckpt {dvae_ckpt!r} matched 0 of the "
+                f"dvae_teacher parameters - check dvae_config dims "
+                f"(num_tokens/encoder_dims/...) against the checkpoint")
+        params = merge_pretrained(params, src, logger=logger_name)
         if bflat:
             batch_stats = merge_pretrained(batch_stats, _dv(bflat),
                                            logger=logger_name)

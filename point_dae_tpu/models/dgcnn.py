@@ -243,10 +243,12 @@ class DGCNNPartSegEncoder(nn.Module):
     (first two with double conv), 64-d each, 1024-d fuse.
 
     ``return_stages=True`` also yields the per-point 64-d stage features
-    (x1, x2, x3) — the seg head's skip connections in the canonical DGCNN
-    part-seg layout (dgcnn_partseg.py's commented original; its live
-    forward unpacks four values from this encoder's single return, i.e.
-    the reference class crashes as shipped)."""
+    (x1, x2, x3) — the seg head's skips. The reference has TWO encoders of
+    this name: the top-level one returns only the pooled global
+    (models/dgcnn_util.py:222-246) while the segmentation-local one the
+    part-seg model actually imports returns (x1, x2, x3, pooled)
+    (segmentation/models/dgcnn_util.py:168-193); the flag serves both
+    call shapes from one module."""
     k: int = 20
 
     @nn.compact

@@ -204,17 +204,7 @@ class Point_dVAE(nn.Module):
         hard = str(self.config.get("hard", "False")) == "True"
         coarse, fine, neigh, center, logits = self.dvae(
             clean[..., :3], temperature=temp, hard=hard, train=train)
-        from ..losses import chamfer_l1
-
-        B, G, S, _ = neigh.shape
-        gt = neigh.reshape(B * G, S, 3)
-        rec = (chamfer_l1(fine.reshape(B * G, -1, 3), gt)
-               + chamfer_l1(coarse.reshape(B * G, -1, 3), gt))
-        logp = jax.nn.log_softmax(logits, -1)
-        mean_p = jnp.mean(jnp.exp(logp), axis=(0, 1))
-        kl = jnp.sum(mean_p * (jnp.log(mean_p + 1e-10)
-                               + jnp.log(logits.shape[-1])))
-        return rec, kl
+        return dvae_loss_parts(coarse, fine, neigh, logits)
 
     def encode(self, pts: Array, train: bool = False) -> Array:
         """SVM-probe feature: mean + max over per-patch token logits."""
@@ -222,20 +212,28 @@ class Point_dVAE(nn.Module):
         return jnp.max(logits, axis=1) + jnp.mean(logits, axis=1)
 
 
-def dvae_loss(coarse: Array, fine: Array, neigh: Array, logits: Array,
-              kl_weight: float = 0.0):
-    """dVAE training loss: per-patch chamfer(fine, gt) + chamfer(coarse, gt)
-    + optional KL(posterior || uniform) (Point-BERT recipe)."""
+def dvae_loss_parts(coarse: Array, fine: Array, neigh: Array, logits: Array
+                    ) -> Tuple[Array, Array]:
+    """(reconstruction chamfer, codebook KL) — the components of the
+    Point-BERT dVAE objective, shared by ``dvae_loss`` and ``Point_dVAE``."""
     from ..losses import chamfer_l1
 
     B, G, S, _ = neigh.shape
     gt = neigh.reshape(B * G, S, 3)
     rec = (chamfer_l1(fine.reshape(B * G, -1, 3), gt)
            + chamfer_l1(coarse.reshape(B * G, -1, 3), gt))
+    logp = jax.nn.log_softmax(logits, -1)
+    mean_p = jnp.mean(jnp.exp(logp), axis=(0, 1))
+    kl = jnp.sum(mean_p * (jnp.log(mean_p + 1e-10)
+                           + jnp.log(logits.shape[-1])))
+    return rec, kl
+
+
+def dvae_loss(coarse: Array, fine: Array, neigh: Array, logits: Array,
+              kl_weight: float = 0.0):
+    """dVAE training loss: per-patch chamfer(fine, gt) + chamfer(coarse, gt)
+    + optional KL(posterior || uniform) (Point-BERT recipe)."""
+    rec, kl = dvae_loss_parts(coarse, fine, neigh, logits)
     if kl_weight > 0.0:
-        logp = jax.nn.log_softmax(logits, -1)
-        mean_p = jnp.mean(jnp.exp(logp), axis=(0, 1))
-        kl = jnp.sum(mean_p * (jnp.log(mean_p + 1e-10)
-                               + jnp.log(logits.shape[-1])))
         return rec + kl_weight * kl
     return rec

@@ -425,21 +425,20 @@ class Point_MDAE_with_fc_center_p(_M2AEBase, _M2AEDecoderMixin):
         feats, masks = self.h_encoder(t_neighs, t_centers, idxs, train=train)
 
         # per-scale global heads: pooled visible feature -> GT centers.
-        # Reference quirk preserved (Point_M2AE.py:443-453): the visible
-        # tokens are gathered into a (B, maxV, C) ZERO-padded buffer and
-        # max/mean run over the padded length — the max sees a zero row
-        # whenever a sample has fewer visible tokens than the batch max,
-        # and the mean divides by maxV for every row (not the row's own
-        # count). Both artifacts shipped into the released training runs.
+        # Documented deviation (Point_M2AE.py:443-453): the reference pools
+        # over the batch-max PADDED visible buffer, whose pad rows are
+        # encoder OUTPUTS of zero-injected queries — batch-composition-
+        # dependent phantom features that also skew the mean's divisor to
+        # maxV. That artifact is not replicable (it depends on the dynamic
+        # pad widths of each batch), so we pool exactly over each row's
+        # true visible tokens instead.
         loss_global = jnp.zeros(())
         for i in range(self.scales):
             vis = jnp.logical_not(masks[i])[..., None]
             x = feats[i]
-            cnt = jnp.sum(vis, 1)                                # (B, 1)
-            maxv = jnp.maximum(jnp.max(cnt), 1.0)
-            gmax = jnp.max(jnp.where(vis, x, -1e9), 1)
-            gmax = jnp.where(cnt < maxv, jnp.maximum(gmax, 0.0), gmax)
-            g = gmax + jnp.sum(jnp.where(vis, x, 0.0), 1) / maxv
+            cnt = jnp.maximum(jnp.sum(vis, 1), 1.0)
+            g = jnp.max(jnp.where(vis, x, -1e9), 1) + \
+                jnp.sum(jnp.where(vis, x, 0.0), 1) / cnt
             coarse = self.coarse_preds[i](g).reshape(g.shape[0], -1, 3)
             loss_global = loss_global + chamfer_l2(coarse, centers[i])
 

@@ -110,14 +110,13 @@ def seg_nll_loss(logp: Array, target: Array) -> Array:
 
 @MODELS.register_module()
 class DGCNNPartSeg(nn.Module):
-    """DGCNN part-segmentation model (segmentation/models/dgcnn_partseg.py —
-    whose live forward unpacks four values from a one-value encoder and
-    crashes as shipped; this implements the evident intent, the canonical
-    AnTao97 DGCNN part-seg layout its commented blocks carry): per-point
-    input = [global(1024) + label-conv(64) broadcast, x1, x2, x3] (1280-d),
-    head conv8(256) dp conv9(256) dp conv10(128) conv11(parts), all
-    bias-free convs + BN + LeakyReLU(0.2). Param names mirror the torch
-    keys (conv7..conv11 / bn7..bn10)."""
+    """DGCNN part-segmentation model (segmentation/models/dgcnn_partseg.py
+    over the segmentation-local encoder that returns the stage skips,
+    segmentation/models/dgcnn_util.py:168-193): per-point input =
+    [global(1024) + label-conv(64) broadcast, x1, x2, x3] (1280-d), head
+    conv8(256) dp conv9(256) dp conv10(128) conv11(parts), all bias-free
+    convs + BN + LeakyReLU(0.2). Param names mirror the torch keys
+    (conv7..conv11 / bn7..bn10)."""
     config: dict
 
     @nn.compact

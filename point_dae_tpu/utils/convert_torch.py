@@ -235,8 +235,6 @@ _POINTNET2_RULES = [
     (r"^cls\.(weight|bias)$", "cls"),
 ]
 
-# ---- Point-M2AE family (Point_M2AE.py H_Encoder: token_embed /
-# encoder_pos_embeds / encoder_blocks.{i}.blocks.{j} / encoder_norms;
 # ---- dVAE tokenizer (DiscreteVAE, MaskSurf_v2.py:175-209 — the Point-BERT
 # dVAE.pth layout that MaskSurf_v2_token_dis's dvae_config.ckpt points at).
 # Torch roots: encoder. / dgcnn_1. / codebook / dgcnn_2. / decoder. ; our
@@ -265,6 +263,8 @@ _DVAE_RULES = [
     (r"^decoder\.final_conv\.6\.(weight|bias)$", "decoder/final_out"),
 ]
 
+# ---- Point-M2AE family (Point_M2AE.py H_Encoder: token_embed /
+# encoder_pos_embeds / encoder_blocks.{i}.blocks.{j} / encoder_norms;
 # Token_Embed naming from Point_M2AE_modules.py:169-215).
 _M2AE_RULES = [
     (r"^h_encoder\.token_embed\.(\d+)\.first_conv\.0\.(weight|bias)$",

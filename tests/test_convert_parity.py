@@ -1049,3 +1049,77 @@ class TestDVAEConversion:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gf), wf.detach().numpy(),
                                    rtol=1e-3, atol=1e-4)
+
+
+class TorchDetr3Layer(tnn.Module):
+    """3detr pre-norm encoder layer twin (detr/transformer.py:77-159
+    forward_pre): LN -> MultiheadAttention(q=k=v=normed) -> residual;
+    LN -> Linear(ffn) -> ReLU -> Linear(dim) -> residual. Eval mode
+    disables all dropouts."""
+
+    def __init__(self, dim, heads, ffn=128):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.self_attn = tnn.MultiheadAttention(dim, heads, dropout=0.1,
+                                                batch_first=True)
+        self.linear1 = tnn.Linear(dim, ffn)
+        self.linear2 = tnn.Linear(ffn, dim)
+
+    def forward(self, x):
+        h = self.norm1(x)
+        h, _ = self.self_attn(h, h, h)
+        x = x + h
+        h = self.norm2(x)
+        x = x + self.linear2(torch.relu(self.linear1(h)))
+        return x
+
+
+class TestDetr3EncoderParity:
+    def test_layer_matches_torch_multihead_attention(self):
+        """Detr3EncoderLayer reproduces the reference 3detr pre-norm layer
+        (biased in/out attention projections, ffn 128, ReLU) given the same
+        weights — the semantic core of the 3detr backbone rewrite."""
+        from point_dae_tpu.models.detr3 import Detr3EncoderLayer
+
+        torch.manual_seed(31)
+        dim, heads, ffn = 32, 4, 128
+        hd = dim // heads
+        tm = TorchDetr3Layer(dim, heads, ffn).eval()
+        x = torch.randn(2, 10, dim)
+        want = tm(x).detach().numpy()
+
+        fm = Detr3EncoderLayer(dim, heads, ffn)
+        v = fm.init(jax.random.key(0), jnp.asarray(x.numpy()))
+
+        ipw = tm.self_attn.in_proj_weight.detach().numpy()    # (3*dim, dim)
+        ipb = tm.self_attn.in_proj_bias.detach().numpy()
+        opw = tm.self_attn.out_proj.weight.detach().numpy()   # (dim, dim)
+        opb = tm.self_attn.out_proj.bias.detach().numpy()
+
+        def qkv(i):
+            w = ipw[i * dim:(i + 1) * dim]                    # (dim, dim)
+            b = ipb[i * dim:(i + 1) * dim]
+            return {"kernel": w.T.reshape(dim, heads, hd),
+                    "bias": b.reshape(heads, hd)}
+
+        params = {
+            "norm1": {"scale": tm.norm1.weight.detach().numpy(),
+                      "bias": tm.norm1.bias.detach().numpy()},
+            "norm2": {"scale": tm.norm2.weight.detach().numpy(),
+                      "bias": tm.norm2.bias.detach().numpy()},
+            "self_attn": {
+                "query": qkv(0), "key": qkv(1), "value": qkv(2),
+                "out": {"kernel": opw.T.reshape(heads, hd, dim),
+                        "bias": opb}},
+            "linear1": {"kernel": tm.linear1.weight.detach().numpy().T,
+                        "bias": tm.linear1.bias.detach().numpy()},
+            "linear2": {"kernel": tm.linear2.weight.detach().numpy().T,
+                        "bias": tm.linear2.bias.detach().numpy()},
+        }
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        # same tree structure as init
+        assert set(params) == set(v["params"])
+        got = np.asarray(fm.apply({"params": params}, jnp.asarray(x.numpy()),
+                                  deterministic=True))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
