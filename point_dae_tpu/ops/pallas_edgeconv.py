@@ -36,6 +36,26 @@ import jax.numpy as jnp
 Array = jax.Array
 _INF = 1e30
 
+def _sel_dot(onehot_f32: Array, values: Array) -> Array:
+    """f32-exact one-hot selection/scatter matmul on the MXU.
+
+    A DEFAULT-precision f32 dot rounds both operands to bf16 (0.4% rel
+    error observed on hardware), and Mosaic rejects per-operand dot
+    precision. The one-hot operand is already bf16-exact, so split only
+    the VALUE operand into three bf16 chunks covering the f32 mantissa —
+    each chunk dot is then exact (single nonzero product per output
+    element, bf16-representable factors), and the sum reconstructs the
+    f32 value. Same 3-pass MXU cost as the HIGHEST emulation, but legal
+    under Mosaic and exact where a uniform 3-pass product would also
+    split the one-hot for nothing.
+    """
+    hi = values.astype(jnp.bfloat16).astype(jnp.float32)
+    r = values - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r - mid
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    return d(onehot_f32, hi) + d(onehot_f32, mid) + d(onehot_f32, lo)
+
 
 def knn_aggregate_xla(U: Array, idx: Array) -> Tuple[Array, ...]:
     """Reference aggregation: gather U by idx then reduce. Used on CPU, for
@@ -69,8 +89,7 @@ def _fwd_kernel(k, tn, n, xt_ref, xf_ref, u_ref, M_ref, m_ref, s1_ref,
         jstar = jnp.min(jnp.where(d == dmin, cols, n), axis=1,
                         keepdims=True)                         # (tn, 1)
         onehot = (cols == jstar)
-        sel = jnp.dot(onehot.astype(jnp.float32), u,
-                      preferred_element_type=jnp.float32)      # (tn, C)
+        sel = _sel_dot(onehot.astype(jnp.float32), u)          # (tn, C)
         M = jnp.maximum(M, sel)
         m = jnp.minimum(m, sel)
         s1 = s1 + sel
@@ -106,15 +125,20 @@ def _bwd_kernel(k, tn, n, u_ref, idx_ref, M_ref, m_ref, gM_ref, gm_ref,
     M = M_ref[0]
     m = m_ref[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (tn, n), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
     C = u.shape[-1]
+
+    def idx_col(r):
+        # idx[:, r] for a traced r: Mosaic TC has no dynamic_slice on
+        # values, so extract the column as a masked reduction instead.
+        return jnp.sum(jnp.where(colk == r, idx, 0), axis=1)   # (tn,)
 
     # pass 1: recompute selected values, count max/min ties
     def count(r, carry):
         cM, cm = carry
-        onehot = (cols == idx[:, r][:, None])
-        sel = jnp.dot(onehot.astype(jnp.float32), u,
-                      preferred_element_type=jnp.float32)
-        sel_scratch[r] = sel
+        onehot = (cols == idx_col(r)[:, None])
+        sel = _sel_dot(onehot.astype(jnp.float32), u)
+        sel_scratch[pl.ds(r, 1)] = sel[None]
         return cM + (sel == M).astype(jnp.float32), \
             cm + (sel == m).astype(jnp.float32)
 
@@ -128,11 +152,10 @@ def _bwd_kernel(k, tn, n, u_ref, idx_ref, M_ref, m_ref, gM_ref, gm_ref,
 
     # pass 2: per-round cotangent, scattered back as onehot^T matmuls
     def scatter(r, du):
-        sel = sel_scratch[r]
+        sel = sel_scratch[pl.ds(r, 1)][0]
         w = gs1 + 2.0 * sel * gs2 + (sel == M) * wM + (sel == m) * wm
-        onehot = (cols == idx[:, r][:, None]).astype(jnp.float32)
-        return du + jnp.dot(onehot.T, w,
-                            preferred_element_type=jnp.float32)  # (N, C)
+        onehot = (cols == idx_col(r)[:, None]).astype(jnp.float32)
+        return du + _sel_dot(onehot.T, w)                      # (N, C)
 
     du_ref[0] = du_ref[0] + jax.lax.fori_loop(
         0, k, scatter, jnp.zeros((n, C), jnp.float32))
