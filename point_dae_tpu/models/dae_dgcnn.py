@@ -72,7 +72,7 @@ class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
-                                                         "reference"),
+                                                         "auto"),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -100,7 +100,7 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
-                                                         "reference"),
+                                                         "auto"),
                                     name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         # fine folding over concat([grid, point, global]): the global feature
@@ -135,7 +135,7 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
-                                                         "reference"),
+                                                         "auto"),
                                     name="dgcnn_encoder")
         # both stages consume concat([broadcast global feature, per-point]);
         # the shared half of each first Dense is factorized (exact)
@@ -163,7 +163,7 @@ class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
-                                                         "reference"),
+                                                         "auto"),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -205,7 +205,7 @@ class DGCNN(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
-        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return _ClsHead(self.config.get("cls_dim", 40), name="cls_head")(feat, train)
 
@@ -217,7 +217,7 @@ class DGCNN_Linear(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
-        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return nn.Dense(self.config.get("cls_dim", 40), name="cls")(feat)
 
@@ -229,7 +229,7 @@ class DGCNN_feat(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = False) -> Array:
-        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return feat
 
@@ -246,7 +246,7 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
         self.encoder = DGCNNEncoder(remat=bool(self.config.get("remat", False)),
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
-                                                         "reference"),
+                                                         "auto"),
                                     name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
@@ -278,7 +278,7 @@ class DGCNN_MaskFeat(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = False) -> Array:
-        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return feat
 
@@ -291,7 +291,7 @@ class DGCNN_CrossPoint(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
-        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "reference"),
+        feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return _ClsHead(self.config.get("cls_dim", 15), name="cls_head")(
             feat, train)
