@@ -153,8 +153,14 @@ class FusedEdgeConv(nn.Module):
             self.use_pallas and idx is None and supported(N, self.k)
             and jax.devices()[0].platform == "tpu")
         if use_kernel:
+            # bf16 edge projection => Uf's f32 values carry only bf16
+            # mantissas => the kernel's selection dots are exact in a
+            # single MXU pass (3-pass mantissa split would multiply by
+            # all-zero chunks). Scatter in the VJP stays 3-pass.
+            passes = 1 if U.dtype == jnp.bfloat16 else 3
             M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k,
-                                            interpret=self.interpret)
+                                            interpret=self.interpret,
+                                            value_passes=passes)
         else:
             if idx is None:
                 idx = jax.lax.stop_gradient(knn(xf, xf, self.k)[1])

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 Array = jax.Array
 _INF = 1e30
 
-def _sel_dot(onehot_f32: Array, values: Array) -> Array:
+def _sel_dot(onehot_f32: Array, values: Array, passes: int = 3) -> Array:
     """f32-exact one-hot selection/scatter matmul on the MXU.
 
     A DEFAULT-precision f32 dot rounds both operands to bf16 (0.4% rel
@@ -48,12 +48,20 @@ def _sel_dot(onehot_f32: Array, values: Array) -> Array:
     f32 value. Same 3-pass MXU cost as the HIGHEST emulation, but legal
     under Mosaic and exact where a uniform 3-pass product would also
     split the one-hot for nothing.
+
+    ``passes=1`` skips the mantissa split: exact IF every value survives
+    the MXU's bf16 operand rounding (i.e. the f32 values carry only bf16
+    mantissas — true when they were produced by a bf16 matmul and
+    upcast). The caller asserts that precondition; here a 1-pass dot of
+    values with wider mantissas would silently round.
     """
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if passes == 1:
+        return d(onehot_f32, values)
     hi = values.astype(jnp.bfloat16).astype(jnp.float32)
     r = values - hi
     mid = r.astype(jnp.bfloat16).astype(jnp.float32)
     lo = r - mid
-    d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
     return d(onehot_f32, hi) + d(onehot_f32, mid) + d(onehot_f32, lo)
 
 
@@ -67,8 +75,8 @@ def knn_aggregate_xla(U: Array, idx: Array) -> Tuple[Array, ...]:
             jnp.sum(g, axis=2), jnp.sum(g * g, axis=2))
 
 
-def _fwd_kernel(k, tn, n, xt_ref, xf_ref, u_ref, M_ref, m_ref, s1_ref,
-                s2_ref, idx_ref):
+def _fwd_kernel(k, tn, n, value_passes, xt_ref, xf_ref, u_ref, M_ref, m_ref,
+                s1_ref, s2_ref, idx_ref):
     from jax.experimental import pallas as pl  # noqa: F401
 
     q = xt_ref[0].astype(jnp.float32)                          # (tn, Cf)
@@ -89,7 +97,8 @@ def _fwd_kernel(k, tn, n, xt_ref, xf_ref, u_ref, M_ref, m_ref, s1_ref,
         jstar = jnp.min(jnp.where(d == dmin, cols, n), axis=1,
                         keepdims=True)                         # (tn, 1)
         onehot = (cols == jstar)
-        sel = _sel_dot(onehot.astype(jnp.float32), u)          # (tn, C)
+        sel = _sel_dot(onehot.astype(jnp.float32), u,
+                       value_passes)                           # (tn, C)
         M = jnp.maximum(M, sel)
         m = jnp.minimum(m, sel)
         s1 = s1 + sel
@@ -110,8 +119,8 @@ def _fwd_kernel(k, tn, n, xt_ref, xf_ref, u_ref, M_ref, m_ref, s1_ref,
     idx_ref[0] = idx
 
 
-def _bwd_kernel(k, tn, n, u_ref, idx_ref, M_ref, m_ref, gM_ref, gm_ref,
-                gs1_ref, gs2_ref, du_ref, sel_scratch):
+def _bwd_kernel(k, tn, n, value_passes, u_ref, idx_ref, M_ref, m_ref, gM_ref,
+                gm_ref, gs1_ref, gs2_ref, du_ref, sel_scratch):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(1)
@@ -133,11 +142,13 @@ def _bwd_kernel(k, tn, n, u_ref, idx_ref, M_ref, m_ref, gM_ref, gm_ref,
         # values, so extract the column as a masked reduction instead.
         return jnp.sum(jnp.where(colk == r, idx, 0), axis=1)   # (tn,)
 
-    # pass 1: recompute selected values, count max/min ties
+    # pass 1: recompute selected values, count max/min ties. Uses the SAME
+    # value_passes as the forward so the recomputed sel is bit-identical to
+    # the saved M/m (the tie tests below compare them for equality).
     def count(r, carry):
         cM, cm = carry
         onehot = (cols == idx_col(r)[:, None])
-        sel = _sel_dot(onehot.astype(jnp.float32), u)
+        sel = _sel_dot(onehot.astype(jnp.float32), u, value_passes)
         sel_scratch[pl.ds(r, 1)] = sel[None]
         return cM + (sel == M).astype(jnp.float32), \
             cm + (sel == m).astype(jnp.float32)
@@ -161,7 +172,7 @@ def _bwd_kernel(k, tn, n, u_ref, idx_ref, M_ref, m_ref, gM_ref, gm_ref,
         0, k, scatter, jnp.zeros((n, C), jnp.float32))
 
 
-def _aggregate_fwd(U, xf, k, tn, interpret):
+def _aggregate_fwd(U, xf, k, tn, interpret, value_passes):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -169,7 +180,7 @@ def _aggregate_fwd(U, xf, k, tn, interpret):
     Cf = xf.shape[-1]
     tn = min(tn, N)
     assert N % tn == 0, (N, tn)
-    kern = functools.partial(_fwd_kernel, k, tn, N)
+    kern = functools.partial(_fwd_kernel, k, tn, N, value_passes)
     out = pl.pallas_call(
         kern,
         grid=(B, N // tn),
@@ -192,13 +203,14 @@ def _aggregate_fwd(U, xf, k, tn, interpret):
     return out
 
 
-def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret):
+def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
+                   value_passes):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, C = U.shape
     tn = min(tn, N)
-    kern = functools.partial(_bwd_kernel, k, tn, N)
+    kern = functools.partial(_bwd_kernel, k, tn, N, value_passes)
     tile = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)
     du = pl.pallas_call(
@@ -217,25 +229,32 @@ def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret):
     return du
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 128,
-                  interpret: bool = False):
+                  interpret: bool = False, value_passes: int = 3):
     """Fused kNN + neighbor aggregates of U. xf is the (non-differentiable)
     feature basis for the kNN selection; U the values being aggregated.
-    Returns (M, m, S1, S2, idx)."""
-    return _aggregate_fwd(U, xf, k, tn, interpret)
+    Returns (M, m, S1, S2, idx).
+
+    ``value_passes=1`` drops the mantissa split on the selection dots —
+    exact ONLY when U's f32 values carry bf16 mantissas (i.e. U was upcast
+    from a bf16 matmul output; FusedEdgeConv dispatches this when its
+    edge-projection dtype is bfloat16). The gradient SCATTER always keeps
+    3 passes: cotangents are general f32."""
+    return _aggregate_fwd(U, xf, k, tn, interpret, value_passes)
 
 
-def _knn_aggregate_fwd(U, xf, k, tn, interpret):
-    out = _aggregate_fwd(U, xf, k, tn, interpret)
+def _knn_aggregate_fwd(U, xf, k, tn, interpret, value_passes):
+    out = _aggregate_fwd(U, xf, k, tn, interpret, value_passes)
     M, m, s1, s2, idx = out
     return out, (U, idx, M, m)
 
 
-def _knn_aggregate_bwd(k, tn, interpret, res, g):
+def _knn_aggregate_bwd(k, tn, interpret, value_passes, res, g):
     U, idx, M, m = res
     gM, gm, gs1, gs2, _ = g
-    du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret)
+    du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
+                        value_passes)
     # the kNN selection is non-differentiable (CUDA-knn parity): zero
     # cotangent for xf
     return du.astype(U.dtype), None

@@ -138,6 +138,68 @@ class TestFusedEdgeConv:
                                    rtol=1e-3, atol=1e-3)
 
 
+class TestValuePasses:
+    """value_passes=1 drops the mantissa split on the selection dots; it
+    must be BIT-exact vs the 3-pass kernel whenever U carries only bf16
+    mantissas (the FusedEdgeConv bf16-policy dispatch precondition)."""
+
+    @staticmethod
+    def _bf16_mantissa(shape, seed):
+        # f32 values that survive bf16 rounding: round-trip through bf16
+        return _rand(shape, seed).astype(jnp.bfloat16).astype(jnp.float32)
+
+    def test_forward_bit_exact_on_bf16_mantissa(self):
+        B, N, C, Cf, k = 2, 128, 16, 8, 5
+        U = self._bf16_mantissa((B, N, C), 31)
+        xf = _rand((B, N, Cf), 32)
+        out3 = knn_aggregate(U, xf, k, interpret=True, value_passes=3)
+        out1 = knn_aggregate(U, xf, k, interpret=True, value_passes=1)
+        for a, b in zip(out1, out3):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gradient_bit_exact_on_bf16_mantissa(self):
+        B, N, C, Cf, k = 2, 128, 8, 4, 4
+        U = self._bf16_mantissa((B, N, C), 33)
+        xf = _rand((B, N, Cf), 34)
+        w = [_rand((B, N, C), 40 + i) for i in range(4)]
+
+        def loss(U, passes):
+            M, m, S1, S2, _ = knn_aggregate(U, xf, k, interpret=True,
+                                            value_passes=passes)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        g3 = jax.grad(lambda u: loss(u, 3))(U)
+        g1 = jax.grad(lambda u: loss(u, 1))(U)
+        # cotangents w are general f32, so the scatter keeps 3 passes and
+        # the gradients must agree bit-for-bit (only the selection dots —
+        # whose values are bf16-exact — changed pass count)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
+
+    def test_dispatch_uses_single_pass_for_bf16(self, monkeypatch):
+        """FusedEdgeConv(dtype=bf16) must request value_passes=1 from the
+        kernel, and f32 must keep 3 (the exactness precondition)."""
+        from point_dae_tpu.ops import pallas_edgeconv as pe
+
+        seen = {}
+        orig = pe.knn_aggregate
+
+        def spy(U, xf, k, tn=128, interpret=False, value_passes=3):
+            seen["passes"] = value_passes
+            return orig(U, xf, k, tn=tn, interpret=interpret,
+                        value_passes=value_passes)
+
+        monkeypatch.setattr(pe, "knn_aggregate", spy)
+        x = _rand((1, 128, 8), 35)
+        for dt, want in ((jnp.bfloat16, 1), (None, 3)):
+            mod = FusedEdgeConv(12, 4, dtype=dt, use_pallas=True,
+                                interpret=True)
+            v = mod.init({"params": jax.random.key(5)}, x, train=True)
+            mod.apply({"params": v["params"],
+                       "batch_stats": v["batch_stats"]}, x, train=False)
+            assert seen["passes"] == want, (dt, seen)
+
+
 class TestBf16Policy:
     def test_fused_tracks_reference_under_bf16(self):
         """bf16 compute policy: fused forward within tolerance of the

@@ -137,6 +137,28 @@ def main():
     print(f"edgeconv knn_aggregate: idx match {idx_match:.6f}, "
           f"bwd maxdiff {gerr:.2e}")
 
+    # --- single-pass selection dots: bit-exact vs 3-pass on bf16-mantissa
+    # values (the FusedEdgeConv bf16-policy dispatch precondition), fwd+bwd
+    Ub = U.astype(jnp.bfloat16).astype(jnp.float32)
+    out3 = jax.jit(lambda u, f: knn_aggregate(u, f, 20,
+                                              value_passes=3))(Ub, xf)
+    out1 = jax.jit(lambda u, f: knn_aggregate(u, f, 20,
+                                              value_passes=1))(Ub, xf)
+    for a_, b_ in zip(out1, out3):
+        np.testing.assert_array_equal(np.asarray(a_), np.asarray(b_))
+
+    def lvp(u, passes):
+        a, b2, c, d2, _ = knn_aggregate(u, xf, 20, value_passes=passes)
+        return (jnp.sum(w[0] * a) + jnp.sum(w[1] * b2)
+                + jnp.sum(w[2] * c) + jnp.sum(w[3] * d2))
+
+    g3 = jax.jit(jax.grad(lambda u: lvp(u, 3)))(Ub)
+    g1 = jax.jit(jax.grad(lambda u: lvp(u, 1)))(Ub)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
+    ok += 1
+    print("edgeconv value_passes=1: bit-exact fwd+bwd vs 3-pass on "
+          "bf16-mantissa values")
+
     # --- one flagship train step end-to-end
     from __graft_entry__ import FLAGSHIP_CONFIG
     from point_dae_tpu.engine.pretrain import init_model, make_train_step
@@ -159,7 +181,7 @@ def main():
     print(f"flagship train step: loss_xyz={lx:.4f} "
           f"({time.perf_counter() - t0:.1f}s incl. compile)")
 
-    print(f"TPU smoke: {ok}/7 checks passed")
+    print(f"TPU smoke: {ok}/8 checks passed")
 
 
 if __name__ == "__main__":
