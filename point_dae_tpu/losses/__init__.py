@@ -17,7 +17,7 @@ from .chamfer import (
     dis_normalized_l2_strict,
     build_loss_func,
 )
-from .emd import emd_approx, emd_loss
+from .emd import emd_approx, emd_cost, emd_loss
 
 __all__ = [
     "nn_distance", "chamfer_l1", "chamfer_l2", "chamfer_l2_split",
@@ -27,5 +27,5 @@ __all__ = [
     "chamfer_l2_withnormal_strict_normalindex",
     "chamfer_l2_withnormal_onlynormalindex", "chamfer_l2_coarse2fine",
     "dis_normalized_l1", "dis_normalized_l2", "dis_normalized_l2_strict",
-    "build_loss_func", "emd_approx", "emd_loss",
+    "build_loss_func", "emd_approx", "emd_cost", "emd_loss",
 ]

@@ -1,13 +1,21 @@
 """Approximate Earth Mover's Distance.
 
 Role of the reference CUDA ``approxmatch`` kernel
-(``extensions/emd/cuda/emd_kernel.cu:26-158``): an iterative soft-matching
-between two equal-size point sets, followed by the transported cost
-(``matchcost``). The CUDA kernel runs a temperature-annealed auction over
-~7 rounds; the idiomatic TPU equivalent is the same annealed soft assignment
-expressed as dense (B, N, M) softmax updates (SURVEY.md §2.5 sanctions a
-Sinkhorn-like loop as the equivalent). Used only by the optional EMD loss
-path and its test in the reference, so priority is correctness, not speed.
+(``extensions/emd/cuda/emd_kernel.cu:26-158``): an iterative auction-style
+soft matching between two point sets, followed by the transported cost
+(``matchcost``, ``emd_kernel.cu:201-244``). The algorithm runs 10 rounds
+with temperatures ``level = -4^j`` for j = 7..-1 and a final ``level = 0``
+round; each round rows claim capacity against remaining column capacity,
+columns scale back over-committed claims, and the committed transport is
+accumulated. On TPU every round is three dense (B, N, M) contractions —
+ideal MXU/VPU work — so the idiomatic build is the SAME algorithm as
+batched ``lax``-unrolled tensor ops rather than the CUDA per-thread
+shared-memory staging. Verified against a float64 numpy port of the CUDA
+round structure in ``tests/test_losses.py`` (golden oracle).
+
+Used only by the optional EMD loss path and its smoke test in the
+reference (``extensions/emd/test_emd_loss.py``), so priority is
+correctness, not speed.
 """
 from __future__ import annotations
 
@@ -18,56 +26,62 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def emd_approx(xyz1: Array, xyz2: Array, iters: int = 10) -> Array:
+def emd_approx(xyz1: Array, xyz2: Array) -> Array:
     """Approximate match matrix. xyz1: (B, N, D), xyz2: (B, M, D) -> (B, N, M).
 
-    Annealed row/column-rescaled soft assignment: at each round the kernel
-    sharpens an exp(-d / T) affinity and renormalises against remaining
-    row/column capacity, mirroring the reference's ``factor = 2^(6..0)/level``
-    annealing schedule.
+    Faithful re-expression of the reference auction rounds
+    (``emd_kernel.cu:46-156``), vectorised over the batch. The reference
+    stores ``match`` as (B, M, N) with xyz1 as the "dataset" rows; this
+    returns the (B, N, M) transpose so ``match[b, i, j]`` is the mass
+    moved between ``xyz1[b, i]`` and ``xyz2[b, j]``. Capacity
+    initialisation keeps the reference's integer-division semantics
+    (``multiR = n / m`` in C++, ``emd_kernel.cu:29-35``).
     """
     B, N, _ = xyz1.shape
     M = xyz2.shape[1]
+    if N >= M:
+        multi_row, multi_col = 1.0, float(N // M)
+    else:
+        multi_row, multi_col = float(M // N), 1.0
     d = jax.lax.stop_gradient(
-        jnp.sum((xyz1[:, :, None, :] - xyz2[:, None, :, :]) ** 2, -1))
+        jnp.sum((xyz1[:, :, None, :].astype(jnp.float32)
+                 - xyz2[:, None, :, :].astype(jnp.float32)) ** 2, -1))
+
     match = jnp.zeros((B, N, M), jnp.float32)
-    remain_row = jnp.ones((B, N, 1), jnp.float32)
-    remain_col = jnp.ones((B, 1, M), jnp.float32) * (N / M)
+    remain_row = jnp.full((B, N), multi_row, jnp.float32)   # xyz1 capacity
+    remain_col = jnp.full((B, M), multi_col, jnp.float32)   # xyz2 capacity
 
-    def body(i, carry):
-        match, remain_row, remain_col = carry
-        # anneal: early rounds soft, late rounds sharp
-        factor = jnp.exp2(jnp.float32(iters - 1 - i)) * 4.0 / jnp.float32(iters)
-        w = jnp.exp(-d * factor) * remain_col + 1e-9
-        w = w / jnp.sum(w, 2, keepdims=True) * remain_row  # rows claim capacity
-        # column capacity is collective: rescale each column so the SUM over
-        # rows never exceeds its remaining capacity (a per-entry min would let
-        # several rows overcommit the same column in one round)
-        col = jnp.sum(w, 1, keepdims=True)
-        w = w * jnp.minimum(1.0, remain_col / jnp.maximum(col, 1e-9))
-        row = jnp.sum(w, 2, keepdims=True)
-        w = w * jnp.minimum(1.0, remain_row / jnp.maximum(row, 1e-9))
+    # reference schedule: j = 7..-1 with level = -4^j, then level = 0
+    levels = [-(4.0 ** j) for j in range(7, -2, -1)] + [0.0]
+    for level in levels:
+        e = jnp.exp(level * d)                              # (B, N, M)
+        # rows claim capacity against remaining column capacity
+        suml = jnp.einsum("bnm,bm->bn", e, remain_col) + 1e-9
+        ratio_row = remain_row / suml                       # (B, N)
+        # columns scale back over-committed claims
+        sumr = jnp.einsum("bnm,bn->bm", e, ratio_row) * remain_col
+        consumption = jnp.minimum(remain_col / (sumr + 1e-9), 1.0)
+        ratio_col = consumption * remain_col                # (B, M)
+        remain_col = jnp.maximum(0.0, remain_col - sumr)
+        w = e * ratio_row[:, :, None] * ratio_col[:, None, :]
         match = match + w
-        remain_row = jnp.maximum(remain_row - jnp.sum(w, 2, keepdims=True), 0.0)
-        remain_col = jnp.maximum(remain_col - jnp.sum(w, 1, keepdims=True), 0.0)
-        return match, remain_row, remain_col
-
-    match, remain_row, remain_col = jax.lax.fori_loop(
-        0, iters, body, (match, remain_row, remain_col))
-    # final cleanup: spread leftover row mass across leftover column capacity
-    # (the CUDA kernel's factor=0 last round plays the same role)
-    col_share = remain_col / jnp.maximum(jnp.sum(remain_col, 2, keepdims=True), 1e-9)
-    match = match + remain_row * col_share
+        remain_row = jnp.maximum(0.0, remain_row - jnp.sum(w, 2))
     return match
 
 
-def emd_loss(xyz1: Array, xyz2: Array, iters: int = 10) -> Array:
-    """Mean transported squared distance per cloud -> scalar.
+def emd_cost(xyz1: Array, xyz2: Array) -> Array:
+    """Transported squared-distance cost per cloud -> (B,).
 
-    Matches the ``matchcost`` + mean reduction of ``emd.py:5-49`` in the
-    reference wrapper. Differentiable w.r.t. both clouds through the cost
-    (the match itself is treated as constant, as in the CUDA backward)."""
-    match = jax.lax.stop_gradient(emd_approx(xyz1, xyz2, iters))
+    The ``matchcost`` contraction (``emd_kernel.cu:201-244``).
+    Differentiable w.r.t. both clouds through the cost; the match itself
+    is treated as constant, exactly like the CUDA backward
+    (``matchcostgrad1/2``, ``emd_kernel.cu:287-356``)."""
+    match = jax.lax.stop_gradient(emd_approx(xyz1, xyz2))
     d = jnp.sum((xyz1[:, :, None, :] - xyz2[:, None, :, :]) ** 2, -1)
-    cost = jnp.sum(match * d, axis=(1, 2))                    # (B,)
-    return jnp.mean(cost)
+    return jnp.sum(match * d, axis=(1, 2))                  # (B,)
+
+
+def emd_loss(xyz1: Array, xyz2: Array) -> Array:
+    """Reference wrapper semantics (``extensions/emd/emd.py:31-49``):
+    per-cloud cost divided by N1, then mean over the batch -> scalar."""
+    return jnp.mean(emd_cost(xyz1, xyz2) / xyz1.shape[1])

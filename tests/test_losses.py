@@ -101,25 +101,89 @@ class TestLossVariants:
         assert float(coarse0) < 1e-6 and float(fine0) < 1e-6
 
 
+def approxmatch_oracle(xyz1, xyz2):
+    """float64 numpy port of the reference auction matcher
+    (extensions/emd/cuda/emd_kernel.cu:26-158): 10 rounds with
+    level = -4^j for j = 7..-1 then 0; rows claim capacity against
+    remaining column capacity, columns scale back over-commitment.
+    xyz1 (n, 3) 'dataset', xyz2 (m, 3) 'query' -> match (m, n), the CUDA
+    layout. Capacity init keeps the C++ integer-division semantics
+    (multiR = n / m, emd_kernel.cu:29-35)."""
+    n, m = len(xyz1), len(xyz2)
+    if n >= m:
+        multi_l, multi_r = 1.0, float(n // m)
+    else:
+        multi_l, multi_r = float(m // n), 1.0
+    remain_l = np.full(n, multi_l, np.float64)
+    remain_r = np.full(m, multi_r, np.float64)
+    match = np.zeros((m, n), np.float64)
+    d = ((xyz1[None, :, :].astype(np.float64)
+          - xyz2[:, None, :].astype(np.float64)) ** 2).sum(-1)   # (m, n)
+    for j in range(7, -3, -1):
+        level = 0.0 if j == -2 else -(4.0 ** j)
+        e = np.exp(level * d)
+        suml = e.T @ remain_r + 1e-9                             # (n,)
+        ratio_l = remain_l / suml
+        sumr = (e @ ratio_l) * remain_r                          # (m,)
+        consumption = np.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = np.maximum(0.0, remain_r - sumr)
+        w = e * ratio_r[:, None] * ratio_l[None, :]
+        match += w
+        remain_l = np.maximum(0.0, remain_l - w.sum(0))
+    return match
+
+
 class TestEMD:
     def test_zero_on_identical(self, rng):
         x = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
         val = float(losses.emd_loss(x, x))
-        assert val < 1e-2
+        assert val < 1e-4
 
     def test_detects_offset(self, rng):
         x = jnp.array(rng.normal(size=(2, 64, 3)).astype(np.float32))
         y = x + 1.0
-        # EMD of shifted cloud ~ n * shift^2 = 64 * 3
+        # per-point EMD of a unit-diagonal shift ~ shift^2 = 3
         val = float(losses.emd_loss(x, y))
-        assert val > 50.0
+        assert 1.0 < val < 10.0
 
     def test_match_is_doubly_stochasticish(self, rng):
         x = jnp.array(rng.normal(size=(1, 32, 3)).astype(np.float32))
         y = jnp.array(rng.normal(size=(1, 32, 3)).astype(np.float32))
         m = np.asarray(losses.emd_approx(x, y))
         np.testing.assert_allclose(m.sum(2), 1.0, atol=0.05)
-        np.testing.assert_allclose(m.sum(1), 1.0, atol=0.2)
+        np.testing.assert_allclose(m.sum(1), 1.0, atol=0.05)
+
+    def test_golden_vs_reference_oracle(self, rng):
+        """emd_approx/emd_cost reproduce the reference CUDA algorithm:
+        golden vs a float64 numpy port of approxmatch + matchcost."""
+        for n, m in ((16, 16), (32, 32), (48, 16), (64, 64)):
+            x = rng.normal(size=(2, n, 3)).astype(np.float32)
+            y = rng.normal(size=(2, m, 3)).astype(np.float32)
+            got_match = np.asarray(losses.emd_approx(jnp.array(x),
+                                                     jnp.array(y)))
+            got_cost = np.asarray(losses.emd_cost(jnp.array(x),
+                                                  jnp.array(y)))
+            for b in range(2):
+                want_match = approxmatch_oracle(x[b], y[b]).T   # -> (n, m)
+                d = ((x[b][:, None, :] - y[b][None, :, :]) ** 2).sum(-1)
+                want_cost = (want_match * d).sum()
+                np.testing.assert_allclose(got_match[b], want_match,
+                                           rtol=2e-3, atol=2e-3)
+                np.testing.assert_allclose(got_cost[b], want_cost,
+                                           rtol=2e-3)
+
+    def test_gradient_flows_through_cost_only(self, rng):
+        """matchcostgrad semantics: d(cost)/d(xyz) treats match as
+        constant — grad equals sum_j match[i,j] * 2 (x_i - y_j)."""
+        x = jnp.array(rng.normal(size=(1, 12, 3)).astype(np.float32))
+        y = jnp.array(rng.normal(size=(1, 12, 3)).astype(np.float32))
+        g = jax.grad(lambda a: jnp.sum(losses.emd_cost(a, y)))(x)
+        match = np.asarray(losses.emd_approx(x, y))[0]
+        xn, yn = np.asarray(x)[0], np.asarray(y)[0]
+        want = 2.0 * (match.sum(1)[:, None] * xn - match @ yn)
+        np.testing.assert_allclose(np.asarray(g)[0], want,
+                                   rtol=1e-4, atol=1e-5)
 
 
 class TestSmallPatchPallas:
