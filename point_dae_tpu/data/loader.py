@@ -55,13 +55,29 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _indices(self) -> np.ndarray:
+        """Per-host index stream (DistributedSampler role). Hosts take
+        CONTIGUOUS slices of each global batch (host h owns
+        global_batch[h*B : (h+1)*B]) rather than striding the dataset, so
+        the global batch ``make_array_from_process_local_data`` assembles
+        (process slices in process order) is BITWISE the single-process
+        batch — per-sample corruption keys land on the same samples and a
+        k-host run reproduces the 1-host loss exactly
+        (tests/test_multihost.py)."""
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed * 9973 + self.epoch)
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        return idx[self.host_id::self.num_hosts]
+        if self.num_hosts == 1:
+            return idx
+        gb = self.batch_size * self.num_hosts          # global batch
+        nb = len(idx) // gb if self.drop_last else \
+            (len(idx) + gb - 1) // gb
+        out = [idx[g * gb + self.host_id * self.batch_size:
+                   g * gb + (self.host_id + 1) * self.batch_size]
+               for g in range(nb)]
+        return np.concatenate(out) if out else idx[:0]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._indices()

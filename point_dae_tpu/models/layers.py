@@ -239,21 +239,28 @@ class TransformerEncoder(nn.Module):
     drop_path_rate: float = 0.0
     one_pe: bool = False  # TransformerEncoderOnePE variant (:180-197)
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each block in the backward pass: only the (B, T, C)
+    # block inputs are saved instead of every attention/MLP intermediate —
+    # trades cheap recompute FLOPs for HBM traffic (the flagship step is
+    # memory-bound, DESIGN.md §11)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, pos: Array, key_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
+        block_cls = nn.remat(TransformerBlock, static_argnums=(4,)) \
+            if self.remat else TransformerBlock
         if self.one_pe:
             x = x + pos
         for i in range(self.depth):
             if not self.one_pe:
                 x = x + pos
-            x = TransformerBlock(self.embed_dim, self.num_heads,
-                                 drop_path_rate=dpr[i], dtype=self.dtype,
-                                 name=f"block{i}")(
-                x, key_mask=key_mask, deterministic=deterministic)
+            x = block_cls(self.embed_dim, self.num_heads,
+                          drop_path_rate=dpr[i], dtype=self.dtype,
+                          name=f"block{i}")(
+                x, key_mask, None, deterministic)
         return x
 
 

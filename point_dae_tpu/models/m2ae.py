@@ -132,6 +132,11 @@ class HEncoder(nn.Module):
     num_heads: int
     drop_path_rate: float
     mask_ratio: float
+    # True = embed ALL groups at the coarsest stage before gathering visible
+    # (the reference's exact dataflow, Point_M2AE.py:126-133: TokenEmbed BN
+    # statistics over all G). False (default) = embed only the packed
+    # visible subset; bounded by tests/test_bn_subset_bound.py
+    embed_all: bool = False
 
     def setup(self):
         n = len(self.encoder_dims)
@@ -200,9 +205,15 @@ class HEncoder(nn.Module):
                 order = jnp.argsort(jnp.logical_not(vis), axis=-1,
                                     stable=True)             # visible-first
                 vis_idx = order[:, :V]
-                pe = jnp.take_along_axis(embed_in,
-                                         vis_idx[:, :, None, None], axis=1)
-                tokens = self.token_embeds[i](pe, train=train)
+                if self.embed_all:
+                    tok_all = self.token_embeds[i](embed_in, train=train)
+                    tokens = jnp.take_along_axis(tok_all,
+                                                 vis_idx[:, :, None], axis=1)
+                else:
+                    pe = jnp.take_along_axis(embed_in,
+                                             vis_idx[:, :, None, None],
+                                             axis=1)
+                    tokens = self.token_embeds[i](pe, train=train)
                 pos = self.pos_embeds[i](
                     jnp.take_along_axis(centers[i], vis_idx[:, :, None], 1))
                 # guard against any count drift: padding slots (beyond the
@@ -257,7 +268,9 @@ class _M2AEBase(nn.Module):
         c = self.config
         return HEncoder(tuple(c["encoder_dims"]), tuple(c["encoder_depths"]),
                         c["num_heads"], c.get("drop_path_rate", 0.1),
-                        c.get("mask_ratio", 0.8), name="h_encoder")
+                        c.get("mask_ratio", 0.8),
+                        embed_all=bool(c.get("embed_all_groups", False)),
+                        name="h_encoder")
 
     def _group(self, pts):
         return pyramid_group(pts, self.config["num_groups"],

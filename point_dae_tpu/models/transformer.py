@@ -113,6 +113,13 @@ class MaskTransformerEncoder(nn.Module):
     rand_ratio: bool = True
     mask_type: str = "rand"
     dtype: object = None
+    remat: bool = False   # rematerialize ViT blocks (memory-bound steps)
+    # True = embed ALL G patches before gathering visible (the reference's
+    # exact dataflow, PointCAE_transformer.py:440: PatchEncoder BN batch
+    # statistics over all G). False (default) = embed only the packed
+    # visible subset — fewer FLOPs; BN statistics over ~V random patches,
+    # a small unbiased approximation bounded by tests/test_bn_subset_bound.py
+    embed_all: bool = False
 
     def setup(self):
         self.patch_embed = PatchEncoder(self.encoder_dims, dtype=self.dtype,
@@ -121,7 +128,7 @@ class MaskTransformerEncoder(nn.Module):
         self.blocks = TransformerEncoder(self.trans_dim, self.depth,
                                          self.num_heads,
                                          drop_path_rate=self.drop_path_rate,
-                                         dtype=self.dtype,
+                                         dtype=self.dtype, remat=self.remat,
                                          name="blocks")
         self.norm = nn.LayerNorm(name="norm")
 
@@ -168,10 +175,15 @@ class MaskTransformerEncoder(nn.Module):
 
         order = jnp.argsort(mask, axis=-1, stable=True)   # visible-first
         vis_idx = order[:, :V]                            # (B, V)
-        pn = jnp.take_along_axis(neighborhood, vis_idx[:, :, None, None],
-                                 axis=1)
         pc = jnp.take_along_axis(center, vis_idx[:, :, None], axis=1)
-        tokens = self.patch_embed(pn, train=train)        # (B, V, C)
+        if self.embed_all:
+            tokens_all = self.patch_embed(neighborhood, train=train)
+            tokens = jnp.take_along_axis(tokens_all, vis_idx[:, :, None],
+                                         axis=1)          # (B, V, C)
+        else:
+            pn = jnp.take_along_axis(neighborhood,
+                                     vis_idx[:, :, None, None], axis=1)
+            tokens = self.patch_embed(pn, train=train)    # (B, V, C)
         pos = self.pos_embed(pc)
         num_vis = jnp.sum(jnp.logical_not(mask), axis=-1)  # (B,)
         slot_valid = jnp.arange(V)[None, :] < num_vis[:, None]
@@ -194,6 +206,7 @@ class NormalTransformerEncoder(nn.Module):
     encoder_dims: int
     drop_path_rate: float = 0.1
     dtype: object = None
+    remat: bool = False
 
     def setup(self):
         self.patch_embed = PatchEncoder(self.encoder_dims, dtype=self.dtype,
@@ -202,7 +215,7 @@ class NormalTransformerEncoder(nn.Module):
         self.blocks = TransformerEncoder(self.trans_dim, self.depth,
                                          self.num_heads,
                                          drop_path_rate=self.drop_path_rate,
-                                         dtype=self.dtype,
+                                         dtype=self.dtype, remat=self.remat,
                                          name="blocks")
         self.norm = nn.LayerNorm(name="norm")
 
@@ -254,11 +267,14 @@ class _CAETransformerBase(nn.Module):
                 mask_ratio=t.get("mask_ratio", 0.6),
                 rand_ratio=str(t.get("rand_ratio", "False")) == "True",
                 mask_type=t.get("mask_type", "rand"),
+                embed_all=bool(t.get("embed_all_patches", False)),
+                remat=bool(t.get("remat", False)),
                 dtype=self.compute_dtype, name="MAE_encoder")
         return NormalTransformerEncoder(
             trans_dim=t["trans_dim"], depth=t["depth"],
             num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
             drop_path_rate=t.get("drop_path_rate", 0.1),
+            remat=bool(t.get("remat", False)),
             dtype=self.compute_dtype, name="MAE_encoder")
 
     def _make_decoder(self):

@@ -78,6 +78,32 @@ def main():
     byts = float(ca.get("bytes accessed", 0.0)) * scale
     t_comp = flops / (args.peak_tflops * 1e12)
     t_mem = byts / (args.hbm_gbps * 1e9)
+
+    # Bracket the true DRAM traffic (round-3 reconciliation): XLA's
+    # "bytes accessed" counts every HLO operand/result touch, including
+    # VMEM-resident traffic inside fusions — an UPPER bound on HBM bytes
+    # (round-2 measured throughput exceeded the SOL derived from it by
+    # ~9%, which is how we know). The buffer model below is the matching
+    # LOWER bound: every temp buffer the allocator assigns is written
+    # once and read at least once (2x), arguments are read once, outputs
+    # written once; anything the scheduler re-reads or spills adds on top.
+    ma = compiled.memory_analysis()
+    mem = {}
+    try:
+        mem = {
+            "temp_size_bytes": int(ma.temp_size_in_bytes),
+            "argument_size_bytes": int(ma.argument_size_in_bytes),
+            "output_size_bytes": int(ma.output_size_in_bytes),
+        }
+        # params/opt-state dominate argument+output and are batch-
+        # independent; temps scale with batch
+        bytes_lower = (mem["argument_size_bytes"]
+                       + mem["output_size_bytes"]
+                       + 2 * mem["temp_size_bytes"] * scale)
+    except AttributeError:
+        bytes_lower = None
+    t_mem_lower = (bytes_lower / (args.hbm_gbps * 1e9)
+                   if bytes_lower else None)
     sol = max(t_comp, t_mem)
     if sol == 0.0:
         # some backends expose no flops/bytes keys — still emit the JSON
@@ -89,19 +115,28 @@ def main():
         "compile_batch": args.batch,
         "bench_batch": args.bench_batch,
         "flops_per_step": flops,
-        "bytes_per_step": byts,
+        "bytes_per_step_xla_upper": byts,
         "arithmetic_intensity_flops_per_byte": flops / max(byts, 1.0),
         "t_compute_ms": t_comp * 1e3,
-        "t_memory_ms": t_mem * 1e3,
-        "speed_of_light_ms": sol * 1e3,
-        "speed_of_light_clouds_per_sec": args.bench_batch / sol,
+        "t_memory_upper_ms": t_mem * 1e3,
+        "sol_pessimistic_ms": sol * 1e3,
+        "sol_pessimistic_clouds_per_sec": args.bench_batch / sol,
         "bound": "compute" if t_comp >= t_mem else "memory",
         "peak_tflops_assumed": args.peak_tflops,
         "hbm_gbps_assumed": args.hbm_gbps,
         "backend": jax.default_backend(),
-        "t_memory_is_upper_bound": jax.default_backend() != "tpu",
+        "t_memory_is_upper_bound": True,
         "compile_seconds": round(time.time() - t0, 1),
     }
+    out.update(mem)
+    if bytes_lower:
+        sol_opt = max(t_comp, t_mem_lower)
+        out.update({
+            "bytes_per_step_buffer_lower": bytes_lower,
+            "t_memory_lower_ms": t_mem_lower * 1e3,
+            "sol_optimistic_ms": sol_opt * 1e3,
+            "sol_optimistic_clouds_per_sec": args.bench_batch / sol_opt,
+        })
     print(json.dumps(out))
 
 
