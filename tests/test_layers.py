@@ -138,3 +138,35 @@ class TestSplitDense:
         want = ml.apply(vm, cat)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestRematEncoder:
+    def test_remat_matches_plain_fwd_and_grad(self):
+        """remat=True must be a pure memory/FLOP trade: identical outputs
+        AND gradients to the plain encoder (same param tree)."""
+        from point_dae_tpu.models.layers import TransformerEncoder
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+        km = jnp.ones((2, 5), bool).at[1, 3:].set(False)
+
+        plain = TransformerEncoder(16, depth=2, num_heads=2)
+        rem = TransformerEncoder(16, depth=2, num_heads=2, remat=True)
+        v = plain.init(jax.random.key(0), x, pos, km)
+
+        def loss(mod, variables):
+            def f(vs):
+                out = mod.apply(vs, x, pos, km, deterministic=True)
+                return jnp.sum(out ** 2)
+            return jax.value_and_grad(f)(variables)
+
+        l1, g1 = jax.jit(lambda vs: loss(plain, vs))(v)
+        l2, g2 = jax.jit(lambda vs: loss(rem, vs))(v)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        # remat recomputes the forward inside the backward under different
+        # fusion decisions, so gradients agree to f32 epsilon, not bitwise
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            g1, g2)

@@ -137,7 +137,73 @@ def main():
             "sol_optimistic_ms": sol_opt * 1e3,
             "sol_optimistic_clouds_per_sec": args.bench_batch / sol_opt,
         })
+    out["top_hbm_ops"] = _top_hbm_ops(compiled, scale)
     print(json.dumps(out))
+
+
+def _top_hbm_ops(compiled, scale, top: int = 15):
+    """Rank the post-fusion top-level HLO instructions by the HBM bytes
+    they move (operand reads + result writes of inter-fusion buffers).
+    Everything INSIDE a fusion stays in VMEM/registers, so the entry
+    computation's dataflow edges are exactly the buffers that cross HBM —
+    this is the per-op breakdown XLA's aggregate cost analysis lacks."""
+    import re
+
+    txt = compiled.as_text()
+    dt_bytes = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+                "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+                "s8": 1, "u8": 1, "pred": 1}
+
+    def shape_bytes(sh):
+        total = 0
+        for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", sh):
+            if dt not in dt_bytes:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * dt_bytes[dt]
+        return total
+
+    # name -> result-shape bytes for every instruction in the module
+    size = {}
+    inst = re.compile(r"^\s*(?:ROOT )?(%?[\w.\-]+) = ((?:\([^=]*?\)|\S+?)) "
+                      r"(\w[\w\-]*)\(")
+    entry_lines = []
+    in_entry = False
+    for line in txt.splitlines():
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            in_entry = False
+        m = inst.match(line)
+        if not m:
+            continue
+        name, shape, kind = m.groups()
+        size[name.lstrip("%")] = shape_bytes(shape)
+        if in_entry:
+            entry_lines.append((name.lstrip("%"), shape, kind, line))
+
+    rows = []
+    for name, shape, kind, line in entry_lines:
+        if kind in ("parameter", "constant", "get-tuple-element", "tuple",
+                    "bitcast"):
+            continue
+        args_m = re.search(r"\((.*)\)", line[line.index(kind) + len(kind):])
+        in_b = 0
+        if args_m:
+            for op in re.findall(r"%?([\w.\-]+)", args_m.group(1)):
+                in_b += size.get(op, 0)
+        out_b = size.get(name, 0)
+        meta = re.search(r'op_name="([^"]*)"', line)
+        rows.append({"hlo": name, "kind": kind,
+                     "bytes": (in_b + out_b) * scale,
+                     "out_bytes": out_b * scale,
+                     "op_name": (meta.group(1)[-120:] if meta else "")})
+    rows.sort(key=lambda r: -r["bytes"])
+    return rows[:top]
 
 
 if __name__ == "__main__":
