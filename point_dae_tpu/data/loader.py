@@ -3,8 +3,10 @@
 Role of tools/builder.py:15-32 (DataLoader + DistributedSampler) — but much
 thinner, because augmentation/corruption moved on-device: the loader only
 shuffles indices, stacks numpy arrays, and prefetches a couple of batches on
-a worker thread. Per-host sharding for multi-host SPMD is index-striding
-(the NamedSharding on the batch axis does the device placement).
+a worker thread. Per-host sharding for multi-host SPMD hands each host a
+contiguous slice of every global batch (the NamedSharding on the batch
+axis does the device placement); drop_last=False pads the tail global
+batch by wrapping, like torch's DistributedSampler.
 """
 from __future__ import annotations
 
@@ -49,10 +51,17 @@ class DataLoader:
         self.epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset) // self.num_hosts
+        if self.num_hosts == 1:
+            n = len(self.dataset)
+            if self.drop_last:
+                return n // self.batch_size
+            return (n + self.batch_size - 1) // self.batch_size
+        # multi-host: every host sees the same number of GLOBAL batches
+        # (anything else deadlocks the SPMD collectives on the short host)
+        gb = self.batch_size * self.num_hosts
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return len(self.dataset) // gb
+        return (len(self.dataset) + gb - 1) // gb
 
     def _indices(self) -> np.ndarray:
         """Per-host index stream (DistributedSampler role). Hosts take
@@ -72,8 +81,18 @@ class DataLoader:
         if self.num_hosts == 1:
             return idx
         gb = self.batch_size * self.num_hosts          # global batch
-        nb = len(idx) // gb if self.drop_last else \
-            (len(idx) + gb - 1) // gb
+        if self.drop_last:
+            nb = len(idx) // gb
+        else:
+            # pad the tail global batch by wrapping (DistributedSampler
+            # drop_last=False semantics, torch sampler total_size logic):
+            # every host must contribute a FULL local batch to every global
+            # step or the mesh collectives deadlock on the short host
+            nb = (len(idx) + gb - 1) // gb
+            pad = nb * gb - len(idx)
+            if pad > 0 and len(idx) > 0:
+                reps = (pad + len(idx) - 1) // len(idx)
+                idx = np.concatenate([idx, np.tile(idx, reps)[:pad]])
         out = [idx[g * gb + self.host_id * self.batch_size:
                    g * gb + (self.host_id + 1) * self.batch_size]
                for g in range(nb)]

@@ -48,6 +48,27 @@ class TestLoader:
         ids1 = {m for b in l1 for m in b["model_id"]}
         assert not ids0 & ids1
 
+    def test_host_sharding_tail_padding(self):
+        """drop_last=False under multi-host must pad the tail global batch
+        by wrapping (DistributedSampler semantics): every host yields the
+        SAME number of FULL batches — a short/empty host-local tail would
+        deadlock the mesh collectives on the other hosts."""
+        ds = Synthetic({"size": 10, "N_POINTS": 32})  # gb=8 -> tail of 2
+        loaders = [DataLoader(ds, 4, shuffle=False, drop_last=False,
+                              num_hosts=2, host_id=h) for h in (0, 1)]
+        assert [len(l) for l in loaders] == [2, 2]
+        batches = [[b["model_id"] for b in l] for l in loaders]
+        for per_host in batches:
+            assert len(per_host) == 2
+            assert all(len(b) == 4 for b in per_host)
+        # global batch 0 covers samples 0..7 in order; tail batch covers
+        # 8,9 then wraps to 0,1 (host 0) and 2..5 (host 1)
+        assert list(batches[0][0]) + list(batches[1][0]) == [
+            f"{i:06d}" for i in range(8)]
+        tail = list(batches[0][1]) + list(batches[1][1])
+        assert tail[:2] == ["000008", "000009"]
+        assert tail[2:] == [f"{i:06d}" for i in range(6)]
+
     def test_dataset_error_propagates(self):
         """A dataset read error must RAISE on the consumer, not kill the
         prefetch thread before the end sentinel and hang q.get() forever."""
