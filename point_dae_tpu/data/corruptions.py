@@ -38,6 +38,41 @@ _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 # --------------------------------------------------------------- helpers
 
+def _k_smallest_mask(d: Array, mask: Array, k: Array) -> Array:
+    """Boolean mask selecting exactly ``min(k, sum(mask))`` entries of ``d``
+    with the smallest values among the ``mask``-valid ones, ties broken by
+    index order (the same selection a stable argsort + rank comparison
+    makes) — without sorting.
+
+    TPU-native replacement for the argsort + rank-scatter idiom: sorts and
+    scatters are the slow ops on TPU (the argsort version of dropout_local
+    measured 92 ms of the 556 ms bs-256 DGCNN recipe step). Here a 31-step
+    binary search over the float32 bit pattern finds the k-th smallest
+    value exactly — for non-negative floats, IEEE bit order equals value
+    order — then a cumsum picks the first ``k - count_strictly_less`` of
+    the ties. O(31*N) elementwise compares + reductions, fully vectorized.
+
+    ``d`` must be non-negative (squared distances, uniform draws); invalid
+    rows may hold +inf.
+    """
+    bits = jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32)
+    k = k.astype(jnp.int32)
+
+    def bit_step(i, t):
+        cand = t | (jnp.int32(1) << (30 - i))
+        cnt = jnp.sum((bits < cand) & mask, dtype=jnp.int32)
+        return jnp.where(cnt < k, cand, t)
+
+    # v = max{t : count(valid bits < t) < k} == the k-th smallest valid
+    # value (greedy MSB-first construction; the predicate is monotone)
+    v = jax.lax.fori_loop(0, 31, bit_step, jnp.int32(0))
+    strict = (bits < v) & mask
+    extra = k - jnp.sum(strict, dtype=jnp.int32)
+    ties = (bits == v) & mask
+    take_tie = ties & (jnp.cumsum(ties.astype(jnp.int32)) <= extra)
+    return strict | take_tie
+
+
 def pc_normalize(pc: Array, mask: Optional[Array] = None) -> Array:
     """Center and scale to the unit sphere (corrupt_util.py:7-17). With a
     validity ``mask`` (N,) the statistics come from valid rows only — the
@@ -271,10 +306,10 @@ def dropout_local(key: jax.Array, pts: Array, mask: Array,
         r = jnp.where(mask, r, -1.0)
         seed_idx = jnp.argmax(r)
         d = jnp.sum((pts - pts[seed_idx]) ** 2, axis=-1)
-        d = jnp.where(mask, d, jnp.inf)
-        order = jnp.argsort(d)  # nearest remaining first
-        rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-        drop = jnp.logical_and(mask, rank < K)
+        # the K nearest remaining: exact sort-free selection (bitwise the
+        # same mask the stable argsort+rank formulation produced — see the
+        # oracle test in tests/test_corruptions.py)
+        drop = _k_smallest_mask(d, mask, K)
         return jnp.logical_and(mask, jnp.logical_not(drop))
 
     return jax.lax.fori_loop(0, max_clusters - 1, body, mask)
@@ -286,10 +321,10 @@ def dropout_global(key: jax.Array, mask: Array, drop_rate: float = 0.5) -> Array
     n = mask.shape[0]
     n_valid = jnp.sum(mask, dtype=jnp.int32)
     keep = (n_valid.astype(jnp.float32) * (1.0 - drop_rate)).astype(jnp.int32)
-    r = jnp.where(mask, jax.random.uniform(key, (n,)), 2.0)
-    order = jnp.argsort(r)
-    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    return jnp.logical_and(mask, rank < keep)
+    r = jax.random.uniform(key, (n,))
+    # keep the `keep` smallest draws among valid rows (sort-free exact
+    # selection; same keep-set as ranking a stable argsort)
+    return _k_smallest_mask(r, mask, keep)
 
 
 def add_global(key: jax.Array, pts: Array, mask: Array, level: Array,

@@ -15,7 +15,7 @@ from ..ops import group_neighborhood
 from ..utils.registry import MODELS
 from .layers import PosEmbedMLP, TransformerDecoder
 from .transformer import (MaskTransformerEncoder, _CAETransformerBase,
-                          _FoldingLocalHead, _masked_loss_fn)
+                          _masked_loss_fn, fold_head_cls)
 
 Array = jax.Array
 
@@ -89,7 +89,7 @@ class Point_MAE_folding(_CAETransformerBase):
             num_heads=t["decoder_num_heads"],
             drop_path_rate=t.get("drop_path_rate", 0.1), name="MAE_decoder")
         self.mask_token = self._make_mask_token()
-        self.fold = _FoldingLocalHead(t["trans_dim"], name="fold")
+        self.fold = fold_head_cls(t)(t["trans_dim"], name="fold")
         self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
 
     @property

@@ -460,6 +460,26 @@ class _FoldingLocalHead(nn.Module):
         return f2.astype(jnp.float32)                            # (B, G, 36, 3)
 
 
+def fold_head_cls(tcfg):
+    """_FoldingLocalHead with an optional remat knob (default OFF).
+
+    The folding stages' (B, M, 36, trans_dim) hidden activations are the
+    single largest HBM tensors of the flagship train step (361 MB bf16 each
+    at bs 256 — 22x a ViT block's token activations; per-HLO roofline
+    breakdown in evidence/ROOFLINE_r03.json ranks their fwd/bwd dot_generals
+    top). ``transformer_config.remat_fold: True`` recomputes them in the
+    backward via ``nn.remat`` — bitwise-identical params/outputs/gradients
+    (verified) — but measured SLOWER end-to-end (evidence/
+    PROFILE_FLAGSHIP_AB_r03.txt: 76.9 vs 74.0 ms best-of interleaved): the
+    recompute rematerializes the same hiddens through HBM, so it only adds
+    FLOPs. Kept as a memory-pressure escape hatch for larger configs; the
+    byte cut that actually lands is the fused Pallas folding head (see
+    ops/pallas_folding.py), which keeps the hiddens in VMEM."""
+    if str(tcfg.get("remat_fold", "False")) == "True":
+        return nn.remat(_FoldingLocalHead)
+    return _FoldingLocalHead
+
+
 @MODELS.register_module()
 class PointCAE_transformer_folding(_CAETransformerBase):
     """Folding local-patch reconstruction (PointCAE_transformer.py:747-915)."""
@@ -471,7 +491,7 @@ class PointCAE_transformer_folding(_CAETransformerBase):
         self.MAE_decoder = self._make_decoder()
         if self.masked_mode:
             self.mask_token = self._make_mask_token()
-        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"], name="fold")
+        self.fold = fold_head_cls(self.tcfg)(self.tcfg["trans_dim"], name="fold")
         self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
@@ -501,7 +521,7 @@ class PointCAE_transformer_fc_global_folding_local(_CAETransformerBase):
             self.mask_token = self._make_mask_token()
         self.coarse_pred = MLP((1024, 1024, 3 * 64), dtype=self.compute_dtype,
                                name="coarse_pred")
-        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+        self.fold = fold_head_cls(self.tcfg)(self.tcfg["trans_dim"],
                                       dtype=self.compute_dtype, name="fold")
         self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
         self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
@@ -579,9 +599,9 @@ class PointCAE_transformer_folding_global_folding_local(_CAETransformerBase):
         self.MAE_decoder = self._make_decoder()
         if self.masked_mode:
             self.mask_token = self._make_mask_token()
-        self.global_fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+        self.global_fold = fold_head_cls(self.tcfg)(self.tcfg["trans_dim"],
                                              name="global_fold")
-        self.fold = _FoldingLocalHead(self.tcfg["trans_dim"], name="fold")
+        self.fold = fold_head_cls(self.tcfg)(self.tcfg["trans_dim"], name="fold")
         self.loss_fn = _masked_loss_fn(self.config.get("loss", "cdl2"))
         self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
 
@@ -797,7 +817,7 @@ class PointCAE_transformer_fold_center(_CAETransformerBase):
 
     def setup(self):
         self.MAE_encoder = self._make_encoder()
-        self.global_fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+        self.global_fold = fold_head_cls(self.tcfg)(self.tcfg["trans_dim"],
                                              name="global_fold")
         self.global_loss_fn = build_loss_func(self.config.get("loss", "cdl2"))
 
@@ -948,7 +968,7 @@ class PointCAE_transformer_folding_global_fc_local(_CAETransformerBase):
         self.MAE_decoder = self._make_decoder()
         if self.masked_mode:
             self.mask_token = self._make_mask_token()
-        self.global_fold = _FoldingLocalHead(self.tcfg["trans_dim"],
+        self.global_fold = fold_head_cls(self.tcfg)(self.tcfg["trans_dim"],
                                              name="global_fold")
         self.increase_dim = nn.Dense(3 * self.config["group_size"],
                                      name="increase_dim")
