@@ -437,26 +437,93 @@ class PointCAE_transformer(_CAETransformerBase):
         return loss1, jnp.zeros(())
 
 
+class _DenseParams(nn.Module):
+    """Param-only twin of ``nn.Dense``: declares the identical
+    kernel/bias (same names, shapes, initializers, and therefore the same
+    path-keyed init draws) and returns them raw, so a fused kernel and the
+    XLA fallback can share one checkpoint-compatible tree."""
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dout,))
+        return k, b
+
+
+class _SplitMLPParams(nn.Module):
+    """Param tree of a 3-layer SplitMLP (dense0..dense2), values returned
+    raw. Path-identical to the SplitMLP module it replaces."""
+    din0: int
+    feats: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        ps, d = [], self.din0
+        for i, f in enumerate(self.feats):
+            ps.append(_DenseParams(d, f, name=f"dense{i}")())
+            d = f
+        return ps
+
+
+def _split_mlp_apply(params, shared: Array, per_point: Array, dtype):
+    """SplitMLP math on raw params — line-for-line the module's ops
+    (layers.py:88-126: SplitDense factorized first layer, then Dense
+    layers), so outputs are bitwise equal to the previous SplitMLP path
+    (tests/test_pallas_folding.py asserts this)."""
+    (k0, b0), (k1, b1), (k2, b2) = params
+    C = shared.shape[-1]
+    dt = dtype or jnp.result_type(shared.dtype, k0.dtype)
+    ks, ke = k0[:C], k0[C:]
+    sp = shared.astype(dt) @ ks.astype(dt)
+    pp = per_point.astype(dt) @ ke.astype(dt)
+    x = pp + sp[..., None, :] + b0.astype(dt)
+    for k, b in ((k1, b1), (k2, b2)):
+        x = nn.relu(x)
+        x = x.astype(dt) @ k.astype(dt) + b.astype(dt)
+    return x
+
+
 class _FoldingLocalHead(nn.Module):
     """Two-stage folding over a 6x6 grid per token
     (PointCAE_transformer.py:789-803,859-878). Math identical to the
     reference's Dense-on-concat; the shared token-feature half of each
     stage's first matmul is factorized out of the grid axis (exact, see
-    layers.SplitDense)."""
+    layers.SplitDense).
+
+    At bf16 compute on TPU the whole two-stage chain dispatches to the
+    fused Pallas kernel (ops/pallas_folding.py) that keeps the expanded
+    (tile*36, trans_dim) hiddens in VMEM — they are the flagship step's
+    largest HBM tensors otherwise. Same param tree either way."""
     trans_dim: int
     dtype: object = None
+    use_pallas: bool = True
+    interpret: bool = False
 
     @nn.compact
     def __call__(self, x_rec: Array) -> Array:
         B, G, C = x_rec.shape
         grid = jnp.asarray(folding_grid((6, 6), (-0.3, 0.3)))   # (36, 2)
         n = grid.shape[0]
-        gridb = jnp.broadcast_to(grid[None, None], (B, G, n, 2))
-        gridb = gridb.astype(self.dtype or x_rec.dtype)
-        f1 = SplitMLP((self.trans_dim, self.trans_dim, 3), dtype=self.dtype,
-                      name="folding1")(x_rec, gridb)
-        f2 = SplitMLP((self.trans_dim, self.trans_dim, 3), dtype=self.dtype,
-                      name="folding2")(x_rec, f1)
+        F = self.trans_dim
+        p1 = _SplitMLPParams(C + 2, (F, F, 3), name="folding1")()
+        p2 = _SplitMLPParams(C + 3, (F, F, 3), name="folding2")()
+
+        from ..ops.pallas_folding import fused_folding, supported
+        use_kernel = self.interpret or (
+            self.use_pallas and self.dtype == jnp.bfloat16
+            and supported(C, F, n)
+            and jax.devices()[0].platform == "tpu")
+        if use_kernel:
+            f2 = fused_folding(x_rec, grid, p1, p2,
+                               interpret=self.interpret)
+        else:
+            gridb = jnp.broadcast_to(grid[None, None], (B, G, n, 2))
+            gridb = gridb.astype(self.dtype or x_rec.dtype)
+            f1 = _split_mlp_apply(p1, x_rec, gridb, self.dtype)
+            f2 = _split_mlp_apply(p2, x_rec, f1, self.dtype)
         return f2.astype(jnp.float32)                            # (B, G, 36, 3)
 
 
@@ -474,10 +541,19 @@ def fold_head_cls(tcfg):
     recompute rematerializes the same hiddens through HBM, so it only adds
     FLOPs. Kept as a memory-pressure escape hatch for larger configs; the
     byte cut that actually lands is the fused Pallas folding head (see
-    ops/pallas_folding.py), which keeps the hiddens in VMEM."""
+    ops/pallas_folding.py), which keeps the hiddens in VMEM.
+
+    ``transformer_config.fold_impl``: 'auto' (default — the fused kernel
+    whenever the compute dtype is bf16 on TPU) or 'xla' (force the
+    unfused path; the A/B baseline in tools/profile_flagship_ab.py)."""
+    import functools as _ft
+
+    cls = _FoldingLocalHead
     if str(tcfg.get("remat_fold", "False")) == "True":
-        return nn.remat(_FoldingLocalHead)
-    return _FoldingLocalHead
+        cls = nn.remat(cls)
+    if str(tcfg.get("fold_impl", "auto")) == "xla":
+        return _ft.partial(cls, use_pallas=False)
+    return cls
 
 
 @MODELS.register_module()

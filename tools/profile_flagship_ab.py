@@ -1,15 +1,17 @@
 #!/usr/bin/env python
-"""Interleaved A/B of the FULL flagship train step across fold-head remat
-(transformer_config.remat_fold True vs False) at the bench shapes
-(bs 256, raw (256, 8192, 6)).
+"""Interleaved A/B of the FULL flagship train step across folding-head
+implementations at the bench shapes (bs 256, raw (256, 8192, 6)):
+
+  - fused_fold: the Pallas kernel (ops/pallas_folding.py) that keeps the
+    expanded (tile*36, 384) hiddens in VMEM (fold_impl auto, the default)
+  - xla_fold: the unfused SplitMLP path (fold_impl xla)
+  - xla_fold_remat: unfused + nn.remat (the escape-hatch knob)
 
 Why: the per-HLO roofline breakdown ranks the folding head's saved
 (B, M, 36, 384) bf16 hiddens (361 MB each at bs 256) as the step's largest
 HBM tensors, plus the layout copies/async slices XLA stages them through.
-nn.remat recomputes them in the backward — bitwise-identical grads (proved
-on CPU) — trading ~8% extra FLOPs for that traffic on a memory-bound step.
 
-Like tools/profile_dgcnn.py: measure both variants INTERLEAVED over several
+Like tools/profile_dgcnn.py: measure the variants INTERLEAVED over several
 rounds with health probes between rounds, take best-of per variant, flag
 the verdict if any probe is degraded.
 
@@ -72,9 +74,12 @@ def main():
     key = jax.random.key(0)
 
     runners = {}
-    for remat in ("True", "False"):
+    variants = {"fused_fold": {"fold_impl": "auto"},
+                "xla_fold": {"fold_impl": "xla"},
+                "xla_fold_remat": {"fold_impl": "xla", "remat_fold": "True"}}
+    for name, tweaks in variants.items():
         cfg = copy.deepcopy(FLAGSHIP_CONFIG)
-        cfg["model"]["transformer_config"]["remat_fold"] = remat
+        cfg["model"]["transformer_config"].update(tweaks)
         cfg["total_bs"] = B
         config = ConfigDict(cfg)
         model = build_model_from_cfg(config["model"])
@@ -92,11 +97,11 @@ def main():
             m = run()
             _ = float(jax.tree_util.tree_leaves(m)[0].reshape(-1)[0])
         except Exception as e:
-            print(json.dumps({"name": f"step[remat_fold={remat}]",
+            print(json.dumps({"name": f"step[{name}]",
                               "error": type(e).__name__,
                               "detail": str(e)[:200]}), flush=True)
             continue
-        runners[remat] = run
+        runners[name] = run
 
     if not runners:
         print(json.dumps({"name": "verdict", "error": "no variant ran"}),
@@ -107,7 +112,7 @@ def main():
     for r in range(3):
         probes.append(round(probe_tflops(iters=5), 1))
         for k, fn in runners.items():
-            dt = timeit(f"step[remat_fold={k}]@r{r}", fn)
+            dt = timeit(f"step[{k}]@r{r}", fn)
             best[k] = min(best[k], dt)
     probes.append(round(probe_tflops(iters=5), 1))
     print(json.dumps({

@@ -159,6 +159,58 @@ def main():
     print("edgeconv value_passes=1: bit-exact fwd+bwd vs 3-pass on "
           "bf16-mantissa values")
 
+    # --- fused folding head: Mosaic kernel (fwd+bwd) vs the XLA SplitMLP
+    # path at the flagship shapes (C=F=384, 6x6 grid)
+    from point_dae_tpu.models.common import folding_grid
+    from point_dae_tpu.models.transformer import _split_mlp_apply
+    from point_dae_tpu.ops.pallas_folding import fused_folding
+
+    C = F = 384
+    xtok = jnp.asarray(rng.normal(size=(4, 64, C)).astype("f4"))
+    grid = jnp.asarray(folding_grid((6, 6), (-0.3, 0.3)))
+    fp = np.random.default_rng(7)
+
+    def mk(shape):
+        return jnp.asarray((fp.normal(size=shape) / np.sqrt(shape[0]))
+                           .astype("f4"))
+
+    p1 = [(mk((C + 2, F)), mk((F,))), (mk((F, F)), mk((F,))),
+          (mk((F, 3)), mk((3,)))]
+    p2 = [(mk((C + 3, F)), mk((F,))), (mk((F, F)), mk((F,))),
+          (mk((F, 3)), mk((3,)))]
+    tgtf = jnp.asarray(rng.normal(size=(4, 64, 36, 3)).astype("f4"))
+
+    def xla_fold(x, p1, p2):
+        gb = jnp.broadcast_to(grid[None, None], (4, 64, 36, 2))
+        f1 = _split_mlp_apply(p1, x, gb.astype(jnp.bfloat16), jnp.bfloat16)
+        return _split_mlp_apply(p2, x, f1, jnp.bfloat16).astype(jnp.float32)
+
+    def ker_fold(x, p1, p2):
+        return fused_folding(x, grid, p1, p2)
+
+    fa = jax.jit(xla_fold)(xtok, p1, p2)
+    fb = jax.jit(ker_fold)(xtok, p1, p2)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=2 ** -5, atol=2 ** -6)
+
+    def fl(fn):
+        return jax.jit(jax.grad(
+            lambda x, p1, p2: jnp.sum((fn(x, p1, p2) - tgtf) ** 2),
+            argnums=(0, 1, 2)))
+
+    ga = fl(xla_fold)(xtok, p1, p2)
+    gb_ = fl(ker_fold)(xtok, p1, p2)
+    gmax = 0.0
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb_)):
+        la = np.asarray(la, np.float64)
+        lb = np.asarray(lb, np.float64)
+        rel = np.linalg.norm(la - lb) / max(np.linalg.norm(la), 1e-12)
+        gmax = max(gmax, rel)
+    assert gmax < 5e-2, gmax
+    ok += 1
+    print(f"fused folding head: fwd bf16-close, grad rel-err max {gmax:.2e}")
+
     # --- one flagship train step end-to-end
     from __graft_entry__ import FLAGSHIP_CONFIG
     from point_dae_tpu.engine.pretrain import init_model, make_train_step
@@ -181,7 +233,7 @@ def main():
     print(f"flagship train step: loss_xyz={lx:.4f} "
           f"({time.perf_counter() - t0:.1f}s incl. compile)")
 
-    print(f"TPU smoke: {ok}/8 checks passed")
+    print(f"TPU smoke: {ok}/9 checks passed")
 
 
 if __name__ == "__main__":
