@@ -48,18 +48,24 @@ def device_pipeline(key: jax.Array, raw: Array, aug_type, corrupt_type,
     Normals (columns 3:) ride along with the clean sample."""
     from ..ops.pallas_scatter import gather_rows
 
+    from ..ops import resample_batch
+
     B, nraw = raw.shape[:2]
-    k_aug, k_cor, k_s1 = jax.random.split(key, 3)
+    k_aug, k_cor, k_s1, k_s2 = jax.random.split(key, 4)
 
     def per_cloud(k_a, k_c, cloud):
         xyz = C.augment_cloud(k_a, cloud[:, :3], tuple(aug_type))
         full = jnp.concatenate([xyz, cloud[:, 3:]], axis=-1)
-        corrupted = C.corrupt_and_sample(k_c, xyz, tuple(corrupt_type), npoints)
-        return corrupted, full
+        out, mask = C.corrupt_cloud(k_c, xyz, tuple(corrupt_type))
+        return out, mask, full
 
     keys_a = jax.random.split(k_aug, B)
     keys_c = jax.random.split(k_cor, B)
-    corrupted, full = jax.vmap(per_cloud)(keys_a, keys_c, raw)
+    outs, masks, full = jax.vmap(per_cloud)(keys_a, keys_c, raw)
+    # corrupted stream: the per-row masked resample (argsort pack + two
+    # element-at-a-time gathers under vmap) becomes one batched rank-keyed
+    # MXU one-hot gather — same selection, no sort/gather (ops.resample_batch)
+    corrupted = resample_batch(k_s2, outs, masks, npoints)
     # clean stream: batched uniform with-replacement resample (same
     # distribution as the per-sample resample_to; batched so the gather can
     # ride the MXU one-hot kernel instead of a per-row vmap gather)

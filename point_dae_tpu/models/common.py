@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import furthest_point_sample, gather_points, knn, group_points, resample_to
+from ..ops import (furthest_point_sample, gather_points, knn, group_points,
+                   resample_batch)
 
 Array = jax.Array
 
@@ -47,8 +48,7 @@ def dropout_patch_pointmae(key: jax.Array, pts: Array,
     flat_mask = jnp.broadcast_to(keep_patch[None, :, None],
                                  (B, num_group, group_size)
                                  ).reshape(B, num_group * group_size)
-    keys = jax.random.split(k_rs, B)
-    return jax.vmap(lambda k, p, m: resample_to(k, p, m, N))(keys, flat, flat_mask)
+    return resample_batch(k_rs, flat, flat_mask, N)
 
 
 def dropout_global(key: jax.Array, pts: Array, drop_rate: float = 0.5) -> Array:
@@ -62,8 +62,7 @@ def dropout_global(key: jax.Array, pts: Array, drop_rate: float = 0.5) -> Array:
     rank = jnp.zeros((B, N), jnp.int32).at[
         jnp.arange(B)[:, None], order].set(jnp.arange(N, dtype=jnp.int32)[None])
     mask = rank < keep_n
-    keys = jax.random.split(k_rs, B)
-    return jax.vmap(lambda k, p, m: resample_to(k, p, m, N))(keys, pts, mask)
+    return resample_batch(k_rs, pts, mask, N)
 
 
 def apply_input_dropout(key: jax.Array, pts: Array,

@@ -173,12 +173,81 @@ def gather_rows_small_c_pallas(x: Array, idx: Array, tq: int = 1024) -> Array:
     return jnp.swapaxes(out[:, :, :Q], 1, 2).astype(x.dtype)
 
 
+def gather_by_key_small_c_pallas(x: Array, keys: Array, draw: Array,
+                                 tq: int = 1024) -> Array:
+    """Keyed row gather: out[b, q] = x[b, n*] where keys[b, n*] == draw[b, q].
+
+    Same MXU one-hot layout as ``gather_rows_small_c_pallas`` but the
+    one-hot compares a caller-supplied per-row int32 key (e.g. the valid
+    rank of a masked resample) instead of the row index, so a
+    pack-then-gather (argsort + two gathers) collapses into one kernel.
+    Every draw must match at most one key per row (rows whose key matches
+    nothing produce zeros); keys of invalid rows should be set to -1.
+
+    x: (B, N, C<=8) f32, keys: (B, N) int32, draw: (B, Q) int32 ->
+    (B, Q, C) f32. Bit-exact (each output element is one selected product).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = x.shape
+    Q = draw.shape[1]
+    tq = min(tq, Q)
+    pad_q = (-Q) % tq
+    if pad_q:
+        draw = jnp.pad(draw, ((0, 0), (0, pad_q)), constant_values=-2)
+    Qp = Q + pad_q
+    tn = min(N, 2048)
+    assert N % tn == 0, "N must be a multiple of the 2048 source tile"
+    xt = jnp.swapaxes(x, 1, 2)                              # (B, C, N)
+
+    def kernel(d_ref, k_ref, xt_ref, o_ref):
+        n_chunk = pl.program_id(2)
+        dd = d_ref[0]                                       # (1, tq)
+        kk = k_ref[0]                                       # (tn, 1)
+        onehot_t = (jnp.broadcast_to(kk, (tn, tq))
+                    == dd).astype(jnp.float32)              # (tn, tq)
+        contrib = jnp.dot(xt_ref[0].astype(jnp.float32), onehot_t,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+        @pl.when(n_chunk == 0)
+        def _init():
+            o_ref[0] = contrib
+
+        @pl.when(n_chunk > 0)
+        def _acc():
+            o_ref[0] += contrib
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Qp // tq, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq), lambda b, q, n: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda b, q, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tn), lambda b, q, n: (b, 0, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, tq), lambda b, q, n: (b, 0, q)),
+        out_shape=jax.ShapeDtypeStruct((B, C, Qp), jnp.float32),
+    )(draw.astype(jnp.int32)[:, None, :], keys.astype(jnp.int32)[..., None],
+      xt)
+    return jnp.swapaxes(out[:, :, :Q], 1, 2).astype(x.dtype)
+
+
 def _use_mxu_small_c_gather(B: int, Q: int, N: int, C: int,
                             dtype) -> bool:
     on_tpu = jax.default_backend() == "tpu"
     # the one-hot tile (tn<=2048, tq) streams through VMEM; wins only when
-    # the gather is large enough that XLA's per-row movement dominates
-    return (on_tpu and C <= 8 and N % min(N, 2048) == 0
+    # the gather is large enough that XLA's per-row movement dominates AND
+    # the source is small: the kernel's cost is ~N*Q/128^2 MXU weight-load
+    # passes, so at N=8192 XLA's per-element gather is ~2.3 ms faster
+    # (tools/profile_gather.py: take_along 3.9 vs onehot 6.3 ms at
+    # (256, 8192, 3)->1024; kernel wins at N<=2048, e.g. 5.2 vs 8.1 ms at
+    # (256, 1024, 3)->2048)
+    return (on_tpu and C <= 8 and N <= 2048 and N % min(N, 2048) == 0
             and dtype == jnp.float32 and B * Q >= 2 ** 18)
 
 

@@ -169,6 +169,50 @@ class TestResample:
                       static_argnums=3)(keys, pts, mask, 16)
         assert out.shape == (4, 16, 3)
 
+    def test_resample_batch_masked_only_valid(self, rng):
+        pts = rng.normal(size=(3, 64, 3)).astype(np.float32)
+        mask = rng.random(size=(3, 64)) > 0.6
+        mask[:, :2] = True                       # >= 1 valid per row
+        out = np.asarray(ops.resample_batch(
+            jax.random.key(0), jnp.array(pts), jnp.array(mask), 32))
+        assert out.shape == (3, 32, 3)
+        for b in range(3):
+            valid = pts[b][mask[b]]
+            for p in out[b]:
+                assert np.any(np.all(np.isclose(p, valid), axis=-1))
+
+    def test_resample_batch_none_mask_shape(self, rng):
+        pts = jnp.array(rng.normal(size=(3, 64, 3)).astype(np.float32))
+        out = ops.resample_batch(jax.random.key(0), pts, None, 128)
+        assert out.shape == (3, 128, 3)
+        flat = np.asarray(pts).reshape(-1, 3)
+        for p in np.asarray(out).reshape(-1, 3):
+            assert np.any(np.all(np.isclose(p, flat), axis=-1))
+
+    def test_rank_keyed_kernel_equals_argsort_pack(self, rng):
+        """The rank-keyed one-hot gather (interpret mode) selects bitwise
+        the same points as the stable argsort-pack + double-gather it
+        replaces (the q-th packed valid point is the rank-q valid point)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from point_dae_tpu.ops.pallas_scatter import \
+            gather_by_key_small_c_pallas
+
+        pts = jnp.array(rng.normal(size=(4, 64, 3)).astype(np.float32))
+        mask = jnp.array(rng.random(size=(4, 64)) > 0.4)
+        mask = mask.at[:, 0].set(True)
+        cnt = jnp.maximum(jnp.sum(mask, axis=1, dtype=jnp.int32), 1)
+        draw = jax.random.randint(jax.random.key(3), (4, 50), 0,
+                                  cnt[:, None])
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+        keys_ = jnp.where(mask, rank, -1)
+        with pltpu.force_tpu_interpret_mode():
+            got = gather_by_key_small_c_pallas(pts, keys_, draw, tq=16)
+        order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True)
+        pos = jnp.take_along_axis(order, draw, axis=1)
+        want = jnp.take_along_axis(pts, pos[..., None], axis=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
 
 class TestPallasFPS:
     def test_matches_xla_path(self, rng):

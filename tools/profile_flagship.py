@@ -104,6 +104,11 @@ def main():
     timeit("group_neighborhood_G64S32", grp, clean[..., :3])
 
     # ---- model forward / backward on precomputed (corrupted, clean) ------
+    # the full-step timing donated the original init buffers into the jitted
+    # step; measure fwd/bwd on the LIVE post-step state instead
+    params = holder["s"].params
+    batch_stats = holder["s"].batch_stats
+
     def loss_fn(p, bs, cor, cln):
         (l1, l2), _ = model.apply(
             {"params": p, "batch_stats": bs}, cor, cln, train=True,

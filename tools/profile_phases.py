@@ -97,7 +97,14 @@ def main():
 
     def rsamp(k, pts):
         return resample_to(k, pts, jnp.ones(pts.shape[0], bool), npts)
-    timeit("resample_to[masked]", batched(rsamp), key, xyz)
+    timeit("resample_to[masked] (per-row vmap)", batched(rsamp), key, xyz)
+
+    from point_dae_tpu.ops import resample_batch
+
+    def rsamp_b(k, pts):
+        return resample_batch(k, pts, jnp.ones(pts.shape[:2], bool), npts)
+    timeit("resample_batch[masked rank-keyed kernel]", jax.jit(rsamp_b),
+           key, xyz)
 
     # ---- loss + optimizer costs at recipe shapes
     a = jnp.asarray(rng.normal(size=(B, npts, 3)).astype(np.float32))
