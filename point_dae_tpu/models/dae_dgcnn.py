@@ -73,6 +73,8 @@ class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
                                                          "auto"),
+                                    exact_grads=bool(self.config.get(
+                                        "edgeconv_exact_grads", False)),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -101,6 +103,8 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
                                                          "auto"),
+                                    exact_grads=bool(self.config.get(
+                                        "edgeconv_exact_grads", False)),
                                     name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         # fine folding over concat([grid, point, global]): the global feature
@@ -136,6 +140,8 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
                                                          "auto"),
+                                    exact_grads=bool(self.config.get(
+                                        "edgeconv_exact_grads", False)),
                                     name="dgcnn_encoder")
         # both stages consume concat([broadcast global feature, per-point]);
         # the shared half of each first Dense is factorized (exact)
@@ -164,6 +170,8 @@ class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
                                                          "auto"),
+                                    exact_grads=bool(self.config.get(
+                                        "edgeconv_exact_grads", False)),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -206,6 +214,8 @@ class DGCNN(nn.Module):
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
         feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
+                               exact_grads=bool(self.config.get(
+                                   "edgeconv_exact_grads", False)),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return _ClsHead(self.config.get("cls_dim", 40), name="cls_head")(feat, train)
 
@@ -218,6 +228,8 @@ class DGCNN_Linear(nn.Module):
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
         feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
+                               exact_grads=bool(self.config.get(
+                                   "edgeconv_exact_grads", False)),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return nn.Dense(self.config.get("cls_dim", 40), name="cls")(feat)
 
@@ -230,6 +242,8 @@ class DGCNN_feat(nn.Module):
     @nn.compact
     def __call__(self, pts: Array, train: bool = False) -> Array:
         feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
+                               exact_grads=bool(self.config.get(
+                                   "edgeconv_exact_grads", False)),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return feat
 
@@ -247,6 +261,8 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
                                     dtype=self.compute_dtype,
                                     impl=self.config.get("edgeconv_impl",
                                                          "auto"),
+                                    exact_grads=bool(self.config.get(
+                                        "edgeconv_exact_grads", False)),
                                     name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
@@ -279,6 +295,8 @@ class DGCNN_MaskFeat(nn.Module):
     @nn.compact
     def __call__(self, pts: Array, train: bool = False) -> Array:
         feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
+                               exact_grads=bool(self.config.get(
+                                   "edgeconv_exact_grads", False)),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return feat
 
@@ -292,6 +310,8 @@ class DGCNN_CrossPoint(nn.Module):
     @nn.compact
     def __call__(self, pts: Array, train: bool = True) -> Array:
         feat, _ = DGCNNEncoder(impl=self.config.get("edgeconv_impl", "auto"),
+                               exact_grads=bool(self.config.get(
+                                   "edgeconv_exact_grads", False)),
                          name="dgcnn_encoder")(pts[..., :3], train=train)
         return _ClsHead(self.config.get("cls_dim", 15), name="cls_head")(
             feat, train)

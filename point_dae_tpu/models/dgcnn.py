@@ -137,6 +137,7 @@ class FusedEdgeConv(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = True
     interpret: bool = False
+    exact_grads: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True,
@@ -156,11 +157,17 @@ class FusedEdgeConv(nn.Module):
             # bf16 edge projection => Uf's f32 values carry only bf16
             # mantissas => the kernel's selection dots are exact in a
             # single MXU pass (3-pass mantissa split would multiply by
-            # all-zero chunks). Scatter in the VJP stays 3-pass.
+            # all-zero chunks). Under bf16 the backward SCATTER also drops
+            # to one pass: du flows straight into the bf16 edge-projection
+            # backward, which rounds it to bf16 regardless — the same
+            # rounding every Dense in the bf16 net applies to its grads.
+            # ``exact_grads=True`` restores the 3-pass f32-exact scatter.
             passes = 1 if U.dtype == jnp.bfloat16 else 3
+            gpasses = 3 if self.exact_grads else passes
             M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k,
                                             interpret=self.interpret,
-                                            value_passes=passes)
+                                            value_passes=passes,
+                                            grad_passes=gpasses)
         else:
             if idx is None:
                 idx = jax.lax.stop_gradient(knn(xf, xf, self.k)[1])
@@ -198,17 +205,27 @@ class DGCNNEncoder(nn.Module):
     ``impl`` selects the EdgeConv implementation: 'reference' (edge tensor
     + Dense, the original layout), 'fused' (split-projection + gathered
     aggregates, XLA), 'fused_pallas' (split-projection + the fused
-    kNN/aggregate kernel — no edge tensor or distance matrix in HBM).
-    All three share one parameter tree.
+    kNN/aggregate kernel — no edge tensor or distance matrix in HBM), or
+    'auto' (fused_pallas on TPU, reference elsewhere — FusedEdgeConv
+    additionally falls back to the XLA aggregates per-layer when the kernel
+    does not support the shape). All impls share one parameter tree.
     """
     k: int = 20
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
     impl: str = "reference"
+    exact_grads: bool = False
+
+    def _resolved_impl(self) -> str:
+        if self.impl != "auto":
+            return self.impl
+        return ("fused_pallas" if jax.devices()[0].platform == "tpu"
+                else "reference")
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Tuple[Array, Array]:
-        if self.impl in ("fused", "fused_pallas"):
+        impl = self._resolved_impl()
+        if impl in ("fused", "fused_pallas"):
             # remat composes with the fused impls too (recompute the whole
             # block in the bwd; mostly moot for fused_pallas, whose residual
             # is just the (B, N, k) indices, but honoring the flag beats
@@ -216,7 +233,8 @@ class DGCNNEncoder(nn.Module):
             cls = nn.remat(FusedEdgeConv, static_argnums=(2,)) if self.remat \
                 else FusedEdgeConv
             FEC = functools.partial(cls,
-                                    use_pallas=self.impl == "fused_pallas")
+                                    use_pallas=impl == "fused_pallas",
+                                    exact_grads=self.exact_grads)
             x1 = FEC(64, self.k, self.dtype, name="ec1")(x, train)
             x2 = FEC(64, self.k, self.dtype, name="ec2")(x1, train)
             x3 = FEC(128, self.k, self.dtype, name="ec3")(x2, train)

@@ -119,8 +119,8 @@ def _fwd_kernel(k, tn, n, value_passes, xt_ref, xf_ref, u_ref, M_ref, m_ref,
     idx_ref[0] = idx
 
 
-def _bwd_kernel(k, tn, n, value_passes, u_ref, idx_ref, M_ref, m_ref, gM_ref,
-                gm_ref, gs1_ref, gs2_ref, du_ref, sel_scratch):
+def _bwd_kernel(k, tn, n, value_passes, grad_passes, u_ref, idx_ref, M_ref,
+                m_ref, gM_ref, gm_ref, gs1_ref, gs2_ref, du_ref, sel_scratch):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(1)
@@ -161,12 +161,15 @@ def _bwd_kernel(k, tn, n, value_passes, u_ref, idx_ref, M_ref, m_ref, gM_ref,
     gs1 = gs1_ref[0]
     gs2 = gs2_ref[0]
 
-    # pass 2: per-round cotangent, scattered back as onehot^T matmuls
+    # pass 2: per-round cotangent, scattered back as onehot^T matmuls.
+    # grad_passes=1 rounds the cotangent operand to bf16 (the one-hot side
+    # is exact either way) — see knn_aggregate's docstring for when that is
+    # the right trade.
     def scatter(r, du):
         sel = sel_scratch[pl.ds(r, 1)][0]
         w = gs1 + 2.0 * sel * gs2 + (sel == M) * wM + (sel == m) * wm
         onehot = (cols == idx_col(r)[:, None]).astype(jnp.float32)
-        return du + _sel_dot(onehot.T, w)                      # (N, C)
+        return du + _sel_dot(onehot.T, w, grad_passes)         # (N, C)
 
     du_ref[0] = du_ref[0] + jax.lax.fori_loop(
         0, k, scatter, jnp.zeros((n, C), jnp.float32))
@@ -204,13 +207,13 @@ def _aggregate_fwd(U, xf, k, tn, interpret, value_passes):
 
 
 def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
-                   value_passes):
+                   value_passes, grad_passes):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, C = U.shape
     tn = min(tn, N)
-    kern = functools.partial(_bwd_kernel, k, tn, N, value_passes)
+    kern = functools.partial(_bwd_kernel, k, tn, N, value_passes, grad_passes)
     tile = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)
     du = pl.pallas_call(
@@ -229,9 +232,10 @@ def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
     return du
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 128,
-                  interpret: bool = False, value_passes: int = 3):
+                  interpret: bool = False, value_passes: int = 3,
+                  grad_passes: int = 3):
     """Fused kNN + neighbor aggregates of U. xf is the (non-differentiable)
     feature basis for the kNN selection; U the values being aggregated.
     Returns (M, m, S1, S2, idx).
@@ -239,22 +243,32 @@ def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 128,
     ``value_passes=1`` drops the mantissa split on the selection dots —
     exact ONLY when U's f32 values carry bf16 mantissas (i.e. U was upcast
     from a bf16 matmul output; FusedEdgeConv dispatches this when its
-    edge-projection dtype is bfloat16). The gradient SCATTER always keeps
-    3 passes: cotangents are general f32."""
+    edge-projection dtype is bfloat16).
+
+    ``grad_passes=1`` drops the mantissa split on the backward SCATTER
+    dots (the tie-count recompute already follows ``value_passes``). Unlike
+    the forward case this is NOT exact — cotangents are general f32, so the
+    scatter's value operand rounds to bf16 per contribution before the f32
+    accumulation. It is the right default whenever the aggregate feeds a
+    bf16 matmul (FusedEdgeConv: du's next hop is the bf16 edge-projection
+    backward, which rounds it to bf16 anyway — a full-mantissa scatter
+    spends 3x the step's dominant MXU cost preserving bits the very next op
+    discards). The scatter dots are ~60% of the whole DGCNN train step's
+    MXU work (DESIGN.md §10c), so this is a first-order lever."""
     return _aggregate_fwd(U, xf, k, tn, interpret, value_passes)
 
 
-def _knn_aggregate_fwd(U, xf, k, tn, interpret, value_passes):
+def _knn_aggregate_fwd(U, xf, k, tn, interpret, value_passes, grad_passes):
     out = _aggregate_fwd(U, xf, k, tn, interpret, value_passes)
     M, m, s1, s2, idx = out
     return out, (U, idx, M, m)
 
 
-def _knn_aggregate_bwd(k, tn, interpret, value_passes, res, g):
+def _knn_aggregate_bwd(k, tn, interpret, value_passes, grad_passes, res, g):
     U, idx, M, m = res
     gM, gm, gs1, gs2, _ = g
     du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
-                        value_passes)
+                        value_passes, grad_passes)
     # the kNN selection is non-differentiable (CUDA-knn parity): zero
     # cotangent for xf
     return du.astype(U.dtype), None

@@ -177,27 +177,82 @@ class TestValuePasses:
         np.testing.assert_array_equal(np.asarray(g1), np.asarray(g3))
 
     def test_dispatch_uses_single_pass_for_bf16(self, monkeypatch):
-        """FusedEdgeConv(dtype=bf16) must request value_passes=1 from the
-        kernel, and f32 must keep 3 (the exactness precondition)."""
+        """FusedEdgeConv(dtype=bf16) must request value_passes=1 AND
+        grad_passes=1 from the kernel (the backward scatter's output feeds
+        the bf16 edge-projection backward, which rounds it to bf16 anyway);
+        f32 must keep 3/3, and exact_grads=True must pin grad_passes=3."""
         from point_dae_tpu.ops import pallas_edgeconv as pe
 
         seen = {}
         orig = pe.knn_aggregate
 
-        def spy(U, xf, k, tn=128, interpret=False, value_passes=3):
+        def spy(U, xf, k, tn=128, interpret=False, value_passes=3,
+                grad_passes=3):
             seen["passes"] = value_passes
+            seen["grad_passes"] = grad_passes
             return orig(U, xf, k, tn=tn, interpret=interpret,
-                        value_passes=value_passes)
+                        value_passes=value_passes, grad_passes=grad_passes)
 
         monkeypatch.setattr(pe, "knn_aggregate", spy)
         x = _rand((1, 128, 8), 35)
-        for dt, want in ((jnp.bfloat16, 1), (None, 3)):
+        for dt, exact, want, want_g in ((jnp.bfloat16, False, 1, 1),
+                                        (jnp.bfloat16, True, 1, 3),
+                                        (None, False, 3, 3)):
             mod = FusedEdgeConv(12, 4, dtype=dt, use_pallas=True,
-                                interpret=True)
+                                interpret=True, exact_grads=exact)
             v = mod.init({"params": jax.random.key(5)}, x, train=True)
             mod.apply({"params": v["params"],
                        "batch_stats": v["batch_stats"]}, x, train=False)
             assert seen["passes"] == want, (dt, seen)
+            assert seen["grad_passes"] == want_g, (dt, exact, seen)
+
+
+class TestGradPasses:
+    """grad_passes changes MXU operand rounding on hardware. In interpreter
+    mode every dot is an exact f32 dot, so 1-pass is exactly the true
+    cotangent and 3-pass differs only by the mantissa-split's final f32
+    additions (~1 ulp of w per contribution) — agreement at ~1e-6 relative
+    pins that the knob changes rounding, not the scatter algebra."""
+
+    def test_gradient_structure_identical_in_interpret(self):
+        B, N, C, Cf, k = 2, 128, 8, 4, 4
+        U = _rand((B, N, C), 51)
+        xf = _rand((B, N, Cf), 52)
+        w = [_rand((B, N, C), 60 + i) for i in range(4)]
+
+        def loss(U, gp):
+            M, m, S1, S2, _ = knn_aggregate(U, xf, k, interpret=True,
+                                            grad_passes=gp)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        g3 = jax.grad(lambda u: loss(u, 3))(U)
+        g1 = jax.grad(lambda u: loss(u, 1))(U)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g3),
+                                   rtol=3e-6, atol=1e-6)
+
+
+class TestAutoImplResolution:
+    def test_auto_resolves_to_reference_off_tpu(self):
+        """'auto' must resolve by backend: reference EdgeConv off-TPU,
+        fused_pallas on TPU (bench.py and every default config rely on
+        this; an unresolved 'auto' used to fall through to reference
+        everywhere)."""
+        from point_dae_tpu.models.dgcnn import DGCNNEncoder
+
+        enc = DGCNNEncoder(impl="auto")
+        assert enc._resolved_impl() == "reference"  # CPU test mesh
+        assert DGCNNEncoder(impl="fused")._resolved_impl() == "fused"
+
+    def test_auto_resolves_to_fused_pallas_on_tpu(self, monkeypatch):
+        from point_dae_tpu.models import dgcnn as dg
+
+        class _Dev:
+            platform = "tpu"
+
+        monkeypatch.setattr(dg.jax, "devices", lambda: [_Dev()])
+        assert dg.DGCNNEncoder(impl="auto")._resolved_impl() == "fused_pallas"
+        assert dg.DGCNNEncoder(impl="reference")._resolved_impl() == "reference"
 
 
 class TestBf16Policy:

@@ -159,6 +159,27 @@ def main():
     print("edgeconv value_passes=1: bit-exact fwd+bwd vs 3-pass on "
           "bf16-mantissa values")
 
+    # --- single-pass gradient scatter (grad_passes=1): per-contribution
+    # bf16 rounding of the cotangent operand; must track the exact 3-pass
+    # scatter within bf16 relative error (the FusedEdgeConv bf16 dispatch —
+    # du's consumer is the bf16 edge-projection backward)
+    def lgp(u, gp_):
+        a, b2, c, d2, _ = knn_aggregate(u, xf, 20, value_passes=1,
+                                        grad_passes=gp_)
+        return (jnp.sum(w[0] * a) + jnp.sum(w[1] * b2)
+                + jnp.sum(w[2] * c) + jnp.sum(w[3] * d2))
+
+    ge = np.asarray(jax.jit(jax.grad(lambda u: lgp(u, 3)))(Ub))
+    g1p = np.asarray(jax.jit(jax.grad(lambda u: lgp(u, 1)))(Ub))
+    scale = np.abs(ge).max()
+    rel = np.abs(g1p - ge).max() / scale
+    cos = float((g1p * ge).sum()
+                / (np.linalg.norm(g1p) * np.linalg.norm(ge)))
+    assert rel < 1e-2 and cos > 0.99999, (rel, cos)
+    ok += 1
+    print(f"edgeconv grad_passes=1: rel maxdiff {rel:.2e}, cosine {cos:.6f} "
+          "vs exact 3-pass scatter")
+
     # --- fused folding head: Mosaic kernel (fwd+bwd) vs the XLA SplitMLP
     # path at the flagship shapes (C=F=384, 6x6 grid)
     from point_dae_tpu.models.common import folding_grid
@@ -233,7 +254,7 @@ def main():
     print(f"flagship train step: loss_xyz={lx:.4f} "
           f"({time.perf_counter() - t0:.1f}s incl. compile)")
 
-    print(f"TPU smoke: {ok}/9 checks passed")
+    print(f"TPU smoke: {ok}/10 checks passed")
 
 
 if __name__ == "__main__":
