@@ -103,17 +103,25 @@ def _rot_from_eulers(angles: Array) -> Array:
     return _mm(rz, _mm(ry, rx))
 
 
-def _sample_ball(key: jax.Array, n: int) -> Array:
-    """Uniform points inside the unit sphere (corrupt_util.py:42-56)."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    radius = jax.random.uniform(k1, (n, 1)) ** (1.0 / 3.0)
-    costheta = jax.random.uniform(k2, (n, 1), minval=-1.0, maxval=1.0)
+def ball_from_draws(radius_u: Array, costheta: Array, phi: Array) -> Array:
+    """Deterministic part of unit-ball sampling given the three uniform draw
+    vectors (corrupt_util.py:42-56: radius = u^(1/3), theta = arccos(u'),
+    so sin(theta) = sqrt(1 - u'^2) >= 0). Draw-level oracle entry point."""
+    radius = radius_u ** (1.0 / 3.0)
     sintheta = jnp.sqrt(jnp.maximum(1.0 - costheta ** 2, 0.0))
-    phi = jax.random.uniform(k3, (n, 1), minval=0.0, maxval=2 * math.pi)
     return jnp.concatenate(
         [radius * sintheta * jnp.cos(phi),
          radius * sintheta * jnp.sin(phi),
          radius * costheta], axis=1)
+
+
+def _sample_ball(key: jax.Array, n: int) -> Array:
+    """Uniform points inside the unit sphere (corrupt_util.py:42-56)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return ball_from_draws(
+        jax.random.uniform(k1, (n, 1)),
+        jax.random.uniform(k2, (n, 1), minval=-1.0, maxval=1.0),
+        jax.random.uniform(k3, (n, 1), minval=0.0, maxval=2 * math.pi))
 
 
 def _multinomial_sizes(key: jax.Array, total: Array, num_clusters: Array,
@@ -129,6 +137,15 @@ def _multinomial_sizes(key: jax.Array, total: Array, num_clusters: Array,
     Returns (max_clusters,) with zeros past num_clusters.
     """
     picks = jax.random.randint(key, (n_max,), 0, jnp.maximum(num_clusters, 1))
+    return histogram_sizes(picks, total, max_clusters)
+
+
+def histogram_sizes(picks: Array, total: Array, max_clusters: int) -> Array:
+    """Histogram of the first ``total`` cluster picks over ``max_clusters``
+    bins — the deterministic part of ``_gen_random_cluster_sizes``
+    (corrupt_util.py:30-39: randint(num_clusters, size=total) histogram).
+    Draw-level oracle entry point."""
+    n_max = picks.shape[0]
     live = jnp.arange(n_max) < total                          # (n_max,)
     bins = jnp.arange(max_clusters)                           # (C,)
     sizes = jnp.sum(live[:, None]
@@ -170,22 +187,32 @@ def affine_reflection(key, level):
     return jnp.diag(signs), jnp.zeros(3)
 
 
+def shear_matrix(s: Array) -> Array:
+    """Unit-diagonal shear from the 6 off-diagonal draws, row-major order
+    (corrupt_util.py:412-428). Draw-level oracle entry point."""
+    return jnp.array([[1.0, s[0], s[1]],
+                      [s[2], 1.0, s[3]],
+                      [s[4], s[5], 1.0]])
+
+
 def affine_shear(key, level, clip: float = 0.5):
     """corrupt_shear_p5 (:412-428): unit diagonal, off-diag U(-clip, clip)."""
     s = jax.random.uniform(key, (6,), minval=-clip, maxval=clip)
-    a = jnp.array([[1.0, s[0], s[1]],
-                   [s[2], 1.0, s[3]],
-                   [s[4], s[5], 1.0]])
-    return a, jnp.zeros(3)
+    return shear_matrix(s), jnp.zeros(3)
+
+
+def rotz_matrix(ang: Array) -> Array:
+    """Z-rotation matrix for row-vector application x @ R
+    (corrupt_util.py:537-552). Draw-level oracle entry point."""
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
 def affine_rotate_z(key, level):
     """corrupt_rotate_z_360 (:537-552): z rotation, clip scaled by level."""
     clip = math.pi / 5.0 * (level + 1.0)
     ang = jax.random.uniform(key, (), minval=-clip, maxval=clip)
-    c, s = jnp.cos(ang), jnp.sin(ang)
-    a = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
-    return a, jnp.zeros(3)
+    return rotz_matrix(ang), jnp.zeros(3)
 
 
 _AFFINE_FNS: Dict[str, Callable] = {
@@ -222,8 +249,7 @@ def _shear_small(key, level):
     """corrupt_shear_small (:520-535): clip = 0.02*(level+1)."""
     clip = 0.02 * (level + 1.0)
     s = jax.random.uniform(key, (6,), minval=-clip, maxval=clip)
-    a = jnp.array([[1.0, s[0], s[1]], [s[2], 1.0, s[3]], [s[4], s[5], 1.0]])
-    return a, jnp.zeros(3)
+    return shear_matrix(s), jnp.zeros(3)
 
 
 _AFFINE_FNS["shear_small"] = _shear_small
@@ -344,11 +370,30 @@ def add_global(key: jax.Array, pts: Array, mask: Array, level: Array,
     return out, jnp.concatenate([mask, tail_mask], axis=0)
 
 
+def cluster_slots(sizes: Array, extra: int) -> Array:
+    """Cluster id of each of ``extra`` contiguous append slots given the
+    per-cluster sizes (the reference fills add_pcd[num_added:num_added+K]
+    contiguously, corrupt_util.py:856-862). Draw-level oracle entry point."""
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(sizes)])
+    slot = jnp.arange(extra)
+    return jnp.sum(slot[:, None] >= cum[None, 1:], axis=1)        # (extra,)
+
+
+def sphere_pullback(p: Array) -> Array:
+    """Pull points outside the unit sphere back by dividing by their squared
+    norm — the reference's exact (unusual) formula, corrupt_util.py:866-867:
+    every coordinate of an outside row is divided by the same row dist.
+    Draw-level oracle entry point."""
+    d2 = jnp.sum(p ** 2, axis=1, keepdims=True)
+    return jnp.where(d2 > 1.0, p / d2, p)
+
+
 def add_local(key: jax.Array, pts: Array, mask: Array, level: Array,
               capacity: int, max_clusters: int = 8) -> Tuple[Array, Array]:
-    """corrupt_add_local (:844-870): gaussian blobs (sigma ~ U(0.075, 0.125))
-    around randomly chosen surface points, total int(N*(level+1)*0.1) points,
-    split over 1..7 clusters; blobs outside the unit sphere are pulled back.
+    """corrupt_add_local (:844-870): gaussian blobs (sigma ~ U(0.075, 0.125)
+    drawn PER CLUSTER, :858) around randomly chosen surface points, total
+    int(N*(level+1)*0.1) points, split over 1..7 clusters; blobs outside the
+    unit sphere are pulled back.
     """
     n = pts.shape[0]
     extra = capacity - n
@@ -359,22 +404,21 @@ def add_local(key: jax.Array, pts: Array, mask: Array, level: Array,
     num_clusters = jax.random.randint(k_nc, (), 1, max_clusters)
     sizes = _multinomial_sizes(k_sizes, total, num_clusters,
                                max_clusters - 1, n_max=extra)
-    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(sizes)])
-    # assign each of the `extra` slots to a cluster id
-    slot = jnp.arange(extra)
-    cluster_of = jnp.sum(slot[:, None] >= cum[None, 1:], axis=1)   # (extra,)
+    cluster_of = cluster_slots(sizes, extra)
     # anchors: random valid surface points, one per cluster
     r = jnp.where(mask, jax.random.uniform(k_anchor, (n,)), -1.0)
     anchor_order = jnp.argsort(-r)[: max_clusters - 1]
     anchors = pts[anchor_order]                                     # (C, 3)
-    sigma = jax.random.uniform(k_sigma, (), minval=0.075, maxval=0.125)
-    noise = sigma * jax.random.normal(k_noise, (extra, 3))
-    new_pts = anchors[jnp.clip(cluster_of, 0, max_clusters - 2)] + noise
-    # pull points outside the unit sphere back (per-coordinate, as reference)
-    d2 = jnp.sum(new_pts ** 2, axis=1, keepdims=True)
-    new_pts = jnp.where(d2 > 1.0, new_pts / d2, new_pts)
+    ci = jnp.clip(cluster_of, 0, max_clusters - 2)
+    # sigma is drawn once per cluster (ref :858), not once per call — a
+    # round-4 draw-level-oracle finding: the joint distribution differs
+    # (clusters have independent spreads)
+    sigmas = jax.random.uniform(k_sigma, (max_clusters - 1,),
+                                minval=0.075, maxval=0.125)
+    noise = sigmas[ci][:, None] * jax.random.normal(k_noise, (extra, 3))
+    new_pts = sphere_pullback(anchors[ci] + noise)
     out = jnp.concatenate([pts, new_pts], axis=0)
-    tail_mask = slot < total
+    tail_mask = jnp.arange(extra) < total
     return out, jnp.concatenate([mask, tail_mask], axis=0)
 
 

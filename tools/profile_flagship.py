@@ -103,6 +103,32 @@ def main():
     grp = jax.jit(lambda p: group_neighborhood(p, G, S))
     timeit("group_neighborhood_G64S32", grp, clean[..., :3])
 
+    # front-end internals: FPS vs center-gather+kNN vs patch-gather
+    from point_dae_tpu.ops.geometry import (furthest_point_sample,
+                                            gather_points, group_points, knn)
+
+    xyz = clean[..., :3]
+    fps = jax.jit(lambda p: furthest_point_sample(p, G))
+    timeit("fps_only_1024to64", fps, xyz)
+    fps_idx = fps(xyz)
+    ctr = jax.jit(gather_points)
+    timeit("center_gather", ctr, xyz, fps_idx)
+    center0 = ctr(xyz, fps_idx)
+    knn_j = jax.jit(lambda c, p: knn(c, p, S)[1])
+    timeit("knn_only_64q_1024db_k32", knn_j, center0, xyz)
+    kidx = knn_j(center0, xyz)
+    gp = jax.jit(group_points)
+    timeit("patch_gather_64x32", gp, xyz, kidx)
+
+    # in-model patch corruption (affine_r3 + Drop-Patch)
+    from point_dae_tpu.data.corruptions_patch import corrupt_patches
+
+    neigh0, center1 = grp(xyz)
+    abs_neigh = neigh0 + center1[:, :, None, :]
+    cp = jax.jit(lambda k, a, c: corrupt_patches(
+        k, a, c, tuple(config["model"]["corrupt_type"])))
+    timeit("corrupt_patches_affine_droppatch", cp, key, abs_neigh, center1)
+
     # ---- model forward / backward on precomputed (corrupted, clean) ------
     # the full-step timing donated the original init buffers into the jitted
     # step; measure fwd/bwd on the LIVE post-step state instead
