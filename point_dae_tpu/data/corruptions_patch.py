@@ -93,9 +93,15 @@ def _params(key: jax.Array, name: str, batch: int, level: float,
             jax.random.uniform(key, (batch,), minval=-math.pi, maxval=math.pi))
         return _batched_rot(ang), zeros, ones
     if name == "reflection":
-        # :251-292
-        signs = jnp.where(jax.random.bernoulli(key, 0.5, (batch, 3)), 1.0, -1.0)
-        return eye, zeros, signs
+        # :251-292 — reference quirk preserved (round-4 draw-level-oracle
+        # finding): the tensor library writes the z-axis flip to matrix
+        # entry [0][0] (Rz[:,0,0,0] = reflection[:,2], :278-280), so the
+        # effective transform is diag(r0*r2, r1, 1): x gets the product of
+        # two coin flips, y one flip, z is NEVER flipped. Equivalent in
+        # distribution: two independent +-1 draws on (x, y), z fixed.
+        signs = jnp.where(jax.random.bernoulli(key, 0.5, (batch, 2)), 1.0, -1.0)
+        return eye, zeros, jnp.concatenate(
+            [signs, jnp.ones((batch, 1))], axis=1)
     if name == "shear":
         # :306-343: clip = (level+1)*0.1
         clip = (level + 1.0) * 0.1
@@ -242,17 +248,24 @@ def scan_density_patches(key: jax.Array, neigh: Array, center: Array,
                          level=None) -> Array:
     """density (corrupt_util_tensor.py:531-577): view-dependent thinning;
     dropped in-patch points are replaced by the patch center (the reference's
-    gather trick with index 33 -> center slot)."""
+    gather trick with index 33 -> center slot).
+
+    Reference quirks preserved (round-4 draw-level-oracle findings):
+    - the computed ``gate = level + 1`` is DEAD in the tensor library: the
+      selection is ``dist < r_list`` with no gate factor (:568), so the
+      severity level does not modulate the thinning at all;
+    - the reference's gather additionally reorders each patch
+      (dropped-as-center slots first, then kept points); we replace
+      in place — the same multiset, and every consumer (PatchEncoder
+      max-pool) is permutation-invariant.
+    """
     B, G, S, _ = neigh.shape
     k_lv, k_v, k_r = jax.random.split(key, 3)
-    if level is None:
-        level = jax.random.uniform(k_lv, (), minval=0.0, maxval=4.0)
-    gate = level + 1.0
     v = jax.random.normal(k_v, (3,))
     v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
     dist = jnp.linalg.norm(neigh - v[None, None, None, :], axis=-1) / 2.0
     r = jax.random.uniform(k_r, (B, G, S))
-    keep = dist * gate < r  # NOTE reference compares dist < r then gathers
+    keep = dist < r
     return jnp.where(keep[..., None], neigh, center[:, :, None, :])
 
 
