@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import (furthest_point_sample, gather_points, knn, group_points,
-                   resample_batch)
+from ..ops import (fps_knn, furthest_point_sample, gather_points, knn,
+                   group_points, resample_batch)
 
 Array = jax.Array
 
@@ -36,9 +36,7 @@ def dropout_patch_pointmae(key: jax.Array, pts: Array,
     k_lv, k_mask, k_rs = jax.random.split(key, 3)
     level = jax.random.uniform(k_lv, (), minval=0.0, maxval=4.0)
     prob = level / 10.0 + 0.5
-    fps_idx = furthest_point_sample(pts, num_group)
-    center = gather_points(pts, fps_idx)
-    _, idx = knn(center, pts, group_size)                   # (B, G, S)
+    _, _, idx = fps_knn(pts, num_group, group_size)         # (B, G, S)
     keep_patch = jax.random.uniform(k_mask, (num_group,)) > prob
     # at least one patch survives (reference: group_mask[0] = True)
     keep_patch = keep_patch.at[0].set(jnp.logical_or(keep_patch[0],

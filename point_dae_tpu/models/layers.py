@@ -244,10 +244,20 @@ class TransformerEncoder(nn.Module):
     # trades cheap recompute FLOPs for HBM traffic (the flagship step is
     # memory-bound, DESIGN.md §11)
     remat: bool = False
+    # run the residual stream itself at this dtype (bf16 halves the
+    # (B, T, C) activation traffic of every block boundary in a
+    # memory-bound step). The stream dtype is inherited from the entry
+    # cast: blocks preserve x.dtype (TransformerBlock casts branch
+    # outputs back to it), and the f32 LayerNorm that every consumer
+    # applies after the stack restores f32 outputs.
+    residual_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array, pos: Array, key_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
+        if self.residual_dtype is not None:
+            x = x.astype(self.residual_dtype)
+            pos = pos.astype(self.residual_dtype)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
         block_cls = nn.remat(TransformerBlock, static_argnums=(4,)) \
@@ -275,10 +285,14 @@ class TransformerDecoder(nn.Module):
     drop_path_rate: float = 0.0
     one_pe: bool = False
     dtype: Optional[jnp.dtype] = None
+    residual_dtype: Optional[jnp.dtype] = None  # see TransformerEncoder
 
     @nn.compact
     def __call__(self, x: Array, pos: Array, key_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
+        if self.residual_dtype is not None:
+            x = x.astype(self.residual_dtype)
+            pos = pos.astype(self.residual_dtype)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
         if self.one_pe:

@@ -114,6 +114,7 @@ class MaskTransformerEncoder(nn.Module):
     mask_type: str = "rand"
     dtype: object = None
     remat: bool = False   # rematerialize ViT blocks (memory-bound steps)
+    residual_dtype: object = None  # bf16 residual stream (layers.py)
     # True = embed ALL G patches before gathering visible (the reference's
     # exact dataflow, PointCAE_transformer.py:440: PatchEncoder BN batch
     # statistics over all G). False (default) = embed only the packed
@@ -129,6 +130,7 @@ class MaskTransformerEncoder(nn.Module):
                                          self.num_heads,
                                          drop_path_rate=self.drop_path_rate,
                                          dtype=self.dtype, remat=self.remat,
+                                         residual_dtype=self.residual_dtype,
                                          name="blocks")
         self.norm = nn.LayerNorm(name="norm")
 
@@ -207,6 +209,7 @@ class NormalTransformerEncoder(nn.Module):
     drop_path_rate: float = 0.1
     dtype: object = None
     remat: bool = False
+    residual_dtype: object = None
 
     def setup(self):
         self.patch_embed = PatchEncoder(self.encoder_dims, dtype=self.dtype,
@@ -216,6 +219,7 @@ class NormalTransformerEncoder(nn.Module):
                                          self.num_heads,
                                          drop_path_rate=self.drop_path_rate,
                                          dtype=self.dtype, remat=self.remat,
+                                         residual_dtype=self.residual_dtype,
                                          name="blocks")
         self.norm = nn.LayerNorm(name="norm")
 
@@ -257,6 +261,16 @@ class _CAETransformerBase(nn.Module):
     def all_patch(self) -> bool:
         return str(self.config.get("all_patch", "False")) == "True"
 
+    @property
+    def residual_dtype(self):
+        """Optional bf16 residual stream ('residual_dtype': 'bf16'): the
+        (B, T, C) activations crossing every ViT block boundary — the
+        flagship step's largest HBM bucket (tools/hbm_by_component.py) —
+        are carried at bf16; the f32 LayerNorm after each stack restores
+        f32 outputs. Off by default (parity mode is full f32)."""
+        d = self.tcfg.get("residual_dtype")
+        return jnp.bfloat16 if str(d) in ("bf16", "bfloat16") else None
+
     def _make_encoder(self):
         t = self.tcfg
         if self.masked_mode:
@@ -269,12 +283,14 @@ class _CAETransformerBase(nn.Module):
                 mask_type=t.get("mask_type", "rand"),
                 embed_all=bool(t.get("embed_all_patches", False)),
                 remat=bool(t.get("remat", False)),
+                residual_dtype=self.residual_dtype,
                 dtype=self.compute_dtype, name="MAE_encoder")
         return NormalTransformerEncoder(
             trans_dim=t["trans_dim"], depth=t["depth"],
             num_heads=t["num_heads"], encoder_dims=t["encoder_dims"],
             drop_path_rate=t.get("drop_path_rate", 0.1),
             remat=bool(t.get("remat", False)),
+            residual_dtype=self.residual_dtype,
             dtype=self.compute_dtype, name="MAE_encoder")
 
     def _make_decoder(self):
@@ -283,6 +299,7 @@ class _CAETransformerBase(nn.Module):
             embed_dim=t["trans_dim"], depth=t["decoder_depth"],
             num_heads=t["decoder_num_heads"],
             drop_path_rate=t.get("drop_path_rate", 0.1),
+            residual_dtype=self.residual_dtype,
             dtype=self.compute_dtype, name="MAE_decoder")
 
     def _group_and_corrupt(self, pts: Array, train: bool):

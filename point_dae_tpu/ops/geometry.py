@@ -218,6 +218,40 @@ def three_interpolate(features: Array, idx: Array, dist: Array,
     return jnp.sum(neigh * w[..., None], axis=2)
 
 
+def fps_knn(xyz: Array, num_group: int, group_size: int,
+            ) -> Tuple[Array, Array, Array]:
+    """FPS centers + kNN patch membership: the patchify front-end shared by
+    ``group_neighborhood`` and Drop-Patch corruption.
+
+    xyz: (B, N, 3) -> (fps_idx (B, G) int32, center (B, G, 3),
+    idx (B, G, S) int32 ascending by distance).
+
+    On TPU at training shapes this is ONE fused Pallas program
+    (ops/pallas_patchify.py): the FPS loop's per-iteration distance rows are
+    reused as the kNN distance matrix, so the whole serialized front-end
+    (two CUDA kernels + a wheel in the reference) costs a single kernel with
+    no HBM round-trips between phases.
+    """
+    import os
+
+    B, N = xyz.shape[0], xyz.shape[1]
+    if (os.environ.get("PDAE_FUSED_PATCHIFY", "auto") != "0"
+            and jax.default_backend() == "tpu" and N >= 512 and N % 128 == 0
+            and num_group % 8 == 0 and group_size >= 8
+            and num_group * N * 4 <= 8 * 2 ** 20):
+        from .pallas_patchify import fused_patchify_pallas
+
+        fps_idx, idx = fused_patchify_pallas(
+            jax.lax.stop_gradient(xyz.astype(jnp.float32)),
+            num_group, group_size)
+        center = gather_points(xyz, fps_idx)
+        return fps_idx, center, idx
+    fps_idx = furthest_point_sample(xyz, num_group)
+    center = gather_points(xyz, fps_idx)
+    _, idx = knn(center, xyz, group_size)
+    return fps_idx, center, idx
+
+
 def group_neighborhood(xyz: Array, num_group: int, group_size: int,
                        features: Optional[Array] = None,
                        ) -> Tuple[Array, Array]:
@@ -228,9 +262,7 @@ def group_neighborhood(xyz: Array, num_group: int, group_size: int,
     (neighborhood_with_features (B, G, S, 3+C), center) where only the xyz part
     is centered.
     """
-    fps_idx = furthest_point_sample(xyz, num_group)
-    center = gather_points(xyz, fps_idx)                   # (B, G, 3)
-    _, idx = knn(center, xyz, group_size)                  # (B, G, S)
+    _, center, idx = fps_knn(xyz, num_group, group_size)
     neighborhood = group_points(xyz, idx)                  # (B, G, S, 3)
     neighborhood = neighborhood - center[:, :, None, :]
     if features is not None:

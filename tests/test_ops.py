@@ -336,3 +336,34 @@ class TestGatherRowsScatterBwd:
             got = scatter_rows_add_pallas(idx, g, 16, tq=16)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestFusedPatchify:
+    def test_matches_unfused_front_end(self, rng):
+        """Fused FPS+kNN Pallas program (interpret mode) == the composed
+        furthest_point_sample -> gather -> knn pipeline, idx-exact (both
+        phases recompute distances coordinate-wise, so no near-tie
+        divergence on generic float inputs)."""
+        from point_dae_tpu.ops.pallas_patchify import fused_patchify_pallas
+
+        B, N, G, S = 3, 512, 16, 8
+        pts = jnp.array(rng.normal(size=(B, N, 3)).astype(np.float32))
+        fps_want = ops.furthest_point_sample(pts, G)
+        center = ops.gather_points(pts, fps_want)
+        _, knn_want = ops.knn(center, pts, S)
+        fps_got, knn_got = fused_patchify_pallas(pts, G, S, batch_tile=2,
+                                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(fps_got),
+                                      np.asarray(fps_want))
+        np.testing.assert_array_equal(np.asarray(knn_got),
+                                      np.asarray(knn_want))
+
+    def test_fps_knn_wrapper_off_tpu(self, rng):
+        """ops.fps_knn returns the composed-path results on CPU (the fused
+        kernel only dispatches on real TPU) with idx sorted ascending."""
+        pts = jnp.array(rng.normal(size=(2, 256, 3)).astype(np.float32))
+        fps_idx, center, idx = ops.fps_knn(pts, 8, 4)
+        assert fps_idx.shape == (2, 8) and center.shape == (2, 8, 3)
+        assert idx.shape == (2, 8, 4)
+        np.testing.assert_allclose(np.asarray(center),
+                                   np.asarray(ops.gather_points(pts, fps_idx)))
