@@ -45,19 +45,25 @@ class _MaskSurfBase(_CAETransformerBase):
         return True
 
     def _group_surfels(self, surfels: Array):
-        """(B, N, 3+A) -> centered xyz patches, attribute patches, centers."""
+        """(B, N, 3+A) -> (centered xyz patches, attribute patches, centers,
+        center attributes). The center attributes are those of the
+        FPS-selected points themselves (MaskSurf_v2.py:266-269:
+        ``gather_operation(attribute_only, fps_idx)``), not any patch
+        aggregate."""
+        from ..ops import fps_knn, gather_points, group_points
+
         G, S = self.config["num_group"], self.config["group_size"]
-        neigh, center = group_neighborhood(surfels[..., :3], G, S,
-                                           features=surfels[..., 3:])
-        xyz = neigh[..., :3]
-        attr = neigh[..., 3:]
-        return xyz, attr, center
+        fps_idx, center, idx = fps_knn(surfels[..., :3], G, S)
+        xyz = group_points(surfels[..., :3], idx) - center[:, :, None, :]
+        attr = group_points(surfels[..., 3:], idx)
+        center_attr = gather_points(surfels[..., 3:], fps_idx)
+        return xyz, attr, center, center_attr
 
     def _run(self, clean: Array, train: bool):
-        xyz, attr, center = self._group_surfels(clean)
+        xyz, attr, center, center_attr = self._group_surfels(clean)
         x_vis, mask = self.MAE_encoder(xyz, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
-        return xyz, attr, center, x_vis, x_rec, mask
+        return xyz, attr, center, center_attr, x_vis, x_rec, mask
 
     def encode(self, pts: Array, train: bool = False) -> Array:
         G, S = self.config["num_group"], self.config["group_size"]
@@ -81,7 +87,8 @@ class _MaskSurfBase(_CAETransformerBase):
         the reference saves vis/masked/rebuild views of surfel models) for
         the 3S-point + 3S-normal v1 heads; the 7/8-channel v2 heads
         override."""
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
         S = self.config["group_size"]
         B, G = mask.shape
         rebuild = self.increase_dim(x_rec).astype(jnp.float32)
@@ -119,7 +126,8 @@ class MaskSurf(_MaskSurfBase):
         self.normal_dis = _normal_dis_for(self.config.get("loss", "cdl2normal"))
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
         S = self.config["group_size"]
         w, x_loc, xyz_p, nrm_p = self._pack_local(mask, x_rec, xyz,
                                                   attr[..., :3])
@@ -149,7 +157,8 @@ class MaskSurf_estimated_position(_MaskSurfBase):
         self.normal_dis = _normal_dis_for(self.config.get("loss", "cdl2normal"))
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
         S = self.config["group_size"]
         w, x_loc, xyz_p, nrm_p, ctr_p = self._pack_local(
             mask, x_rec, xyz, attr[..., :3], center)
@@ -176,13 +185,23 @@ class MaskSurf_estimated_position(_MaskSurfBase):
 
 class _SurfV2Base(_MaskSurfBase):
     """7-channel surfel v2 machinery: attribute = normal(3) + position(1)
-    where position = |p . n̂| of the *absolute* point; heads predict 7-channel
-    surfels (MaskSurf_v2.py:947-1163)."""
+    where position = |p . n| of the *absolute* point with the RAW dataset
+    normal — the reference does not normalize when building the position
+    channel (MaskSurf_v2.py:1077: ``abs((pts[:,:,:3] * pts[:,:,3:]).sum(-1))``),
+    only inside the normal-distance loss; heads predict 7-channel surfels
+    (MaskSurf_v2.py:947-1163)."""
 
     def _position(self, abs_pts: Array, normals: Array) -> Array:
-        n = normals / jnp.maximum(
-            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
-        return jnp.abs(jnp.sum(abs_pts * n, -1, keepdims=True))
+        return jnp.abs(jnp.sum(abs_pts * normals, -1, keepdims=True))
+
+    def _dead_coarse(self, x_vis, mask):
+        """The local_point_* variants all declare AND call the coarse
+        surfel head (MaskSurf_v2.py:1198-1204,1302) but its losses never
+        reach the returned tuple — the head gets no gradient. The call is
+        kept (XLA dead-code-eliminates it) because linen only creates the
+        params of modules that are invoked, and checkpoint-key parity
+        requires them to exist."""
+        _ = self.coarse_pred(self._global_feature(x_vis, mask))
 
     def _local_losses(self, x_rec, xyz, attr, center, mask):
         S = self.config["group_size"]
@@ -208,7 +227,8 @@ class _SurfV2Base(_MaskSurfBase):
     def reconstruct(self, clean: Array, train: bool = False):
         """Vis path for the 7-channel surfel head (local_point_* variants:
         single increase_dim, no coarse head)."""
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
         S = self.config["group_size"]
         B, G = mask.shape
         surf = self.increase_dim(x_rec).astype(jnp.float32)
@@ -220,58 +240,58 @@ class _SurfV2Base(_MaskSurfBase):
 @MODELS.register_module()
 class MaskSurf_v2_local_global_point(_SurfV2Base):
     """Local surfel head + global coarse surfel head with adaptive
-    inverse-loss weighting (MaskSurf_v2.py:947-1163): each of the six losses
-    is weighted by 1/loss_i (stop-grad), normalized to the local-xyz term;
-    returns (weighted point loss, weighted surfel loss)."""
+    inverse-loss weighting (MaskSurf_v2.py:947-1163).
+
+    Reference quirks preserved exactly:
+    - only the two xyz chamfers reach the returned loss:
+      loss_point = l_coarse_xyz * sg(l_xyz / l_coarse_xyz) + l_xyz
+      (the inverse weights are detached and normalized so w[3] == 1,
+      :1140-1144), and the second return is ZERO — the surfel combination
+      is commented out upstream (:1145-1146, return at :1162). The normal
+      and position channels of both heads therefore receive no gradient.
+    - the global gt normal/position are the attributes of the FPS-selected
+      center POINT itself (``center_attribute``, :266-269), not any patch
+      aggregate."""
 
     def setup(self):
         S = self.config["group_size"]
+        G = self.config["num_group"]
         self.MAE_encoder = _surf_encoder(self)
         self.decoder_pos_embed = PosEmbedMLP(self.tcfg["trans_dim"],
                                              name="decoder_pos_embed")
         self.MAE_decoder = self._make_decoder()
         self.mask_token = self._make_mask_token()
         self.increase_dim = nn.Dense(7 * S, name="increase_dim")
-        self.coarse_pred = MLP((1024, 1024, 7 * 64), name="coarse_pred")
+        self.coarse_pred = MLP((1024, 1024, 7 * G), name="coarse_pred")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
         loss_xyz, loss_normal, loss_pos = self._local_losses(
             x_rec, xyz, attr, center, mask)
 
-        # global head: pooled visible ENCODER feature -> 64 coarse surfels
+        # global head: pooled visible ENCODER feature -> G coarse surfels
         # vs centers (the reference pools x_vis, MaskSurf_v2.py:1084-1085,
-        # not the decoder output)
+        # not the decoder output). Only its xyz chamfer matters (see class
+        # docstring); the normal/position channels ride along for param and
+        # prediction parity but are dead code to the gradient.
         gfeat = self._global_feature(x_vis, mask)
-        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], 64, 7)
+        coarse = self.coarse_pred(gfeat).reshape(gfeat.shape[0], -1, 7)
         c_xyz = coarse[..., :3]
-        c_nrm = coarse[..., 3:6]
-        c_pos = jnp.abs(coarse[..., 6])
-        # gt centers with per-center normal = mean patch normal
-        center_nrm = jnp.mean(attr[..., :3], axis=2)
-        d1, d2, i1, i2 = nn_distance(c_xyz, center)
-        gd1 = dis_normalized_l2(c_nrm, jnp.take_along_axis(center_nrm, i1[..., None], 1))
-        gd2 = dis_normalized_l2(center_nrm, jnp.take_along_axis(c_nrm, i2[..., None], 1))
-        gt_cpos = self._position(center, center_nrm)[..., 0]
-        gp1 = jnp.mean((c_pos - jnp.take_along_axis(gt_cpos, i1, 1)) ** 2)
-        gp2 = jnp.mean((gt_cpos - jnp.take_along_axis(c_pos, i2, 1)) ** 2)
+        d1, d2, _, _ = nn_distance(c_xyz, center)
         loss_cx = jnp.mean(d1) + jnp.mean(d2)
-        loss_cn = jnp.mean(gd1) + jnp.mean(gd2)
-        loss_cp = gp1 + gp2
 
-        concat = jnp.stack([loss_cx, loss_cn, loss_cp,
-                            loss_xyz, loss_normal, loss_pos])
-        wts = 1.0 / jnp.maximum(jax.lax.stop_gradient(concat), 1e-8)
-        wts = wts / wts[3]
-        loss_point = concat[0] * wts[0] + concat[3] * wts[3]
-        loss_surf = (concat[1] * wts[1] + concat[2] * wts[2] +
-                     concat[4] * wts[4] + concat[5] * wts[5])
-        return loss_point, loss_surf
+        # loss_point = l0 * sg(l3/l0) + l3  (detached inverse weights
+        # normalized to the local-xyz term, MaskSurf_v2.py:1140-1144)
+        loss_point = loss_cx * jax.lax.stop_gradient(
+            loss_xyz / jnp.maximum(loss_cx, 1e-12)) + loss_xyz
+        return loss_point, jnp.zeros(())
 
     def reconstruct(self, clean: Array, train: bool = False):
         """Vis path for the 7-channel surfel head: (coarse global surfel
         xyz, rebuilt masked patch points, rebuilt normals, mask)."""
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
         S = self.config["group_size"]
         B, G = mask.shape
         surf = self.increase_dim(x_rec).astype(jnp.float32)
@@ -279,7 +299,7 @@ class MaskSurf_v2_local_global_point(_SurfV2Base):
         rebuild = surf[..., :3] + center[:, :, None, :]
         normals = surf[..., 3:6]
         gfeat = self._global_feature(x_vis, mask)
-        coarse = self.coarse_pred(gfeat).reshape(B, 64, 7)[..., :3]
+        coarse = self.coarse_pred(gfeat).reshape(B, -1, 7)[..., :3]
         rebuild_m = jnp.where(mask[..., None, None], rebuild, 0.0)
         return (coarse, rebuild_m.reshape(B, -1, 3),
                 jnp.where(mask[..., None, None], normals,
@@ -299,9 +319,13 @@ class MaskSurf_v2_local_point_only(_SurfV2Base):
         self.mask_token = self._make_mask_token()
         self.increase_dim = nn.Dense(7 * self.config["group_size"],
                                      name="increase_dim")
+        self.coarse_pred = MLP((1024, 1024, 7 * self.config["num_group"]),
+                               name="coarse_pred")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
+        self._dead_coarse(x_vis, mask)
         loss_xyz, _, _ = self._local_losses(x_rec, xyz, attr, center, mask)
         return loss_xyz, jnp.zeros(())
 
@@ -318,9 +342,13 @@ class MaskSurf_v2_local_point_normal(_SurfV2Base):
         self.mask_token = self._make_mask_token()
         self.increase_dim = nn.Dense(7 * self.config["group_size"],
                                      name="increase_dim")
+        self.coarse_pred = MLP((1024, 1024, 7 * self.config["num_group"]),
+                               name="coarse_pred")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
+        self._dead_coarse(x_vis, mask)
         loss_xyz, loss_normal, _ = self._local_losses(x_rec, xyz, attr,
                                                       center, mask)
         return loss_xyz, loss_normal
@@ -338,9 +366,13 @@ class MaskSurf_v2_local_point_position(_SurfV2Base):
         self.mask_token = self._make_mask_token()
         self.increase_dim = nn.Dense(7 * self.config["group_size"],
                                      name="increase_dim")
+        self.coarse_pred = MLP((1024, 1024, 7 * self.config["num_group"]),
+                               name="coarse_pred")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
+        self._dead_coarse(x_vis, mask)
         loss_xyz, _, loss_pos = self._local_losses(x_rec, xyz, attr,
                                                    center, mask)
         return loss_xyz, loss_pos
@@ -359,12 +391,20 @@ class MaskSurf_v2_local_point_normal_position(_SurfV2Base):
         self.mask_token = self._make_mask_token()
         self.increase_dim = nn.Dense(7 * self.config["group_size"],
                                      name="increase_dim")
+        self.coarse_pred = MLP((1024, 1024, 7 * self.config["num_group"]),
+                               name="coarse_pred")
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
+        self._dead_coarse(x_vis, mask)
         loss_xyz, loss_normal, loss_pos = self._local_losses(
             x_rec, xyz, attr, center, mask)
-        return loss_xyz, loss_normal + loss_pos
+        # loss_surfel = loss_normal + loss_position * weight_dis_vs_normal
+        # (MaskSurf_v2.py:2005-2006; the knob the 26 weight_dis_vs_normal
+        # ablation configs sweep)
+        wdn = float(self.config.get("weight_dis_vs_normal", 1.0))
+        return loss_xyz, loss_normal + loss_pos * wdn
 
 
 @MODELS.register_module()
@@ -398,7 +438,8 @@ class MaskSurf_v2_token_dis(_MaskSurfBase):
         self.increase_dim = nn.Dense(self.num_tokens, name="increase_dim")
 
     def __call__(self, corrupted: Array, clean: Array, train: bool = True):
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
 
         # teacher tokenizes ALL patches (its DGCNN mixes features across
         # groups, so it cannot run on a subset); the student's vocab-wide
@@ -426,7 +467,8 @@ class MaskSurf_v2_token_dis(_MaskSurfBase):
         dVAE decoder params only exist when initialized through this method
         (or loaded from the teacher checkpoint) — the CE training path never
         creates them."""
-        xyz, attr, center, x_vis, x_rec, mask = self._run(clean, train)
+        xyz, attr, center, center_attr, x_vis, x_rec, mask = \
+            self._run(clean, train)
         B, G = mask.shape
         ids = jnp.argmax(self.increase_dim(x_rec).astype(jnp.float32), -1)
         _, fine = self.dvae_teacher.decode_tokens(ids, center, train=False)
@@ -445,9 +487,8 @@ class _SurfCurveBase(_MaskSurfBase):
     """
 
     def _position(self, abs_pts: Array, normals: Array) -> Array:
-        n = normals / jnp.maximum(
-            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
-        return jnp.abs(jnp.sum(abs_pts * n, -1, keepdims=True))
+        # raw dataset normals, not normalized (MaskSurf_v2.py:2350)
+        return jnp.abs(jnp.sum(abs_pts * normals, -1, keepdims=True))
 
     def _group_curve(self, clean: Array):
         pts = clean[..., :7]
@@ -462,13 +503,16 @@ class _SurfCurveBase(_MaskSurfBase):
         self.mask_token = self._make_mask_token()
         self.increase_dim = nn.Dense(8 * self.config["group_size"],
                                      name="increase_dim")
-        # coarse surfel head: present for parameter parity with the reference
-        # (MaskSurf_v2.py:2255-2261) but — reference quirk — its losses only
-        # enter the stop-gradient weight vector, never the returned losses
-        # (:2418-2428), so it receives no gradient. We keep the params and
-        # skip the dead loss computation.
+        # coarse surfel head: reference quirk — its losses only enter the
+        # stop-gradient weight vector, never the returned losses
+        # (MaskSurf_v2.py:2418-2428), so it receives no gradient. The call
+        # in _dead_coarse_curve creates the params (checkpoint-key parity);
+        # XLA dead-code-eliminates the compute.
         self.coarse_pred = MLP((1024, 1024, 8 * self.config["num_group"]),
                                name="coarse_pred")
+
+    def _dead_coarse_curve(self, x_vis, mask):
+        _ = self.coarse_pred(self._global_feature(x_vis, mask))
 
     def _local_losses_curve(self, x_rec, xyz, attr, center, mask):
         """Returns (loss_xyz, loss_normal, loss_curve, loss_position), each a
@@ -507,7 +551,7 @@ class _SurfCurveBase(_MaskSurfBase):
     def reconstruct(self, clean: Array, train: bool = False):
         """Vis path for the 8-channel surfel head (requires >=6-channel
         clean: xyz + normal [+ curve])."""
-        xyz, attr, center = self._group_curve(clean)
+        xyz, attr, center, center_attr = self._group_curve(clean)
         x_vis, mask = self.MAE_encoder(xyz, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
         S = self.config["group_size"]
@@ -527,9 +571,10 @@ class MaskSurf_v2_local_point_normal_position_curve(_SurfCurveBase):
         self._curve_setup()
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center = self._group_curve(clean)
+        xyz, attr, center, center_attr = self._group_curve(clean)
         x_vis, mask = self.MAE_encoder(xyz, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
+        self._dead_coarse_curve(x_vis, mask)
         lx, ln, lc, lp = self._local_losses_curve(x_rec, xyz, attr, center,
                                                   mask)
         surf = self._scaled(ln, lx) + self._scaled(lc, lx) + \
@@ -546,9 +591,10 @@ class MaskSurf_v2_local_point_curve(_SurfCurveBase):
         self._curve_setup()
 
     def __call__(self, corrupted, clean, train: bool = True):
-        xyz, attr, center = self._group_curve(clean)
+        xyz, attr, center, center_attr = self._group_curve(clean)
         x_vis, mask = self.MAE_encoder(xyz, center, train=train)
         x_rec = self._decode(x_vis, mask, center, train)
+        self._dead_coarse_curve(x_vis, mask)
         lx, _, _, lp = self._local_losses_curve(x_rec, xyz, attr, center,
                                                 mask)
         return lx, self._scaled(lp, lx)
@@ -556,7 +602,7 @@ class MaskSurf_v2_local_point_curve(_SurfCurveBase):
 
 # The reference's cfgs name a bare 'MaskSurf_v2' whose class is commented
 # out upstream (MaskSurf_v2.py:537) — those 26 ablation configs are dead
-# there. Registered here as the headline v2 variant so they run; its
-# adaptive inverse-loss weighting subsumes the fixed weight_dis_vs_normal
-# knob those configs carry (normal_weight still applies via loss_type).
+# there. Registered here as the headline v2 variant so they run
+# (weight_dis_vs_normal is honored by the local_point_normal_position
+# variant; normal_weight still applies via loss_type).
 MODELS.register_module("MaskSurf_v2", module=MaskSurf_v2_local_global_point)
