@@ -75,6 +75,10 @@ class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
                                                          "auto"),
                                     exact_grads=bool(self.config.get(
                                         "edgeconv_exact_grads", False)),
+                                    grad_mode=str(self.config.get(
+                                        "edgeconv_grad_mode", "first")),
+                                    tn=int(self.config.get(
+                                        "edgeconv_tn", 128)),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -105,6 +109,10 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
                                                          "auto"),
                                     exact_grads=bool(self.config.get(
                                         "edgeconv_exact_grads", False)),
+                                    grad_mode=str(self.config.get(
+                                        "edgeconv_grad_mode", "first")),
+                                    tn=int(self.config.get(
+                                        "edgeconv_tn", 128)),
                                     name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         # fine folding over concat([grid, point, global]): the global feature
@@ -142,6 +150,10 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
                                                          "auto"),
                                     exact_grads=bool(self.config.get(
                                         "edgeconv_exact_grads", False)),
+                                    grad_mode=str(self.config.get(
+                                        "edgeconv_grad_mode", "first")),
+                                    tn=int(self.config.get(
+                                        "edgeconv_tn", 128)),
                                     name="dgcnn_encoder")
         # both stages consume concat([broadcast global feature, per-point]);
         # the shared half of each first Dense is factorized (exact)
@@ -172,6 +184,10 @@ class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
                                                          "auto"),
                                     exact_grads=bool(self.config.get(
                                         "edgeconv_exact_grads", False)),
+                                    grad_mode=str(self.config.get(
+                                        "edgeconv_grad_mode", "first")),
+                                    tn=int(self.config.get(
+                                        "edgeconv_tn", 128)),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -263,6 +279,10 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
                                                          "auto"),
                                     exact_grads=bool(self.config.get(
                                         "edgeconv_exact_grads", False)),
+                                    grad_mode=str(self.config.get(
+                                        "edgeconv_grad_mode", "first")),
+                                    tn=int(self.config.get(
+                                        "edgeconv_tn", 128)),
                                     name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")

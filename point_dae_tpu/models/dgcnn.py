@@ -138,6 +138,14 @@ class FusedEdgeConv(nn.Module):
     use_pallas: bool = True
     interpret: bool = False
     exact_grads: bool = False
+    # max/min tie routing in the backward: 'first' = whole cotangent to the
+    # first extremal neighbor in distance order (torch .max() semantics —
+    # what the reference trains with — and ~2x less backward MXU work);
+    # 'split' = equal split among ties (jnp.max semantics, the XLA
+    # fallback's behavior). Parameter gradients agree whenever ties come
+    # from duplicated points (ops/pallas_edgeconv.knn_aggregate docstring).
+    grad_mode: str = "first"
+    tn: int = 128
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True,
@@ -164,10 +172,12 @@ class FusedEdgeConv(nn.Module):
             # ``exact_grads=True`` restores the 3-pass f32-exact scatter.
             passes = 1 if U.dtype == jnp.bfloat16 else 3
             gpasses = 3 if self.exact_grads else passes
-            M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k,
+            gmode = "split" if self.exact_grads else self.grad_mode
+            M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k, tn=self.tn,
                                             interpret=self.interpret,
                                             value_passes=passes,
-                                            grad_passes=gpasses)
+                                            grad_passes=gpasses,
+                                            grad_mode=gmode)
         else:
             if idx is None:
                 idx = jax.lax.stop_gradient(knn(xf, xf, self.k)[1])
@@ -215,6 +225,8 @@ class DGCNNEncoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
     impl: str = "reference"
     exact_grads: bool = False
+    grad_mode: str = "first"   # see FusedEdgeConv
+    tn: int = 128
 
     def _resolved_impl(self) -> str:
         if self.impl != "auto":
@@ -234,7 +246,8 @@ class DGCNNEncoder(nn.Module):
                 else FusedEdgeConv
             FEC = functools.partial(cls,
                                     use_pallas=impl == "fused_pallas",
-                                    exact_grads=self.exact_grads)
+                                    exact_grads=self.exact_grads,
+                                    grad_mode=self.grad_mode, tn=self.tn)
             x1 = FEC(64, self.k, self.dtype, name="ec1")(x, train)
             x2 = FEC(64, self.k, self.dtype, name="ec2")(x1, train)
             x3 = FEC(128, self.k, self.dtype, name="ec3")(x2, train)

@@ -75,8 +75,9 @@ def knn_aggregate_xla(U: Array, idx: Array) -> Tuple[Array, ...]:
             jnp.sum(g, axis=2), jnp.sum(g * g, axis=2))
 
 
-def _fwd_kernel(k, tn, n, value_passes, xt_ref, xf_ref, u_ref, M_ref, m_ref,
-                s1_ref, s2_ref, idx_ref):
+def _fwd_kernel(k, tn, n, value_passes, track_rounds, xt_ref, xf_ref, u_ref,
+                M_ref, m_ref, s1_ref, s2_ref, idx_ref, rM_ref=None,
+                rm_ref=None):
     from jax.experimental import pallas as pl  # noqa: F401
 
     q = xt_ref[0].astype(jnp.float32)                          # (tn, Cf)
@@ -91,7 +92,7 @@ def _fwd_kernel(k, tn, n, value_passes, xt_ref, xf_ref, u_ref, M_ref, m_ref,
     C = u.shape[-1]
 
     def step(r, carry):
-        d, M, m, s1, s2, idx = carry
+        d, M, m, s1, s2, idx, rM, rm = carry
         # first-match argmin one-hot (ties -> lowest column, like top_k)
         dmin = jnp.min(d, axis=1, keepdims=True)
         jstar = jnp.min(jnp.where(d == dmin, cols, n), axis=1,
@@ -99,24 +100,34 @@ def _fwd_kernel(k, tn, n, value_passes, xt_ref, xf_ref, u_ref, M_ref, m_ref,
         onehot = (cols == jstar)
         sel = _sel_dot(onehot.astype(jnp.float32), u,
                        value_passes)                           # (tn, C)
+        if track_rounds:
+            # which k-round first attains the running max/min: the whole
+            # max/min cotangent routes to that round's neighbor in the
+            # 'first' backward (torch max-backward semantics)
+            rM = jnp.where(sel > M, r, rM)
+            rm = jnp.where(sel < m, r, rm)
         M = jnp.maximum(M, sel)
         m = jnp.minimum(m, sel)
         s1 = s1 + sel
         s2 = s2 + sel * sel
         idx = jnp.where(colk == r, jstar, idx)
         d = jnp.where(onehot, _INF, d)
-        return d, M, m, s1, s2, idx
+        return d, M, m, s1, s2, idx, rM, rm
 
     init = (d, jnp.full((tn, C), -_INF, jnp.float32),
             jnp.full((tn, C), _INF, jnp.float32),
             jnp.zeros((tn, C), jnp.float32), jnp.zeros((tn, C), jnp.float32),
-            jnp.zeros((tn, k), jnp.int32))
-    _, M, m, s1, s2, idx = jax.lax.fori_loop(0, k, step, init)
+            jnp.zeros((tn, k), jnp.int32),
+            jnp.zeros((tn, C), jnp.int32), jnp.zeros((tn, C), jnp.int32))
+    _, M, m, s1, s2, idx, rM, rm = jax.lax.fori_loop(0, k, step, init)
     M_ref[0] = M
     m_ref[0] = m
     s1_ref[0] = s1
     s2_ref[0] = s2
     idx_ref[0] = idx
+    if track_rounds:
+        rM_ref[0] = rM
+        rm_ref[0] = rm
 
 
 def _bwd_kernel(k, tn, n, value_passes, grad_passes, u_ref, idx_ref, M_ref,
@@ -175,7 +186,8 @@ def _bwd_kernel(k, tn, n, value_passes, grad_passes, u_ref, idx_ref, M_ref,
         0, k, scatter, jnp.zeros((n, C), jnp.float32))
 
 
-def _aggregate_fwd(U, xf, k, tn, interpret, value_passes):
+def _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
+                   track_rounds=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -183,7 +195,11 @@ def _aggregate_fwd(U, xf, k, tn, interpret, value_passes):
     Cf = xf.shape[-1]
     tn = min(tn, N)
     assert N % tn == 0, (N, tn)
-    kern = functools.partial(_fwd_kernel, k, tn, N, value_passes)
+    kern = functools.partial(_fwd_kernel, k, tn, N, value_passes,
+                             track_rounds)
+    tile_c = pl.BlockSpec((1, tn, C), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    n_out = 7 if track_rounds else 5
     out = pl.pallas_call(
         kern,
         grid=(B, N // tn),
@@ -195,15 +211,89 @@ def _aggregate_fwd(U, xf, k, tn, interpret, value_passes):
             pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((1, tn, C), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM)] * 4 +
+        out_specs=[tile_c] * 4 +
                   [pl.BlockSpec((1, tn, k), lambda b, i: (b, i, 0),
-                                memory_space=pltpu.VMEM)],
+                                memory_space=pltpu.VMEM)] +
+                  [tile_c] * (n_out - 5),
         out_shape=[jax.ShapeDtypeStruct((B, N, C), jnp.float32)] * 4 +
-                  [jax.ShapeDtypeStruct((B, N, k), jnp.int32)],
+                  [jax.ShapeDtypeStruct((B, N, k), jnp.int32)] +
+                  [jax.ShapeDtypeStruct((B, N, C), jnp.int32)] * (n_out - 5),
         interpret=interpret,
     )(xf, xf, U)
     return out
+
+
+def _bwd_kernel_first(k, tn, n, grad_passes, u_ref, idx_ref, rM_ref, rm_ref,
+                      gM_ref, gm_ref, gs1_ref, gs2_ref, du_ref):
+    """'first'-tie backward: k scatter dots + 2 membership dots (vs the
+    split mode's k recompute dots + k scatter dots).
+
+    The sum/sumsq cotangents factor through the 0/1 membership matrix:
+        du_j += (member^T @ gs1)_j + 2 U_j (member^T @ gs2)_j
+    and the max/min cotangents route ENTIRELY to the round recorded by the
+    forward (rM/rm, first tie in distance order — torch max-backward
+    semantics), so no per-round value recompute is needed:
+        w_r = (rM == r) gM + (rm == r) gm;   du += onehot_r^T @ w_r.
+    """
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[0] = jnp.zeros_like(du_ref[0])
+
+    u = u_ref[0].astype(jnp.float32)                           # (N, C)
+    idx = idx_ref[0]                                           # (tn, k)
+    rM = rM_ref[0]
+    rm = rm_ref[0]
+    gM = gM_ref[0]
+    gm = gm_ref[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, n), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
+
+    def idx_col(r):
+        return jnp.sum(jnp.where(colk == r, idx, 0), axis=1)   # (tn,)
+
+    def scatter(r, carry):
+        du, member = carry
+        onehot = (cols == idx_col(r)[:, None])
+        w = jnp.where(rM == r, gM, 0.0) + jnp.where(rm == r, gm, 0.0)
+        du = du + _sel_dot(onehot.astype(jnp.float32).T, w, grad_passes)
+        return du, member + onehot.astype(jnp.float32)
+
+    C = u.shape[-1]
+    du, member = jax.lax.fori_loop(
+        0, k, scatter,
+        (jnp.zeros((n, C), jnp.float32), jnp.zeros((tn, n), jnp.float32)))
+    du = du + _sel_dot(member.T, gs1_ref[0], grad_passes)
+    du = du + 2.0 * u * _sel_dot(member.T, gs2_ref[0], grad_passes)
+    du_ref[0] = du_ref[0] + du
+
+
+def _aggregate_bwd_first(U, idx, rM, rm, gM, gm, gs1, gs2, k, tn, interpret,
+                         grad_passes):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = U.shape
+    tn = min(tn, N)
+    kern = functools.partial(_bwd_kernel_first, k, tn, N, grad_passes)
+    tile = lambda b, i: (b, i, 0)
+    full = lambda b, i: (b, 0, 0)
+    du = pl.pallas_call(
+        kern,
+        grid=(B, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, N, C), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, k), tile, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1, tn, C), tile,
+                          memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((1, N, C), full, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        interpret=interpret,
+    )(U, idx, rM, rm, gM, gm, gs1, gs2)
+    return du
 
 
 def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
@@ -232,10 +322,10 @@ def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
     return du
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 128,
                   interpret: bool = False, value_passes: int = 3,
-                  grad_passes: int = 3):
+                  grad_passes: int = 3, grad_mode: str = "split"):
     """Fused kNN + neighbor aggregates of U. xf is the (non-differentiable)
     feature basis for the kNN selection; U the values being aggregated.
     Returns (M, m, S1, S2, idx).
@@ -254,21 +344,48 @@ def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 128,
     backward, which rounds it to bf16 anyway — a full-mantissa scatter
     spends 3x the step's dominant MXU cost preserving bits the very next op
     discards). The scatter dots are ~60% of the whole DGCNN train step's
-    MXU work (DESIGN.md §10c), so this is a first-order lever."""
-    return _aggregate_fwd(U, xf, k, tn, interpret, value_passes)
+    MXU work (DESIGN.md §10c), so this is a first-order lever.
+
+    ``grad_mode``:
+    - 'split': max/min cotangents split equally among value ties
+      (jnp.max/jnp.min semantics). Backward = k value-recompute dots +
+      k scatter dots.
+    - 'first': the whole max/min cotangent routes to the FIRST neighbor
+      (in distance order) attaining the extremum — torch max-backward
+      semantics, i.e. what the reference's ``.max(dim=...)`` trains with.
+      The forward additionally records the attaining round (rM/rm), and
+      the backward needs only k scatter dots + 2 membership dots
+      (_bwd_kernel_first) — ~2x less backward MXU work. The two modes
+      produce identical PARAMETER gradients whenever ties come from
+      duplicated points (the common case under resampling: equal rows
+      contribute the same outer products either way)."""
+    out = _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
+                         track_rounds=grad_mode == "first")
+    return out[:5]
 
 
-def _knn_aggregate_fwd(U, xf, k, tn, interpret, value_passes, grad_passes):
-    out = _aggregate_fwd(U, xf, k, tn, interpret, value_passes)
+def _knn_aggregate_fwd(U, xf, k, tn, interpret, value_passes, grad_passes,
+                       grad_mode):
+    out = _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
+                         track_rounds=grad_mode == "first")
+    if grad_mode == "first":
+        M, m, s1, s2, idx, rM, rm = out
+        return out[:5], (U, idx, rM, rm)
     M, m, s1, s2, idx = out
     return out, (U, idx, M, m)
 
 
-def _knn_aggregate_bwd(k, tn, interpret, value_passes, grad_passes, res, g):
-    U, idx, M, m = res
+def _knn_aggregate_bwd(k, tn, interpret, value_passes, grad_passes,
+                       grad_mode, res, g):
     gM, gm, gs1, gs2, _ = g
-    du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
-                        value_passes, grad_passes)
+    if grad_mode == "first":
+        U, idx, rM, rm = res
+        du = _aggregate_bwd_first(U, idx, rM, rm, gM, gm, gs1, gs2, k, tn,
+                                  interpret, grad_passes)
+    else:
+        U, idx, M, m = res
+        du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
+                            value_passes, grad_passes)
     # the kNN selection is non-differentiable (CUDA-knn parity): zero
     # cotangent for xf
     return du.astype(U.dtype), None

@@ -187,11 +187,13 @@ class TestValuePasses:
         orig = pe.knn_aggregate
 
         def spy(U, xf, k, tn=128, interpret=False, value_passes=3,
-                grad_passes=3):
+                grad_passes=3, grad_mode="split"):
             seen["passes"] = value_passes
             seen["grad_passes"] = grad_passes
+            seen["grad_mode"] = grad_mode
             return orig(U, xf, k, tn=tn, interpret=interpret,
-                        value_passes=value_passes, grad_passes=grad_passes)
+                        value_passes=value_passes, grad_passes=grad_passes,
+                        grad_mode=grad_mode)
 
         monkeypatch.setattr(pe, "knn_aggregate", spy)
         x = _rand((1, 128, 8), 35)
@@ -205,6 +207,8 @@ class TestValuePasses:
                        "batch_stats": v["batch_stats"]}, x, train=False)
             assert seen["passes"] == want, (dt, seen)
             assert seen["grad_passes"] == want_g, (dt, exact, seen)
+            # exact_grads pins the jnp-semantics 'split' tie mode too
+            assert seen["grad_mode"] == ("split" if exact else "first")
 
 
 class TestGradPasses:
@@ -314,3 +318,90 @@ class TestAggregateKernelMultiTile:
         # first-tile-only (or doubled) gradient — exact per-element match
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestGradModeFirst:
+    """'first' tie routing (torch .max backward semantics): k scatter dots
+    + 2 membership dots instead of 2k dots (_bwd_kernel_first)."""
+
+    def test_forward_identical_to_split(self):
+        B, N, C, Cf, k = 2, 128, 8, 4, 5
+        U = _rand((B, N, C), 20)
+        xf = _rand((B, N, Cf), 21)
+        a = knn_aggregate(U, xf, k, interpret=True, grad_mode="split")
+        b = knn_aggregate(U, xf, k, interpret=True, grad_mode="first")
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_gradient_matches_split_when_tie_free(self):
+        """Generic float inputs have no exact value ties among a point's
+        neighbors, so both tie conventions give the same cotangent."""
+        B, N, C, Cf, k = 2, 128, 8, 4, 4
+        U = _rand((B, N, C), 22)
+        xf = _rand((B, N, Cf), 23)
+        w = [_rand((B, N, C), 30 + i) for i in range(4)]
+
+        def loss(U, mode):
+            M, m, S1, S2, _ = knn_aggregate(U, xf, k, interpret=True,
+                                            grad_mode=mode)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        gs = jax.grad(lambda U: loss(U, "split"))(U)
+        gf = jax.grad(lambda U: loss(U, "first"))(U)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gs),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_duplicated_points_preserve_total_cotangent(self):
+        """On duplicated points (resampling with replacement) the tie
+        conventions differ per-copy but the SUM of du over the copies — the
+        only thing parameter gradients see, since equal rows contribute
+        equal outer products — must match."""
+        B, N, C, Cf, k = 1, 128, 8, 4, 5
+        rng = np.random.default_rng(24)
+        xf_np = rng.normal(size=(B, N, Cf)).astype(np.float32)
+        U_np = rng.normal(size=(B, N, C)).astype(np.float32)
+        # duplicate point 0 into slots 1 and 2 (same position AND values)
+        for d in (1, 2):
+            xf_np[:, d] = xf_np[:, 0]
+            U_np[:, d] = U_np[:, 0]
+        U = jnp.asarray(U_np)
+        xf = jnp.asarray(xf_np)
+        w = [_rand((B, N, C), 40 + i) for i in range(4)]
+
+        def grad(mode):
+            def loss(U):
+                M, m, S1, S2, _ = knn_aggregate(U, xf, k, interpret=True,
+                                                grad_mode=mode)
+                return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                        + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+            return np.asarray(jax.grad(loss)(U))
+
+        gs, gf = grad("split"), grad("first")
+        dup, rest = [0, 1, 2], list(range(3, N))
+        np.testing.assert_allclose(gf[:, dup].sum(1), gs[:, dup].sum(1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gf[:, rest], gs[:, rest],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_edgeconv_first_matches_reference_grads(self):
+        """FusedEdgeConv(grad_mode='first') end-to-end gradient parity with
+        the reference EdgeConv layout on tie-free inputs, shared params."""
+        x = _rand((2, 128, 12), 25)
+        ref = EdgeConv(16, 5)
+        fus = FusedEdgeConv(16, 5, use_pallas=True, interpret=True,
+                            grad_mode="first")
+        v = ref.init({"params": jax.random.key(6)}, x, train=True)
+
+        def loss(mod, p):
+            out, _ = mod.apply({"params": p,
+                                "batch_stats": v["batch_stats"]}, x,
+                               train=True, mutable=["batch_stats"])
+            return jnp.sum(out * out)
+
+        gr = jax.grad(lambda p: loss(ref, p))(v["params"])
+        gf = jax.grad(lambda p: loss(fus, p))(v["params"])
+        for kr, kf in zip(jax.tree_util.tree_leaves(gr),
+                          jax.tree_util.tree_leaves(gf)):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(kr),
+                                       rtol=2e-4, atol=2e-4)

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Input-pipeline-in-the-loop flagship throughput (VERDICT r3 item 5).
+
+bench.py measures the device step on a resident tensor; the real recipe
+must stream raw (8192, 6) clouds from disk (the reference's dataloader
+workers are its hot loop, SURVEY §3.1). This bench:
+
+  1. generates a synthetic ShapeNet-layout corpus (train.txt + pc/*.npy,
+     8192 x 6 f32 — reuses it across runs),
+  2. drives the REAL path: ShapeNet dataset (native threaded reader) ->
+     DataLoader (prefetch thread) -> jitted flagship train step,
+  3. reports clouds/sec with the loader in the loop next to the
+     device-only rate measured in the same process, plus the isolated
+     loader-only and H2D-only rates that bound any gap.
+
+Through the axon tunnel H2D is a WAN hop — the H2D-only line separates
+that environment artifact from loader design cost (on a real TPU VM the
+host feeds its chips over PCIe).
+
+Usage: python tools/bench_pipeline.py [--files 2000] [--steps 200]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                      "experiments", "synth_shapenet")
+
+
+def ensure_corpus(n_files: int, n_pts: int = 8192) -> str:
+    import numpy as np
+
+    root = os.path.abspath(CORPUS)
+    pc = os.path.join(root, "pc")
+    marker = os.path.join(root, f"ok_{n_files}_{n_pts}")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(pc, exist_ok=True)
+    rng = np.random.default_rng(0)
+    names = []
+    t0 = time.time()
+    for i in range(n_files):
+        name = f"02691156-{i:08d}.npy"
+        np.save(os.path.join(pc, name),
+                rng.normal(size=(n_pts, 6)).astype(np.float32))
+        names.append(name)
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+    with open(os.path.join(root, "test.txt"), "w") as f:
+        f.write("")
+    open(marker, "w").close()
+    print(f"# corpus: {n_files} files in {time.time() - t0:.0f}s",
+          file=sys.stderr, flush=True)
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--warmup", type=int, default=8)
+    args = ap.parse_args()
+
+    root = ensure_corpus(args.files)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_dae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from bench import probe_tflops
+    from __graft_entry__ import FLAGSHIP_CONFIG
+    from point_dae_tpu.data.datasets import ShapeNet
+    from point_dae_tpu.data.loader import DataLoader
+    from point_dae_tpu.engine.pretrain import init_model, make_train_step
+    from point_dae_tpu.engine.train_state import TrainState, build_optimizer
+    from point_dae_tpu.models import build_model_from_cfg
+    from point_dae_tpu.utils.config import ConfigDict
+
+    print(f"# probe: {probe_tflops():.1f} TFLOP/s", file=sys.stderr,
+          flush=True)
+
+    B = args.batch
+    ds = ShapeNet(ConfigDict({
+        "DATA_PATH": root, "PC_PATH": os.path.join(root, "pc"),
+        "subset": "train", "npoints": 1024, "N_POINTS": 8192,
+        "with_normal": True, "whole": False}))
+    loader = DataLoader(ds, B, shuffle=True, drop_last=True, prefetch=3)
+
+    config = ConfigDict(FLAGSHIP_CONFIG)
+    config["total_bs"] = B
+    model = build_model_from_cfg(config["model"])
+    first = next(iter(loader))["points"]
+    params, batch_stats = init_model(model, config, jnp.asarray(first))
+    tx, _ = build_optimizer(config, params, steps_per_epoch=100,
+                            grad_norm_clip=None)
+    state = TrainState.create(model.apply, params, batch_stats, tx)
+    step = make_train_step(model, config, mesh=None)
+    key = jax.random.key(0)
+    gw = jnp.float32(0.5)
+    state, m = step(state, jnp.asarray(first), key, gw)
+    _ = float(m["loss_xyz"])
+    print("# compiled", file=sys.stderr, flush=True)
+
+    # --- loader-only rate (host disk -> numpy batch)
+    t0 = time.perf_counter()
+    nb = 0
+    for epoch in range(1000):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            nb += 1
+            if nb >= 32:
+                break
+        if nb >= 32:
+            break
+    loader_cps = 32 * B / (time.perf_counter() - t0)
+
+    # --- H2D-only rate (numpy -> device, forced to materialize)
+    arr = np.ascontiguousarray(first)
+    x = jax.device_put(arr)
+    _ = float(x[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(8):
+        x = jax.device_put(arr)
+        _ = float(x[0, 0, 0])           # sync: tunnel lies to block_until_ready
+    h2d_s = (time.perf_counter() - t0) / 8
+    h2d_cps = B / h2d_s
+    h2d_gbps = arr.nbytes / h2d_s / 1e9
+
+    # --- device-only steady-state (resident tensor)
+    resident = jnp.asarray(first)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        k = key
+        for _ in range(16):
+            k, sub = jax.random.split(k)
+            state, m = step(state, resident, sub, gw)
+        _ = float(m["loss_xyz"])
+        best = min(best, (time.perf_counter() - t0) / 16)
+    device_cps = B / best
+
+    # --- end-to-end: loader -> H2D -> step for args.steps steps
+    n, t_start = 0, None
+    for epoch in range(1000):
+        loader.set_epoch(epoch + 1)
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, m = step(state, jnp.asarray(batch["points"]), sub, gw)
+            n += 1
+            if n == args.warmup:
+                _ = float(m["loss_xyz"])    # drain the compile/warm queue
+                t_start = time.perf_counter()
+            if n >= args.warmup + args.steps:
+                break
+        if n >= args.warmup + args.steps:
+            break
+    _ = float(m["loss_xyz"])
+    e2e_cps = args.steps * B / (time.perf_counter() - t_start)
+
+    print(json.dumps({
+        "end_to_end_clouds_per_sec": round(e2e_cps, 1),
+        "device_only_clouds_per_sec": round(device_cps, 1),
+        "e2e_over_device": round(e2e_cps / device_cps, 3),
+        "loader_only_clouds_per_sec": round(loader_cps, 1),
+        "h2d_only_clouds_per_sec": round(h2d_cps, 1),
+        "h2d_gbps": round(h2d_gbps, 2),
+        "batch": B, "steps": args.steps,
+        "probe_tflops_end": round(probe_tflops(iters=5), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -214,23 +214,42 @@ def main():
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                rtol=2 ** -5, atol=2 ** -6)
 
+    def f32_fold(x, p1, p2):
+        # full-f32 oracle: the precision yardstick both bf16 paths are
+        # measured against on IDENTICAL inputs
+        gb = jnp.broadcast_to(grid[None, None], (4, 64, 36, 2))
+        f1 = _split_mlp_apply(p1, x, gb, None)
+        return _split_mlp_apply(p2, x, f1, None)
+
     def fl(fn):
         return jax.jit(jax.grad(
             lambda x, p1, p2: jnp.sum((fn(x, p1, p2) - tgtf) ** 2),
             argnums=(0, 1, 2)))
 
+    g_oracle = fl(f32_fold)(xtok, p1, p2)
     ga = fl(xla_fold)(xtok, p1, p2)
     gb_ = fl(ker_fold)(xtok, p1, p2)
-    gmax = 0.0
-    for la, lb in zip(jax.tree_util.tree_leaves(ga),
-                      jax.tree_util.tree_leaves(gb_)):
-        la = np.asarray(la, np.float64)
-        lb = np.asarray(lb, np.float64)
-        rel = np.linalg.norm(la - lb) / max(np.linalg.norm(la), 1e-12)
-        gmax = max(gmax, rel)
-    assert gmax < 5e-2, gmax
+
+    def rel_to_oracle(tree):
+        worst = 0.0
+        for lv, lo in zip(jax.tree_util.tree_leaves(tree),
+                          jax.tree_util.tree_leaves(g_oracle)):
+            lv = np.asarray(lv, np.float64)
+            lo = np.asarray(lo, np.float64)
+            worst = max(worst, np.linalg.norm(lv - lo)
+                        / max(np.linalg.norm(lo), 1e-12))
+        return worst
+
+    err_bf16 = rel_to_oracle(ga)       # unfused-bf16 noise floor
+    err_ker = rel_to_oracle(gb_)       # the kernel's error, same yardstick
+    # the kernel may not add more than 2x the bf16 baseline's own error —
+    # an input-calibrated bound instead of the old absolute 5e-2, so a real
+    # kernel bug cannot hide under generic bf16 noise
+    assert err_ker <= 2.0 * err_bf16 + 1e-6, (err_ker, err_bf16)
     ok += 1
-    print(f"fused folding head: fwd bf16-close, grad rel-err max {gmax:.2e}")
+    print(f"fused folding head: fwd bf16-close; grad rel-err vs f32 oracle: "
+          f"kernel {err_ker:.2e} vs unfused-bf16 {err_bf16:.2e} "
+          f"(bound 2x)")
 
     # --- one flagship train step end-to-end
     from __graft_entry__ import FLAGSHIP_CONFIG
