@@ -345,16 +345,21 @@ class PatchEncoder(nn.Module):
             neg = jnp.where(pm, feat, -1e9)
             return jnp.max(neg, axis=1, keepdims=keepdims)
 
+        # BN carries the compute dtype: under the bf16 policy the (BG, S, C)
+        # activations — the step's top HBM writers (tools/hbm_by_component)
+        # — stay bf16 across the BN boundary; flax still computes the
+        # mean/var reductions in f32 internally, so the statistics (and the
+        # running averages) keep full precision either way
         h = nn.Dense(128, dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(h)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(h)
         h = nn.relu(h)
         h = nn.Dense(256, dtype=self.dtype, name="conv2")(h)
         g = masked_max(h, keepdims=True)                       # (BG, 1, 256)
         h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
         h = nn.Dense(512, dtype=self.dtype, name="conv3")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn2")(h)
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)
         h = nn.Dense(self.encoder_channel, dtype=self.dtype, name="conv4")(h)
         out = masked_max(h, keepdims=False)                    # (BG, C)
