@@ -170,3 +170,60 @@ class TestRematEncoder:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
             g1, g2)
+
+
+class TestResidualDtype:
+    def test_bf16_residual_close_to_f32_and_final_norm_restores(self):
+        """residual_dtype=bf16: same param tree, bf16 stream through the
+        blocks, close to the f32 stack; the decoder's final f32 LayerNorm
+        restores f32 outputs."""
+        from point_dae_tpu.models.layers import (TransformerDecoder,
+                                                 TransformerEncoder)
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+        pos = jnp.asarray(rng.normal(size=(2, 6, 16)).astype(np.float32))
+
+        enc = TransformerEncoder(16, depth=2, num_heads=2)
+        enc_h = TransformerEncoder(16, depth=2, num_heads=2,
+                                   residual_dtype=jnp.bfloat16)
+        v = enc.init(jax.random.key(1), x, pos)
+        a = enc.apply(v, x, pos, deterministic=True)
+        b = enc_h.apply(v, x, pos, deterministic=True)
+        assert b.dtype == jnp.bfloat16            # stream carried at bf16
+        np.testing.assert_allclose(np.asarray(b, np.float32), np.asarray(a),
+                                   rtol=0.05, atol=0.05)
+
+        dec = TransformerDecoder(16, depth=1, num_heads=2,
+                                 residual_dtype=jnp.bfloat16)
+        vd = dec.init(jax.random.key(2), x, pos)
+        out = dec.apply(vd, x, pos, deterministic=True)
+        assert out.dtype == jnp.float32           # final f32 LN restores
+
+    def test_model_knob_reaches_both_stacks(self):
+        """transformer_config.residual_dtype='bf16' threads into the
+        encoder and decoder; loss close to the f32-residual model on the
+        same params."""
+        from point_dae_tpu.models import transformer as tr
+
+        cfg = {"corrupt_type": ["Drop-Patch"], "loss": "cdl2",
+               "all_patch": "False", "num_group": 8, "group_size": 6,
+               "transformer_config": {
+                   "trans_dim": 32, "depth": 1, "num_heads": 2,
+                   "encoder_dims": 32, "decoder_depth": 1,
+                   "decoder_num_heads": 2, "drop_path_rate": 0.0,
+                   "mask_ratio": 0.5, "rand_ratio": "False",
+                   "mask_type": "rand"}}
+        import copy
+        cfg_h = copy.deepcopy(cfg)
+        cfg_h["transformer_config"]["residual_dtype"] = "bf16"
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+        m = tr.PointCAE_transformer_fc_global_folding_local(config=cfg)
+        mh = tr.PointCAE_transformer_fc_global_folding_local(config=cfg_h)
+        rngs = {"params": jax.random.key(3), "mask": jax.random.key(4)}
+        v = m.init(rngs, pts, pts, train=False)
+        la = m.apply(v, pts, pts, train=False, rngs={"mask": jax.random.key(5)})
+        lb = mh.apply(v, pts, pts, train=False, rngs={"mask": jax.random.key(5)})
+        np.testing.assert_allclose(float(lb[0]), float(la[0]), rtol=0.03)
+        np.testing.assert_allclose(float(lb[1]), float(la[1]), rtol=0.03)
