@@ -136,6 +136,19 @@ def drop_path(key: jax.Array, x: Array, rate: float, deterministic: bool) -> Arr
     return jnp.where(mask, x / keep, 0.0)
 
 
+def drop_path_from_mask(x: Array, keep_mask: Array, rate: float) -> Array:
+    """drop_path with a precomputed per-sample keep mask (B,). Lets a stack
+    draw ALL its stochastic-depth masks in one vectorized uniform instead of
+    one scalar threefry chain per block — the flagship step carries ~4k
+    unfused u32 scalar ops from per-block make_rng otherwise
+    (ROUND4_NOTES.md §1)."""
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = keep_mask.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, 0.0)
+
+
 class DropPath(nn.Module):
     rate: float = 0.0
 
@@ -206,7 +219,18 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, key_mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 dp_masks: Optional[Array] = None) -> Array:
+        # ``dp_masks`` (2, B) bool: precomputed stochastic-depth keep masks
+        # (one vectorized draw for the whole stack — see drop_path_from_mask);
+        # None falls back to per-block DropPath draws.
+        def dp(h, i):
+            if dp_masks is not None and not deterministic:
+                return drop_path_from_mask(h, dp_masks[i],
+                                           self.drop_path_rate)
+            return DropPath(self.drop_path_rate, name=f"dp{i + 1}")(
+                h, deterministic)
+
         # residual stream stays f32; LN outputs cast to compute dtype
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = Attention(self.dim, self.num_heads, self.qkv_bias,
@@ -215,7 +239,7 @@ class TransformerBlock(nn.Module):
             h, key_mask=key_mask, attn_mask=attn_mask,
             deterministic=deterministic)
         h = h.astype(x.dtype)
-        x = x + DropPath(self.drop_path_rate, name="dp1")(h, deterministic)
+        x = x + dp(h, 0)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
@@ -226,8 +250,24 @@ class TransformerBlock(nn.Module):
         h = h.astype(x.dtype)
         if self.drop > 0 and not deterministic:
             h = nn.Dropout(self.drop)(h, deterministic=False)
-        x = x + DropPath(self.drop_path_rate, name="dp2")(h, deterministic)
+        x = x + dp(h, 1)
         return x
+
+
+def _stack_dp_masks(mod: nn.Module, dpr, batch: int, deterministic: bool):
+    """All of a stack's stochastic-depth keep masks from ONE vectorized
+    uniform draw: (depth, 2, B) bool, or None when droppath is inert.
+    Replaces per-block make_rng('droppath') chains (each a ~100-op scalar
+    threefry expansion in HLO — the flagship step carried ~4k such scalar
+    ops, tools note in ROUND4_NOTES.md). Same distribution: independent
+    Bernoulli(1 - rate_i) per block/branch/sample; the draw STREAM differs
+    from the per-block path, which was never torch-matched anyway."""
+    if deterministic or max(dpr) == 0.0 or not mod.has_rng("droppath"):
+        return None
+    u = jax.random.uniform(mod.make_rng("droppath"),
+                           (len(dpr), 2, batch))
+    rates = jnp.asarray(dpr, jnp.float32)[:, None, None]
+    return u >= rates                      # keep with prob 1 - rate
 
 
 class TransformerEncoder(nn.Module):
@@ -260,6 +300,7 @@ class TransformerEncoder(nn.Module):
             pos = pos.astype(self.residual_dtype)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
+        dp_masks = _stack_dp_masks(self, dpr, x.shape[0], deterministic)
         block_cls = nn.remat(TransformerBlock, static_argnums=(4,)) \
             if self.remat else TransformerBlock
         if self.one_pe:
@@ -270,7 +311,8 @@ class TransformerEncoder(nn.Module):
             x = block_cls(self.embed_dim, self.num_heads,
                           drop_path_rate=dpr[i], dtype=self.dtype,
                           name=f"block{i}")(
-                x, key_mask, None, deterministic)
+                x, key_mask, None, deterministic,
+                None if dp_masks is None else dp_masks[i])
         return x
 
 
@@ -295,6 +337,7 @@ class TransformerDecoder(nn.Module):
             pos = pos.astype(self.residual_dtype)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1)
                for i in range(self.depth)]
+        dp_masks = _stack_dp_masks(self, dpr, x.shape[0], deterministic)
         if self.one_pe:
             x = x + pos
         for i in range(self.depth):
@@ -303,7 +346,8 @@ class TransformerDecoder(nn.Module):
             x = TransformerBlock(self.embed_dim, self.num_heads,
                                  drop_path_rate=dpr[i], dtype=self.dtype,
                                  name=f"block{i}")(
-                x, key_mask=key_mask, deterministic=deterministic)
+                x, key_mask=key_mask, deterministic=deterministic,
+                dp_masks=None if dp_masks is None else dp_masks[i])
         x = nn.LayerNorm(name="norm")(x)
         return x
 
