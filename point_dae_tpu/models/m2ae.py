@@ -106,14 +106,19 @@ class EncoderStage(nn.Module):
     def __call__(self, tokens: Array, pos: Array, vis: Array,
                  attn_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
+        from .layers import _stack_dp_masks
+
         x = tokens
         key_mask = vis
+        dp = _stack_dp_masks(self, list(self.drop_path_rates), x.shape[0],
+                             deterministic)
         for i in range(self.depth):
             x = TransformerBlock(self.dim, self.num_heads,
                                  drop_path_rate=self.drop_path_rates[i],
                                  name=f"block{i}")(
                 x + pos, key_mask=key_mask, attn_mask=attn_mask,
-                deterministic=deterministic)
+                deterministic=deterministic,
+                dp_masks=None if dp is None else dp[i])
         return x
 
 
@@ -249,11 +254,16 @@ class DecoderStage(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, pos: Array, deterministic: bool = True):
+        from .layers import _stack_dp_masks
+
+        dp = _stack_dp_masks(self, list(self.drop_path_rates), x.shape[0],
+                             deterministic)
         for i in range(self.depth):
             x = TransformerBlock(self.dim, self.num_heads,
                                  drop_path_rate=self.drop_path_rates[i],
                                  name=f"block{i}")(
-                x + pos, deterministic=deterministic)
+                x + pos, deterministic=deterministic,
+                dp_masks=None if dp is None else dp[i])
         return x
 
 
