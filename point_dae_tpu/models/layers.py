@@ -178,16 +178,30 @@ class Attention(nn.Module):
     def __call__(self, x: Array, key_mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
+        import os
+
         B, N, C = x.shape
         H = self.num_heads
         head = C // H
         qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, head).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]                    # (B, H, N, head)
         scale = head ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
+        # Two mathematically identical layouts (same params/outputs; only
+        # the HLO differs). "bnhd" skips the (3,B,H,N,d) transpose the
+        # torch-shaped path materializes: q/k/v stay in the Dense output's
+        # natural (B, N, H, d) layout and the head axis rides as a batch
+        # dim of the einsums. A/B knob for the TPU scheduler.
+        bnhd = os.environ.get("PDAE_ATTN_LAYOUT", "bhnd") == "bnhd"
+        if bnhd:
+            qkv = qkv.reshape(B, N, 3, H, head)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,N,H,d)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * scale
+        else:
+            qkv3 = qkv.reshape(B, N, 3, H, head).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv3[0], qkv3[1], qkv3[2]             # (B, H, N, head)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * scale
         if key_mask is not None:
             attn = attn + jnp.where(key_mask[:, None, None, :], 0.0, -1e9)
         if attn_mask is not None:
@@ -196,8 +210,11 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         if self.attn_drop > 0 and not deterministic:
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=False)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+        if bnhd:
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        else:
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
         out = out.astype(x.dtype) if self.dtype is None else out.astype(self.dtype)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         if self.proj_drop > 0 and not deterministic:

@@ -227,3 +227,29 @@ class TestResidualDtype:
         lb = mh.apply(v, pts, pts, train=False, rngs={"mask": jax.random.key(5)})
         np.testing.assert_allclose(float(lb[0]), float(la[0]), rtol=0.03)
         np.testing.assert_allclose(float(lb[1]), float(la[1]), rtol=0.03)
+
+
+class TestAttentionLayouts:
+    def test_bnhd_layout_bit_exact(self, monkeypatch):
+        """PDAE_ATTN_LAYOUT=bnhd (no-transpose q/k/v path) must match the
+        default torch-shaped layout bit-for-bit in forward AND gradients —
+        it is the same math, only the HLO differs."""
+        import os
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(4, 32, 48)).astype(np.float32))
+        km = jnp.asarray(rng.random((4, 32)) > 0.3)
+        attn = Attention(48, num_heads=6, dtype=jnp.bfloat16)
+        p = attn.init(jax.random.key(0), x)
+
+        def loss(p, x):
+            return jnp.sum(attn.apply(p, x, key_mask=km).astype(jnp.float32))
+
+        monkeypatch.setenv("PDAE_ATTN_LAYOUT", "bhnd")
+        y1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+        monkeypatch.setenv("PDAE_ATTN_LAYOUT", "bnhd")
+        y2, g2 = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+        assert float(y1) == float(y2)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

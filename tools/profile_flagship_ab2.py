@@ -29,6 +29,8 @@ VARIANTS = {
     "remat+residual": {"remat": True, "residual_dtype": "bf16"},
     "fold_xla": {"fold_impl": "xla"},
     "unfused_patchify": {"_PATCHIFY": "0"},
+    # no-transpose q/k/v layout (layers.py Attention, bit-exact on CPU)
+    "attn_bnhd": {"_ATTN": "bnhd"},
 }
 
 
@@ -67,6 +69,8 @@ def main():
         over = dict(VARIANTS[name])
         patchify = over.pop("_PATCHIFY", "auto")
         os.environ["PDAE_FUSED_PATCHIFY"] = patchify
+        # trace-time knob: must be set before the compile call below
+        os.environ["PDAE_ATTN_LAYOUT"] = over.pop("_ATTN", "bhnd")
         config = ConfigDict(FLAGSHIP_CONFIG)
         config["total_bs"] = B
         config["model"]["transformer_config"].update(over)
@@ -82,6 +86,7 @@ def main():
         print(f"# compiled {name} in {time.perf_counter()-t0:.0f}s "
               f"loss_xyz={loss:.5f}", flush=True)
         os.environ["PDAE_FUSED_PATCHIFY"] = "auto"
+        os.environ["PDAE_ATTN_LAYOUT"] = "bhnd"
 
     best = {n: float("inf") for n in names}
     for r in range(args.rounds):
