@@ -359,7 +359,13 @@ _FAMILIES = {
     "dgcnn": _DGCNN_RULES,
     "masksurf": _MASKSURF_RULES,
     "mlmae": _MLMAE_RULES,
-    "maskfeat": _TRANSFORMER_RULES,   # same module naming
+    # MaskFeat: student uses the transformer naming; the frozen teacher is
+    # serialized under 'pointmae.MAE_encoder.*' (MaskFeat_transformer.py:
+    # 396-405 loads it as a submodule) and lands in our 'teacher' subtree
+    "maskfeat": [
+        (r"^pointmae\.MAE_encoder\." + pat.lstrip("^"), "teacher/" + tmpl)
+        for pat, tmpl in _TRANSFORMER_RULES
+    ] + _TRANSFORMER_RULES,
     "pointnet": _POINTNET_RULES,
     "pointnet2": _POINTNET2_RULES,
     "m2ae": _M2AE_RULES,

@@ -882,3 +882,187 @@ class TestM2AEFcCenterFullModel:
             np.testing.assert_allclose(
                 got[key], gp[key], rtol=2e-3, atol=5e-4,
                 err_msg=f"m2ae gradient mismatch at {key}")
+
+
+class TorchMaskFeatPointmae(tnn.Module):
+    """MaskFeat_transformer_pointmae twin (MaskFeat_transformer.py:347-491
+    dataflow, all_patch='False'): student MaskTransformer on visible tokens,
+    decoder over [visible, mask tokens], Conv1d(C,C,1) feature head; target
+    = frozen Point-MAE teacher encoder run without masking
+    (pointmae.MAE_encoder, :473-480), loss = mean over masked tokens of
+    ||normalize(t) - normalize(p)||^2 (:481-484)."""
+
+    def __init__(self, dim=64, depth=2, heads=2, dec_depth=1, dec_heads=2):
+        super().__init__()
+        self.dim = dim
+
+        def make_enc():
+            class Enc(tnn.Module):
+                def __init__(self):
+                    super().__init__()
+                    self.encoder = TorchPatchEmbed(dim)
+                    self.pos_embed = tnn.Sequential(
+                        tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, dim))
+
+                    class Blocks(tnn.Module):
+                        def __init__(self):
+                            super().__init__()
+                            self.blocks = tnn.ModuleList(
+                                [TorchBlock(dim, heads)
+                                 for _ in range(depth)])
+
+                        def forward(self, x, pos):
+                            for b in self.blocks:
+                                x = b(x + pos)
+                            return x
+
+                    self.blocks = Blocks()
+                    self.norm = tnn.LayerNorm(dim)
+
+            return Enc()
+
+        class Dec(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.blocks = tnn.ModuleList(
+                    [TorchBlock(dim, dec_heads) for _ in range(dec_depth)])
+                self.norm = tnn.LayerNorm(dim)
+
+            def forward(self, x, pos, return_token_num):
+                for b in self.blocks:
+                    x = b(x + pos)
+                return self.norm(x[:, -return_token_num:])
+
+        class PointMAE(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.MAE_encoder = make_enc()
+
+        self.MAE_encoder = make_enc()
+        self.MAE_decoder = Dec()
+        self.mask_token = tnn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.decoder_pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, dim))
+        self.increase_dim = tnn.Sequential(tnn.Conv1d(dim, dim, 1))
+        self.pointmae = PointMAE()
+        for p in self.pointmae.parameters():
+            p.requires_grad = False
+
+    def _run_teacher(self, neigh, center):
+        t = self.pointmae.MAE_encoder
+        tokens = t.encoder(neigh)                        # (B, G, C) noaug
+        pos = t.pos_embed(center)
+        return t.norm(t.blocks(tokens, pos))
+
+    def forward(self, neigh, center, mask):
+        B, G, S, _ = neigh.shape
+        tokens = self.MAE_encoder.encoder(neigh)         # embed ALL patches
+        C = tokens.shape[-1]
+        x_vis = tokens[~mask].reshape(B, -1, C)
+        pos = self.MAE_encoder.pos_embed(center[~mask].reshape(B, -1, 3))
+        x_vis = self.MAE_encoder.norm(self.MAE_encoder.blocks(x_vis, pos))
+
+        pos_vis = self.decoder_pos_embed(center[~mask]).reshape(B, -1, C)
+        pos_mask = self.decoder_pos_embed(center[mask]).reshape(B, -1, C)
+        M = pos_mask.shape[1]
+        x_full = torch.cat([x_vis, self.mask_token.expand(B, M, -1)], 1)
+        pos_full = torch.cat([pos_vis, pos_mask], 1)
+        x_rec = self.MAE_decoder(x_full, pos_full, M)    # (B, M, C)
+
+        pred = self.increase_dim(x_rec.transpose(1, 2)).transpose(1, 2)
+        pred = pred.reshape(B * M, -1)
+
+        with torch.no_grad():
+            x_all = self._run_teacher(neigh, center)
+        gt = x_all[mask]                                 # (B*M, C)
+        gt = torch.nn.functional.normalize(gt, dim=1)
+        pred = torch.nn.functional.normalize(pred, dim=1)
+        return (gt - pred).pow(2).sum(1).mean()
+
+
+class TestMaskFeatFullModel:
+    B, N, G, S = 2, 64, 8, 6
+    DIM, DEPTH, HEADS = 64, 2, 2
+
+    def _config(self):
+        return {
+            "loss": "cdl2", "all_patch": "False",
+            "num_group": self.G, "group_size": self.S,
+            "transformer_config": {
+                "trans_dim": self.DIM, "depth": self.DEPTH,
+                "num_heads": self.HEADS, "encoder_dims": self.DIM,
+                "decoder_depth": 1, "decoder_num_heads": 2,
+                "drop_path_rate": 0.0, "mask_ratio": 0.5,
+                "rand_ratio": "False", "mask_type": "rand",
+            },
+        }
+
+    def test_loss_and_gradient_parity(self, tmp_path, monkeypatch):
+        from point_dae_tpu import ops
+        from point_dae_tpu.models import maskfeat as mf
+        from point_dae_tpu.models import transformer as tr
+
+        torch.manual_seed(44)
+        rng = np.random.default_rng(44)
+        pts = rng.normal(size=(self.B, self.N, 3)).astype(np.float32)
+
+        mask_np = np.zeros((self.B, self.G), bool)
+        mask_np[0, [1, 3, 4, 6]] = True
+        mask_np[1, [0, 2, 5, 7]] = True
+        monkeypatch.setattr(
+            tr, "sample_patch_mask",
+            lambda key, b, g, ratio, rand: jnp.asarray(mask_np))
+
+        tm = TorchMaskFeatPointmae(dim=self.DIM, depth=self.DEPTH,
+                                   heads=self.HEADS, dec_depth=1,
+                                   dec_heads=2).eval()
+        # randomized BN running stats on BOTH patch embeds (student+teacher)
+        for enc in [tm.MAE_encoder, tm.pointmae.MAE_encoder]:
+            for bn in [enc.encoder.first_conv[1], enc.encoder.second_conv[1]]:
+                bn.running_mean.copy_(torch.randn_like(bn.running_mean) * 0.1)
+                bn.running_var.copy_(
+                    torch.rand_like(bn.running_var) * 0.5 + 0.75)
+
+        neigh_j, center_j = ops.group_neighborhood(jnp.asarray(pts), self.G,
+                                                   self.S)
+        l_t = tm(torch.as_tensor(np.asarray(neigh_j)),
+                 torch.as_tensor(np.asarray(center_j)),
+                 torch.as_tensor(mask_np))
+        l_t.backward()
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        gd = {k: p.grad.numpy() for k, p in tm.named_parameters()
+              if p.grad is not None}
+        pf, bsf = _convert_full(tmp_path, sd, "maskfeat",
+                                encoder_prefix="MAE_encoder")
+        gp, _ = _convert_full(tmp_path, gd, "maskfeat",
+                              encoder_prefix="MAE_encoder")
+        # conversion must leave nothing unmatched (teacher subtree included)
+        assert not [k for k in pf if "." in k], \
+            [k for k in pf if "." in k]
+
+        fm = mf.MaskFeat_transformer_pointmae(config=self._config())
+        pj = jnp.asarray(pts)
+        v = fm.init({"params": jax.random.key(0), "mask": jax.random.key(1)},
+                    pj, pj, train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+
+        def loss(p):
+            l, _ = fm.apply({"params": p, "batch_stats": bs}, pj, pj,
+                            train=False, rngs={"mask": jax.random.key(2)})
+            return l
+
+        l_j, grads = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(l_j), float(l_t), rtol=1e-4)
+
+        got = flatten_keys(jax.device_get(grads))
+        assert set(gp) <= set(got), sorted(set(gp) - set(got))
+        for key in sorted(gp):
+            np.testing.assert_allclose(
+                got[key], gp[key], rtol=2e-3, atol=5e-4,
+                err_msg=f"maskfeat gradient mismatch at {key}")
+        # the frozen teacher must receive exactly zero gradient
+        for key in got:
+            if key.startswith("teacher/"):
+                assert float(np.abs(got[key]).max()) == 0.0, key
