@@ -116,6 +116,11 @@ _DGCNN_RULES = [
     (r"^dgcnn_encoder\.bn4\.(.*)$", "dgcnn_encoder/ec4/bn"),
     (r"^dgcnn_encoder\.conv5\.0\.(weight)$", "dgcnn_encoder/conv5"),
     (r"^dgcnn_encoder\.bn5\.(.*)$", "dgcnn_encoder/bn5"),
+    # the bnX modules are ALSO registered inside the convX Sequentials
+    # (dgcnn_util.py:90-111), so state_dict emits each BN twice; the
+    # convX.1 aliases carry identical tensors and map to the same leaves
+    (r"^dgcnn_encoder\.conv([1-4])\.1\.(.*)$", "dgcnn_encoder/ec{0}/bn"),
+    (r"^dgcnn_encoder\.conv5\.1\.(.*)$", "dgcnn_encoder/bn5"),
     (r"^recfc\.0\.(weight|bias)$", "recfc/dense0"),
     (r"^recfc\.2\.(weight|bias)$", "recfc/dense1"),
     (r"^recfc\.4\.(weight|bias)$", "recfc/dense2"),
@@ -365,6 +370,12 @@ _FAMILIES = {
     "maskfeat": [
         (r"^pointmae\.MAE_encoder\." + pat.lstrip("^"), "teacher/" + tmpl)
         for pat, tmpl in _TRANSFORMER_RULES
+    ] + [
+        # MaskFeat_dgcnn: frozen nopooling-DGCNN teacher serialized under
+        # 'teacher_model.dgcnn_encoder.*' (MaskFeat_DGCNN.py:391-407)
+        (r"^teacher_model\." + pat.lstrip("^"),
+         tmpl.replace("dgcnn_encoder/", "teacher/"))
+        for pat, tmpl in _DGCNN_RULES if pat.startswith(r"^dgcnn_encoder")
     ] + _TRANSFORMER_RULES,
     "pointnet": _POINTNET_RULES,
     "pointnet2": _POINTNET2_RULES,

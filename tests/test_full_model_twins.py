@@ -1066,3 +1066,234 @@ class TestMaskFeatFullModel:
         for key in got:
             if key.startswith("teacher/"):
                 assert float(np.abs(got[key]).max()) == 0.0, key
+
+
+class TorchNoPoolDGCNN(tnn.Module):
+    """dgcnn_encoder_nopooling twin (dgcnn_util.py:141-188): 4 EdgeConvs +
+    1024-d fuse, returns POINTWISE features (B, 1024, N). Attribute naming
+    mirrors the reference exactly (bnX registered before convX) so
+    state_dict keys are bnX.* / convX.0.*."""
+
+    def __init__(self, k=20):
+        super().__init__()
+        self.k = k
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.bn2 = tnn.BatchNorm2d(64)
+        self.bn3 = tnn.BatchNorm2d(128)
+        self.bn4 = tnn.BatchNorm2d(256)
+        self.bn5 = tnn.BatchNorm1d(1024)
+        self.conv1 = tnn.Sequential(tnn.Conv2d(6, 64, 1, bias=False),
+                                    self.bn1, tnn.LeakyReLU(0.2))
+        self.conv2 = tnn.Sequential(tnn.Conv2d(128, 64, 1, bias=False),
+                                    self.bn2, tnn.LeakyReLU(0.2))
+        self.conv3 = tnn.Sequential(tnn.Conv2d(128, 128, 1, bias=False),
+                                    self.bn3, tnn.LeakyReLU(0.2))
+        self.conv4 = tnn.Sequential(tnn.Conv2d(256, 256, 1, bias=False),
+                                    self.bn4, tnn.LeakyReLU(0.2))
+        self.conv5 = tnn.Sequential(tnn.Conv1d(512, 1024, 1, bias=False),
+                                    self.bn5, tnn.LeakyReLU(0.2))
+
+    def _graph_feature(self, x):                          # (B, C, N)
+        B, C, N = x.shape
+        xt = x.transpose(2, 1)
+        d = torch.cdist(xt, xt) ** 2
+        idx = d.topk(self.k, dim=-1, largest=False).indices
+        nbr = torch.gather(
+            xt[:, :, None, :].expand(B, N, N, C), 1,
+            idx[..., None].expand(B, N, self.k, C))
+        ctr = xt[:, :, None, :].expand(B, N, self.k, C)
+        e = torch.cat([nbr - ctr, ctr], dim=-1)
+        return e.permute(0, 3, 1, 2)                      # (B, 2C, N, k)
+
+    def forward(self, x):                                 # (B, 3, N)
+        outs = []
+        h = x
+        for i in range(1, 5):
+            e = self._graph_feature(h)
+            h = getattr(self, f"conv{i}")(e).max(dim=-1)[0]
+            outs.append(h)
+        return self.conv5(torch.cat(outs, dim=1))         # (B, 1024, N)
+
+
+class TorchMaskFeatDGCNN(tnn.Module):
+    """MaskFeat_dgcnn twin (MaskFeat_DGCNN.py:346-499, all_patch='False'):
+    same student as the pointmae flavour but Conv1d(C,1024,1) head; targets
+    are the frozen DGCNN teacher's pointwise features grouped through the
+    SAME patch kNN indices and max-pooled over the patch (:459-475)."""
+
+    def __init__(self, dim=64, depth=2, heads=2, dec_depth=1, dec_heads=2,
+                 teacher_k=20):
+        super().__init__()
+
+        class Enc(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder = TorchPatchEmbed(dim)
+                self.pos_embed = tnn.Sequential(
+                    tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, dim))
+
+                class Blocks(tnn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.blocks = tnn.ModuleList(
+                            [TorchBlock(dim, heads) for _ in range(depth)])
+
+                    def forward(self, x, pos):
+                        for b in self.blocks:
+                            x = b(x + pos)
+                        return x
+
+                self.blocks = Blocks()
+                self.norm = tnn.LayerNorm(dim)
+
+        class Dec(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.blocks = tnn.ModuleList(
+                    [TorchBlock(dim, dec_heads) for _ in range(dec_depth)])
+                self.norm = tnn.LayerNorm(dim)
+
+            def forward(self, x, pos, return_token_num):
+                for b in self.blocks:
+                    x = b(x + pos)
+                return self.norm(x[:, -return_token_num:])
+
+        class Teacher(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.dgcnn_encoder = TorchNoPoolDGCNN(k=teacher_k)
+
+        self.MAE_encoder = Enc()
+        self.MAE_decoder = Dec()
+        self.mask_token = tnn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.decoder_pos_embed = tnn.Sequential(
+            tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, dim))
+        self.increase_dim = tnn.Sequential(tnn.Conv1d(dim, 1024, 1))
+        self.teacher_model = Teacher()
+        for p in self.teacher_model.parameters():
+            p.requires_grad = False
+
+    def forward(self, neigh, center, mask, pts, idx):
+        """idx: (B, G, S) the patch kNN indices (shared with the framework
+        side so the teacher grouping is identical)."""
+        B, G, S, _ = neigh.shape
+        tokens = self.MAE_encoder.encoder(neigh)
+        C = tokens.shape[-1]
+        x_vis = tokens[~mask].reshape(B, -1, C)
+        pos = self.MAE_encoder.pos_embed(center[~mask].reshape(B, -1, 3))
+        x_vis = self.MAE_encoder.norm(self.MAE_encoder.blocks(x_vis, pos))
+
+        pos_vis = self.decoder_pos_embed(center[~mask]).reshape(B, -1, C)
+        pos_mask = self.decoder_pos_embed(center[mask]).reshape(B, -1, C)
+        M = pos_mask.shape[1]
+        x_full = torch.cat([x_vis, self.mask_token.expand(B, M, -1)], 1)
+        pos_full = torch.cat([pos_vis, pos_mask], 1)
+        x_rec = self.MAE_decoder(x_full, pos_full, M)
+
+        pred = self.increase_dim(x_rec.transpose(1, 2)).transpose(1, 2)
+        pred = pred.reshape(B * M, -1)                    # (B*M, 1024)
+
+        with torch.no_grad():
+            pw = self.teacher_model.dgcnn_encoder(
+                pts.transpose(1, 2)).transpose(1, 2)      # (B, N, 1024)
+        D = pw.shape[-1]
+        nbr = torch.gather(pw[:, None].expand(B, G, pts.shape[1], D), 2,
+                           idx[..., None].expand(B, G, S, D))
+        gt = nbr[mask].max(1).values                      # (B*M, 1024)
+        gt = torch.nn.functional.normalize(gt, dim=1)
+        pred = torch.nn.functional.normalize(pred, dim=1)
+        return (gt - pred).pow(2).sum(1).mean()
+
+
+class TestMaskFeatDGCNNFullModel:
+    B, N, G, S = 2, 64, 8, 6
+    DIM, DEPTH, HEADS = 64, 2, 2
+
+    def _config(self):
+        return {
+            "loss": "cdl2", "all_patch": "False",
+            "num_group": self.G, "group_size": self.S,
+            "transformer_config": {
+                "trans_dim": self.DIM, "depth": self.DEPTH,
+                "num_heads": self.HEADS, "encoder_dims": self.DIM,
+                "decoder_depth": 1, "decoder_num_heads": 2,
+                "drop_path_rate": 0.0, "mask_ratio": 0.5,
+                "rand_ratio": "False", "mask_type": "rand",
+            },
+        }
+
+    def test_loss_and_gradient_parity(self, tmp_path, monkeypatch):
+        from point_dae_tpu import ops
+        from point_dae_tpu.models import maskfeat as mf
+        from point_dae_tpu.models import transformer as tr
+
+        torch.manual_seed(45)
+        rng = np.random.default_rng(45)
+        pts = rng.normal(size=(self.B, self.N, 3)).astype(np.float32)
+
+        mask_np = np.zeros((self.B, self.G), bool)
+        mask_np[0, [0, 2, 5, 7]] = True
+        mask_np[1, [1, 3, 4, 6]] = True
+        monkeypatch.setattr(
+            tr, "sample_patch_mask",
+            lambda key, b, g, ratio, rand: jnp.asarray(mask_np))
+
+        tm = TorchMaskFeatDGCNN(dim=self.DIM, depth=self.DEPTH,
+                                heads=self.HEADS, dec_depth=1,
+                                dec_heads=2).eval()
+        for bn in [tm.MAE_encoder.encoder.first_conv[1],
+                   tm.MAE_encoder.encoder.second_conv[1]]:
+            bn.running_mean.copy_(torch.randn_like(bn.running_mean) * 0.1)
+            bn.running_var.copy_(
+                torch.rand_like(bn.running_var) * 0.5 + 0.75)
+        te = tm.teacher_model.dgcnn_encoder
+        for bn in [te.bn1, te.bn2, te.bn3, te.bn4, te.bn5]:
+            bn.running_mean.copy_(torch.randn_like(bn.running_mean) * 0.1)
+            bn.running_var.copy_(
+                torch.rand_like(bn.running_var) * 0.5 + 0.75)
+
+        pj = jnp.asarray(pts)
+        fps_idx = ops.furthest_point_sample(pj, self.G)
+        center_j = ops.gather_points(pj, fps_idx)
+        _, idx_j = ops.knn(center_j, pj, self.S)
+        neigh_j = ops.group_points(pj, idx_j) - center_j[:, :, None, :]
+
+        l_t = tm(torch.as_tensor(np.asarray(neigh_j)).clone(),
+                 torch.as_tensor(np.asarray(center_j)).clone(),
+                 torch.as_tensor(mask_np),
+                 torch.as_tensor(pts).clone(),
+                 torch.as_tensor(np.asarray(idx_j)).long())
+        l_t.backward()
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        gd = {k: p.grad.numpy() for k, p in tm.named_parameters()
+              if p.grad is not None}
+        pf, bsf = _convert_full(tmp_path, sd, "maskfeat",
+                                encoder_prefix="MAE_encoder")
+        gp, _ = _convert_full(tmp_path, gd, "maskfeat",
+                              encoder_prefix="MAE_encoder")
+        assert not [k for k in pf if "." in k], [k for k in pf if "." in k]
+
+        fm = mf.MaskFeat_dgcnn(config=self._config())
+        v = fm.init({"params": jax.random.key(0), "mask": jax.random.key(1)},
+                    pj, pj, train=False)
+        params = merge_pretrained(v["params"], pf)
+        bs = merge_pretrained(v["batch_stats"], bsf)
+
+        def loss(p):
+            l, _ = fm.apply({"params": p, "batch_stats": bs}, pj, pj,
+                            train=False, rngs={"mask": jax.random.key(2)})
+            return l
+
+        l_j, grads = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(l_j), float(l_t), rtol=1e-4)
+
+        got = flatten_keys(jax.device_get(grads))
+        assert set(gp) <= set(got), sorted(set(gp) - set(got))
+        for key in sorted(gp):
+            np.testing.assert_allclose(
+                got[key], gp[key], rtol=2e-3, atol=5e-4,
+                err_msg=f"maskfeat-dgcnn gradient mismatch at {key}")
+        for key in got:
+            if key.startswith("teacher/"):
+                assert float(np.abs(got[key]).max()) == 0.0, key
