@@ -78,7 +78,7 @@ class Point_CAE_DGCNN_FCOnly(_DGCNNDAEBase):
                                     grad_mode=str(self.config.get(
                                         "edgeconv_grad_mode", "first")),
                                     tn=int(self.config.get(
-                                        "edgeconv_tn", 128)),
+                                        "edgeconv_tn", 256)),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -112,7 +112,7 @@ class Point_CAE_DGCNN(_DGCNNDAEBase):
                                     grad_mode=str(self.config.get(
                                         "edgeconv_grad_mode", "first")),
                                     tn=int(self.config.get(
-                                        "edgeconv_tn", 128)),
+                                        "edgeconv_tn", 256)),
                                     name="dgcnn_encoder")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")
         # fine folding over concat([grid, point, global]): the global feature
@@ -153,7 +153,7 @@ class Point_CAE_DGCNN_FoldOnly(_DGCNNDAEBase):
                                     grad_mode=str(self.config.get(
                                         "edgeconv_grad_mode", "first")),
                                     tn=int(self.config.get(
-                                        "edgeconv_tn", 128)),
+                                        "edgeconv_tn", 256)),
                                     name="dgcnn_encoder")
         # both stages consume concat([broadcast global feature, per-point]);
         # the shared half of each first Dense is factorized (exact)
@@ -187,7 +187,7 @@ class Point_AE_Corruption_DGCNN(_DGCNNDAEBase):
                                     grad_mode=str(self.config.get(
                                         "edgeconv_grad_mode", "first")),
                                     tn=int(self.config.get(
-                                        "edgeconv_tn", 128)),
+                                        "edgeconv_tn", 256)),
                                     name="dgcnn_encoder")
         self.recfc = MLP((1024, 1024, self.num_coarse * 3), name="recfc")
 
@@ -282,7 +282,7 @@ class Point_CAE_DGCNN_proj(_DGCNNDAEBase):
                                     grad_mode=str(self.config.get(
                                         "edgeconv_grad_mode", "first")),
                                     tn=int(self.config.get(
-                                        "edgeconv_tn", 128)),
+                                        "edgeconv_tn", 256)),
                                     name="dgcnn_encoder")
         self.proj = MLP((512, 1024), name="proj")
         self.folding1 = MLP((1024, 1024, self.num_coarse * 3), name="folding1")

@@ -145,7 +145,7 @@ class FusedEdgeConv(nn.Module):
     # fallback's behavior). Parameter gradients agree whenever ties come
     # from duplicated points (ops/pallas_edgeconv.knn_aggregate docstring).
     grad_mode: str = "first"
-    tn: int = 128
+    tn: int = 256
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True,
@@ -158,8 +158,9 @@ class FusedEdgeConv(nn.Module):
         Uf = U.astype(jnp.float32)
         Vf = V.astype(jnp.float32)
         xf = jax.lax.stop_gradient(x.astype(jnp.float32))
+        tn_eff = min(self.tn, N)   # small clouds: one full-row tile
         use_kernel = self.interpret or (
-            self.use_pallas and idx is None and supported(N, self.k)
+            self.use_pallas and idx is None and supported(N, self.k, tn_eff)
             and jax.devices()[0].platform == "tpu")
         if use_kernel:
             # bf16 edge projection => Uf's f32 values carry only bf16
@@ -173,7 +174,7 @@ class FusedEdgeConv(nn.Module):
             passes = 1 if U.dtype == jnp.bfloat16 else 3
             gpasses = 3 if self.exact_grads else passes
             gmode = "split" if self.exact_grads else self.grad_mode
-            M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k, tn=self.tn,
+            M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k, tn=tn_eff,
                                             interpret=self.interpret,
                                             value_passes=passes,
                                             grad_passes=gpasses,
@@ -226,7 +227,7 @@ class DGCNNEncoder(nn.Module):
     impl: str = "reference"
     exact_grads: bool = False
     grad_mode: str = "first"   # see FusedEdgeConv
-    tn: int = 128
+    tn: int = 256
 
     def _resolved_impl(self) -> str:
         if self.impl != "auto":

@@ -323,7 +323,7 @@ def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 128,
+def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 256,
                   interpret: bool = False, value_passes: int = 3,
                   grad_passes: int = 3, grad_mode: str = "split"):
     """Fused kNN + neighbor aggregates of U. xf is the (non-differentiable)
