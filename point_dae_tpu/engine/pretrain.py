@@ -316,6 +316,33 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
                         seed=getattr(args, "seed", 0),
                         **loader_shard_kwargs())
     steps_per_epoch = max(len(loader), 1)
+
+    # optional device-resident dataset (data/device_cache.py): upload the
+    # train set to HBM once, then serve every batch as an on-device gather
+    # — removes the host->device stream from the steady-state step
+    device_cache = None
+    others_cfg = dcfg["train"].get("others", {})
+    if others_cfg.get("device_cache"):
+        if _jax.process_count() > 1:
+            print_log("[DeviceCache] multi-host run: streaming loader kept "
+                      "(per-host cache assembly not implemented)",
+                      logger=logger_name)
+        elif bool(getattr(build_model_from_cfg(config["model"]),
+                          "is_supervised", False)):
+            print_log("[DeviceCache] supervised pretrain needs labels: "
+                      "streaming loader kept", logger=logger_name)
+        else:
+            from ..data.device_cache import build_device_cache
+            _dt = {"float16": jnp.float16, "bfloat16": jnp.bfloat16,
+                   "float32": jnp.float32}[
+                str(others_cfg.get("device_cache_dtype", "float16"))]
+            device_cache = build_device_cache(
+                train_set, mesh=mesh, dtype=_dt,
+                max_bytes=int(others_cfg.get("device_cache_max_bytes",
+                                             12 * 2 ** 30)),
+                logger_name=logger_name)
+    if device_cache is not None:
+        steps_per_epoch = max(device_cache.steps_per_epoch(total_bs), 1)
     max_epoch = int(config.get("max_epoch", 300))
     loss_type = config.get("loss_type", "xyz")
 
@@ -468,7 +495,16 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
                 writer.add_scalar("Loss/Batch/Loss_xyz", float(m["loss_xyz"]), n_step)
                 writer.add_scalar("Loss/Batch/LR", float(sched(n_step)), n_step)
 
-        for batch in loader:
+        if device_cache is not None:
+            # device-resident path: every batch is an on-device gather; the
+            # streaming loader below never runs in the steady state
+            device_cache.set_epoch(epoch)
+            for i in range(steps_per_epoch):
+                key, sub = jax.random.split(key)
+                raw = device_cache.batch(i, total_bs)
+                state, metrics = train_step(state, raw, sub, gw, *bn_args)
+                log_metrics(metrics, 1)
+        for batch in loader if device_cache is None else ():
             key, sub = jax.random.split(key)
             if multi_step is None:
                 raw = shard_batch(mesh, np.asarray(batch["points"]),

@@ -164,10 +164,35 @@ def main():
     _ = float(m["loss_xyz"])
     e2e_cps = args.steps * B / (time.perf_counter() - t_start)
 
+    # --- end-to-end with the DEVICE-RESIDENT cache (data/device_cache.py):
+    # the dataset shard uploads once, then batches are on-device gathers —
+    # the steady state the real recipe runs in with device_cache: true
+    from point_dae_tpu.data.device_cache import build_device_cache
+
+    cache = build_device_cache(ds, dtype=jnp.float16)
+    cache.set_epoch(0)
+    spe = cache.steps_per_epoch(B)
+    state, m = step(state, cache.batch(0, B), key, gw)  # compile (same shape)
+    _ = float(m["loss_xyz"])
+    n, t0 = 0, time.perf_counter()
+    epoch = 0
+    while n < args.steps:
+        if n % spe == 0:
+            cache.set_epoch(epoch := epoch + 1)
+        key, sub = jax.random.split(key)
+        state, m = step(state, cache.batch(n % spe, B), sub, gw)
+        n += 1
+    _ = float(m["loss_xyz"])
+    cached_cps = args.steps * B / (time.perf_counter() - t0)
+
     print(json.dumps({
         "end_to_end_clouds_per_sec": round(e2e_cps, 1),
+        "device_cached_clouds_per_sec": round(cached_cps, 1),
         "device_only_clouds_per_sec": round(device_cps, 1),
         "e2e_over_device": round(e2e_cps / device_cps, 3),
+        "cached_over_device": round(cached_cps / device_cps, 3),
+        "cache_upload_s": round(cache.upload_seconds, 1),
+        "cache_gib": round(cache.nbytes / 2 ** 30, 2),
         "loader_only_clouds_per_sec": round(loader_cps, 1),
         "h2d_only_clouds_per_sec": round(h2d_cps, 1),
         "h2d_gbps": round(h2d_gbps, 2),
