@@ -7,6 +7,7 @@ layout (lane dimension = features).
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -14,6 +15,27 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 Array = jax.Array
+
+
+class _DenseParams(nn.Module):
+    """Param-only twin of ``nn.Dense``: identical param path
+    (<name>/kernel, <name>/bias), shapes, and initializers — so init draws
+    and checkpoints are unchanged — returned raw for code that dispatches
+    between a fused kernel and the XLA math."""
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.din, self.dout))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dout,))
+        return k, b
+
+
+def _dense_params(mod: nn.Module, name: str, din: int, dout: int):
+    del mod  # auto-parented via linen's module context
+    return _DenseParams(din, dout, name=name)()
 
 
 def leaky_relu02(x: Array) -> Array:
@@ -259,11 +281,31 @@ class TransformerBlock(nn.Module):
         x = x + dp(h, 0)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
-        h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        if self.drop > 0 and not deterministic:
-            h = nn.Dropout(self.drop)(h, deterministic=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        # params declared raw (path-identical to the nn.Dense modules they
+        # replace — same names/shapes/initializers) so the fused Pallas MLP
+        # and the XLA fallback share one checkpoint-compatible tree
+        k1, b1 = _dense_params(self, "mlp_fc1", self.dim, hidden)
+        k2, b2 = _dense_params(self, "mlp_fc2", hidden, self.dim)
+        from ..ops import pallas_mlp
+
+        drop_inert = self.drop == 0.0 or deterministic
+        tt = int(os.environ.get("PDAE_MLP_TT", "256"))
+        use_fused = (os.environ.get("PDAE_FUSED_MLP", "auto") != "0"
+                     and self.dtype == jnp.bfloat16 and drop_inert
+                     and pallas_mlp.supported(
+                         x.shape[0] * x.shape[1], self.dim, hidden, tt)
+                     and jax.devices()[0].platform == "tpu")
+        if use_fused:
+            # hidden stays VMEM-resident fwd+bwd (ops/pallas_mlp.py);
+            # f32 output, tighter rounding than the bf16 chain below
+            h = pallas_mlp.fused_mlp(h, k1, b1, k2, b2, tt=tt)
+        else:
+            dt = self.dtype or jnp.promote_types(h.dtype, k1.dtype)
+            h = h.astype(dt) @ k1.astype(dt) + b1.astype(dt)
+            h = nn.gelu(h, approximate=False)
+            if self.drop > 0 and not deterministic:
+                h = nn.Dropout(self.drop)(h, deterministic=False)
+            h = h.astype(dt) @ k2.astype(dt) + b2.astype(dt)
         h = h.astype(x.dtype)
         if self.drop > 0 and not deterministic:
             h = nn.Dropout(self.drop)(h, deterministic=False)

@@ -31,6 +31,10 @@ VARIANTS = {
     "unfused_patchify": {"_PATCHIFY": "0"},
     # no-transpose q/k/v layout (layers.py Attention, bit-exact on CPU)
     "attn_bnhd": {"_ATTN": "bnhd"},
+    # disable the fused Pallas MLP (ops/pallas_mlp.py; default auto=on)
+    "mlp_xla": {"_MLP": "0"},
+    "mlp_tt512": {"_MLP_TT": "512"},
+    "mlp_tt1024": {"_MLP_TT": "1024"},
 }
 
 
@@ -69,8 +73,10 @@ def main():
         over = dict(VARIANTS[name])
         patchify = over.pop("_PATCHIFY", "auto")
         os.environ["PDAE_FUSED_PATCHIFY"] = patchify
-        # trace-time knob: must be set before the compile call below
+        # trace-time knobs: must be set before the compile call below
         os.environ["PDAE_ATTN_LAYOUT"] = over.pop("_ATTN", "bhnd")
+        os.environ["PDAE_FUSED_MLP"] = over.pop("_MLP", "auto")
+        os.environ["PDAE_MLP_TT"] = over.pop("_MLP_TT", "256")
         config = ConfigDict(FLAGSHIP_CONFIG)
         config["total_bs"] = B
         config["model"]["transformer_config"].update(over)
@@ -87,6 +93,8 @@ def main():
               f"loss_xyz={loss:.5f}", flush=True)
         os.environ["PDAE_FUSED_PATCHIFY"] = "auto"
         os.environ["PDAE_ATTN_LAYOUT"] = "bhnd"
+        os.environ["PDAE_FUSED_MLP"] = "auto"
+        os.environ["PDAE_MLP_TT"] = "256"
 
     best = {n: float("inf") for n in names}
     for r in range(args.rounds):
