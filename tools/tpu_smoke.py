@@ -251,6 +251,50 @@ def main():
           f"kernel {err_ker:.2e} vs unfused-bf16 {err_bf16:.2e} "
           f"(bound 2x)")
 
+    # --- fused ViT MLP: Mosaic kernel (fwd + custom-VJP bwd) vs the
+    # unfused bf16 chain, both against a full-f32 oracle on the same
+    # inputs; the kernel may not add more than 2x the bf16 baseline's error
+    from point_dae_tpu.ops.pallas_mlp import fused_mlp
+
+    R, C, H = 2048, 384, 1536
+    xm = jnp.asarray(rng.normal(size=(R, C)).astype("f4"))
+    mk1 = jnp.asarray((rng.normal(size=(C, H)) * 0.05).astype("f4"))
+    mb1 = jnp.asarray((rng.normal(size=(H,)) * 0.02).astype("f4"))
+    mk2 = jnp.asarray((rng.normal(size=(H, C)) * 0.05).astype("f4"))
+    mb2 = jnp.asarray((rng.normal(size=(C,)) * 0.02).astype("f4"))
+    cotm = jnp.asarray(rng.normal(size=(R, C)).astype("f4"))
+
+    def _mlp_ref(x_, k1_, b1_, k2_, b2_, dt):
+        import flax.linen as _nn
+        h_ = x_.astype(dt) @ k1_.astype(dt) + b1_.astype(dt)
+        h_ = _nn.gelu(h_, approximate=False)
+        return (h_.astype(dt) @ k2_.astype(dt)
+                + b2_.astype(dt)).astype(jnp.float32)
+
+    def _vdot(fn):
+        return lambda *a: jnp.vdot(fn(*a).astype(jnp.float32), cotm)
+
+    args_m = (xm, mk1, mb1, mk2, mb2)
+    go = jax.jit(jax.grad(_vdot(
+        lambda *a: _mlp_ref(*a, jnp.float32)), argnums=(0, 1, 2, 3, 4)))(
+        *args_m)
+    gu = jax.jit(jax.grad(_vdot(
+        lambda *a: _mlp_ref(*a, jnp.bfloat16)), argnums=(0, 1, 2, 3, 4)))(
+        *args_m)
+    gf = jax.jit(jax.grad(_vdot(fused_mlp), argnums=(0, 1, 2, 3, 4)))(
+        *args_m)
+    worst = (0.0, 0.0)
+    for o, u, f in zip(go, gu, gf):
+        s = float(jnp.max(jnp.abs(o))) + 1e-6
+        eu = float(jnp.max(jnp.abs(u - o))) / s
+        ef = float(jnp.max(jnp.abs(f - o))) / s
+        assert ef <= 2.0 * eu + 1e-6, (ef, eu)
+        if ef > worst[0]:
+            worst = (ef, eu)
+    ok += 1
+    print(f"fused vit-mlp: grad rel-err vs f32 oracle: kernel "
+          f"{worst[0]:.2e} vs unfused-bf16 {worst[1]:.2e} (bound 2x)")
+
     # --- one flagship train step end-to-end
     from __graft_entry__ import FLAGSHIP_CONFIG
     from point_dae_tpu.engine.pretrain import init_model, make_train_step
@@ -273,7 +317,7 @@ def main():
     print(f"flagship train step: loss_xyz={lx:.4f} "
           f"({time.perf_counter() - t0:.1f}s incl. compile)")
 
-    print(f"TPU smoke: {ok}/10 checks passed")
+    print(f"TPU smoke: {ok}/11 checks passed")
 
 
 if __name__ == "__main__":
