@@ -498,6 +498,11 @@ def run_pretrain(config, args, logger_name: str = "PointDAE") -> Dict[str, Any]:
         if device_cache is not None:
             # device-resident path: every batch is an on-device gather; the
             # streaming loader below never runs in the steady state
+            if multi_step is not None and epoch == start_epoch:
+                print_log("[DeviceCache] steps_per_dispatch > 1 not staged "
+                          "through the cache path; using single-step "
+                          "dispatch (async enqueue already hides launch "
+                          "latency)", logger=logger_name)
             device_cache.set_epoch(epoch)
             for i in range(steps_per_epoch):
                 key, sub = jax.random.split(key)
