@@ -13,17 +13,26 @@ clouds/sec against a 3,738 clouds/sec device step; on a real TPU VM, PCIe
 similarly bounds multi-chip hosts), while the cached path runs at device
 speed.
 
-Multi-host: each process caches only its DistributedSampler-role shard
-(the same per-host striding the streaming loader uses), draws a local
-permutation from a host-count-invariant key, and assembles the global
-batch with the same make_array_from_process_local_data contract as
-shard_batch(local=True).
+Storage layout: ONE global (M_pad, N, C) array row-sharded over the mesh's
+'data' axis — each device holds M_pad/n rows, so the cache's HBM cost
+divides across the mesh instead of replicating. Multi-host, each process
+uploads only its devices' block (``make_array_from_process_local_data``,
+the same assembly contract as ``shard_batch(local=True)``) — no host ever
+materializes the full set. The epoch shuffle is one GLOBAL permutation
+(a fresh reshuffle across shard boundaries every epoch — the same
+semantics as the reference's per-epoch ``DistributedSampler`` reshuffle,
+tools/builder.py:19), and batches are served by ``gather_global``: each
+shard takes the rows it owns and a ``psum_scatter`` over the data axis
+deals every device its batch slice — the collective moves one batch of
+bytes over ICI, never the dataset.
 
 Enable with ``dataset.train.others.device_cache: true`` (optional
 ``device_cache_dtype: float16 | bfloat16 | float32``, default float16 —
 coordinate quantization ~1e-3 on unit-sphere clouds, below the sampling
 noise every recipe's augmentation adds; float32 doubles HBM if the set
-fits).
+fits). The permutation honors ``args.seed`` — note drop_last semantics
+(MIGRATING.md): steps_per_epoch = floor(M / batch), vs the streaming
+loader's drop_last=False.
 """
 from __future__ import annotations
 
@@ -34,6 +43,51 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def make_gather(mesh, batch_size: int):
+    """Build the (jittable) batch gather: (data (M_pad, N, C) sharded
+    P('data'), perm (M,) replicated, start scalar) -> (B, N, C) f32 sharded
+    P('data').
+
+    With a mesh, the gather runs as an explicit shard_map so SPMD never
+    all-gathers the dataset: each shard gathers the requested rows it owns
+    (others contribute exact zeros) and a tiled ``psum_scatter`` over the
+    data axis hands every device its own (B/n) slice — ICI traffic is one
+    batch, independent of dataset size."""
+    if mesh is None:
+        def gather(data, perm, start):
+            idx = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
+            return jnp.take(data, idx, axis=0).astype(jnp.float32)
+        return gather
+
+    from jax import shard_map
+
+    n_shards = mesh.shape["data"]
+    assert batch_size % n_shards == 0, (batch_size, n_shards)
+
+    def _shard_fn(dloc, idx):
+        rows = dloc.shape[0]
+        off = (jax.lax.axis_index("data") * rows).astype(idx.dtype)
+        loc = idx - off
+        inb = (loc >= 0) & (loc < rows)
+        safe = jnp.where(inb, loc, 0)
+        vals = jnp.take(dloc, safe, axis=0).astype(jnp.float32)
+        vals = jnp.where(inb[:, None, None], vals, 0.0)
+        if n_shards == 1:
+            return vals
+        return jax.lax.psum_scatter(vals, "data", scatter_dimension=0,
+                                    tiled=True)
+
+    smapped = shard_map(_shard_fn, mesh=mesh,
+                        in_specs=(P("data"), P()), out_specs=P("data"))
+
+    def gather(data, perm, start):
+        idx = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
+        return smapped(data, idx)
+
+    return gather
 
 
 class DeviceCache:
@@ -42,21 +96,26 @@ class DeviceCache:
 
     Parameters
     ----------
-    points : np.ndarray (M, N, C)
-        The per-host shard of the dataset (raw clouds, pre-augmentation —
-        augmentation/corruption stays inside the jitted train step).
+    points : np.ndarray (M_local, N, C)
+        This process's contiguous block of the (padded) global set — the
+        whole set single-process. ``build_device_cache`` computes the
+        block + wrap-padding; when constructing directly with a mesh, the
+        row count must divide by the mesh's data-axis size.
     mesh : optional jax.sharding.Mesh
-        When given, every served batch is sharded over the mesh's data
-        axis exactly like ``shard_batch(local=True)`` output, so the train
-        step's in_shardings match the streaming path's.
+        When given, storage is row-sharded over the 'data' axis and every
+        served batch comes out sharded exactly like ``shard_batch``'s
+        output, so the train step's in_shardings match the streaming path.
     dtype : storage dtype (jnp.float16 default; compute is f32 after gather)
-    seed : permutation PRNG seed (host-count-invariant: combined with
-        set_epoch, not with process_index — each host permutes its OWN
-        shard, which is already disjoint by the loader striding contract)
+    seed : permutation PRNG seed (pass args.seed — identical on every host;
+        the permutation is global, so all hosts agree on it)
+    total : the TRUE dataset size M (defaults to the local row count);
+        permutations only ever index [0, M), so wrap-padded rows are never
+        served.
     """
 
     def __init__(self, points: np.ndarray, mesh=None,
-                 dtype=jnp.float16, seed: int = 0):
+                 dtype=jnp.float16, seed: int = 0,
+                 total: Optional[int] = None):
         if points.ndim != 3:
             raise ValueError(f"expected (M, N, C) clouds, got {points.shape}")
         self._mesh = mesh
@@ -67,52 +126,63 @@ class DeviceCache:
         host = np.asarray(points)
         if self._dtype != host.dtype:
             host = host.astype(self._dtype)
-        if mesh is not None:
-            from ..parallel.mesh import replicated_sharding
-            self._data = jax.device_put(host, replicated_sharding(mesh))
-        else:
-            self._data = jnp.asarray(host)
-        self._data.block_until_ready()
-        self.upload_seconds = time.time() - t0
-        self.nbytes = host.nbytes
-
+        nproc = jax.process_count()
+        self._total = int(total) if total is not None \
+            else host.shape[0] * (nproc if mesh is not None else 1)
         if mesh is not None:
             from ..parallel.mesh import data_sharding
-            out_sh = data_sharding(mesh)
-
-            def gather(data, perm, start, bs):
-                idx = jax.lax.dynamic_slice_in_dim(perm, start, bs)
-                out = jnp.take(data, idx, axis=0).astype(jnp.float32)
-                return jax.lax.with_sharding_constraint(out, out_sh)
+            sh = data_sharding(mesh)
+            if nproc > 1:
+                self._data = jax.make_array_from_process_local_data(sh, host)
+            else:
+                self._data = jax.device_put(host, sh)
         else:
-            def gather(data, perm, start, bs):
-                idx = jax.lax.dynamic_slice_in_dim(perm, start, bs)
-                return jnp.take(data, idx, axis=0).astype(jnp.float32)
+            self._data = jnp.asarray(host)
+        jax.block_until_ready(self._data)
+        self.upload_seconds = time.time() - t0
+        self.nbytes = host.nbytes          # this process's uploaded bytes
 
-        self._gather = jax.jit(gather, static_argnums=3)
+        self._gathers = {}
         self._perm = None
 
     def __len__(self) -> int:
-        return int(self._data.shape[0])
+        return self._total
 
     def steps_per_epoch(self, batch_size: int) -> int:
-        # drop_last=True semantics of the reference train loader
+        # drop_last=True semantics (floor); the streaming train loader is
+        # drop_last=False — documented in MIGRATING.md
         return len(self) // batch_size
 
     def set_epoch(self, epoch: int) -> None:
-        """Draw this epoch's device-side permutation (one tiny dispatch)."""
+        """Draw this epoch's device-side global permutation (one tiny
+        dispatch; replicated, so every host/shard agrees)."""
         self._epoch = int(epoch)
         key = jax.random.key(self._seed)
         key = jax.random.fold_in(key, self._epoch)
-        self._perm = jax.random.permutation(key, len(self))
+        perm = jax.random.permutation(key, len(self)).astype(jnp.int32)
+        if self._mesh is not None:
+            from ..parallel.mesh import replicated_sharding
+            perm = jax.device_put(perm, replicated_sharding(self._mesh))
+        self._perm = jax.block_until_ready(perm)
+
+    def epoch_arrays(self):
+        """(data, perm) for staging the gather INSIDE a jitted train step
+        (engine/pretrain.make_train_step_multi_cached): the scan body calls
+        ``make_gather`` itself, so k gathered steps ride one dispatch."""
+        if self._perm is None:
+            self.set_epoch(0)
+        return self._data, self._perm
 
     def batch(self, step: int, batch_size: int) -> jax.Array:
         """The ``step``-th (B, N, C) f32 batch of the current epoch —
         a single on-device gather, no host round-trip."""
         if self._perm is None:
             self.set_epoch(0)
-        return self._gather(self._data, self._perm, step * batch_size,
-                            batch_size)
+        if batch_size not in self._gathers:
+            self._gathers[batch_size] = jax.jit(
+                make_gather(self._mesh, batch_size))
+        return self._gathers[batch_size](self._data, self._perm,
+                                         jnp.int32(step * batch_size))
 
     def __iter__(self):
         raise TypeError("DeviceCache is indexed by (epoch, step); use "
@@ -122,33 +192,41 @@ class DeviceCache:
 def build_device_cache(dataset, mesh=None, dtype=jnp.float16,
                        num_hosts: int = 1, host_id: int = 0,
                        max_bytes: Optional[int] = None,
+                       seed: int = 0,
                        logger_name: str = "PointDAE"):
     """Materialize a map-style dataset's clouds into a DeviceCache.
 
-    Iterates the dataset ONCE on host (the only time the loader path runs),
-    keeping this host's strided shard — the same per-rank split
-    ``loader_shard_kwargs`` gives the streaming DataLoader. Returns None
-    (with a log line) when the shard would exceed ``max_bytes`` — caller
-    falls back to the streaming loader.
+    Iterates (its block of) the dataset ONCE on host — the only time the
+    loader path runs. Multi-host, process ``host_id`` loads only rows
+    [host_id * M_pad/H, (host_id+1) * M_pad/H) of the wrap-padded set (its
+    own devices' shard under the row-major 'data' sharding), so per-host
+    work and memory divide by H. Returns None (with a log line) when this
+    host's block would exceed ``max_bytes`` — caller falls back to the
+    streaming loader.
     """
     from ..utils.logger import print_log
 
     n = len(dataset)
-    idxs = range(host_id, n, num_hosts)
-    first = dataset[next(iter(idxs))]["points"]
+    n_shards = mesh.shape["data"] if mesh is not None else 1
+    n_pad = -(-n // n_shards) * n_shards
+    assert n_pad % num_hosts == 0, (n_pad, num_hosts)
+    per_host = n_pad // num_hosts
+    rows = range(host_id * per_host, (host_id + 1) * per_host) \
+        if num_hosts > 1 else range(n_pad)
+    first = np.asarray(dataset[0]["points"])
     itemsize = jnp.dtype(dtype).itemsize
-    est = len(range(host_id, n, num_hosts)) * first.size * itemsize
+    est = len(rows) * first.size * itemsize
     if max_bytes is not None and est > max_bytes:
         print_log(f"[DeviceCache] dataset shard ~{est/2**30:.1f} GiB exceeds "
                   f"budget {max_bytes/2**30:.1f} GiB; streaming loader kept",
                   logger=logger_name)
         return None
     t0 = time.time()
-    clouds = np.stack([np.asarray(dataset[i]["points"], np.float32)
-                       for i in idxs])
-    cache = DeviceCache(clouds, mesh=mesh, dtype=dtype)
-    print_log(f"[DeviceCache] cached {clouds.shape[0]} clouds "
-              f"({cache.nbytes/2**30:.2f} GiB as {jnp.dtype(dtype).name}) "
+    clouds = np.stack([np.asarray(dataset[i % n]["points"], np.float32)
+                       for i in rows])
+    cache = DeviceCache(clouds, mesh=mesh, dtype=dtype, seed=seed, total=n)
+    print_log(f"[DeviceCache] cached {n} clouds (host block {len(rows)}, "
+              f"{cache.nbytes/2**30:.2f} GiB as {jnp.dtype(dtype).name}) "
               f"on device in {time.time()-t0:.1f}s "
               f"(upload {cache.upload_seconds:.1f}s); steady-state epochs "
               f"run with zero host->device traffic", logger=logger_name)

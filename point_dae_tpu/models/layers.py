@@ -17,6 +17,19 @@ import flax.linen as nn
 Array = jax.Array
 
 
+class _LNParams(nn.Module):
+    """Param-only twin of ``nn.LayerNorm``: identical param path
+    (<name>/scale ones, <name>/bias zeros) returned raw for the fused
+    LN+MLP+residual kernel dispatch (ops/pallas_mlp.fused_mlp_ln)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(), (self.dim,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.dim,))
+        return s, b
+
+
 class _DenseParams(nn.Module):
     """Param-only twin of ``nn.Dense``: identical param path
     (<name>/kernel, <name>/bias), shapes, and initializers — so init draws
@@ -200,14 +213,35 @@ class Attention(nn.Module):
     def __call__(self, x: Array, key_mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
-        import os
-
         B, N, C = x.shape
         H = self.num_heads
         head = C // H
         qkv = nn.Dense(C * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         scale = head ** -0.5
+        from ..ops import pallas_attn
+
+        drop_inert = self.attn_drop == 0.0 or deterministic
+        bc = pallas_attn.pick_bc(B, N)
+        use_fused = (os.environ.get("PDAE_FUSED_ATTN", "auto") != "0"
+                     and self.dtype == jnp.bfloat16
+                     and attn_mask is None and drop_inert
+                     and pallas_attn.supported(B, N, H, head, bc)
+                     and jax.devices()[0].platform == "tpu")
+        if use_fused:
+            # block-diagonal whole-sequence tiles on the MXU; the (R, R)
+            # score tile never touches HBM in either pass (ops/pallas_attn)
+            qkv4 = qkv.reshape(B, N, 3, H, head)
+            out = pallas_attn.fused_attention(
+                qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2],
+                key_mask=key_mask, bc=bc)
+            out = out.reshape(B, N, C)
+            out = out.astype(x.dtype) if self.dtype is None \
+                else out.astype(self.dtype)
+            out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            if self.proj_drop > 0 and not deterministic:
+                out = nn.Dropout(self.proj_drop)(out, deterministic=False)
+            return out
         # Two mathematically identical layouts (same params/outputs; only
         # the HLO differs). "bnhd" skips the (3,B,H,N,d) transpose the
         # torch-shaped path materializes: q/k/v stay in the Dense output's
@@ -279,7 +313,6 @@ class TransformerBlock(nn.Module):
             deterministic=deterministic)
         h = h.astype(x.dtype)
         x = x + dp(h, 0)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         # params declared raw (path-identical to the nn.Dense modules they
         # replace — same names/shapes/initializers) so the fused Pallas MLP
@@ -295,6 +328,26 @@ class TransformerBlock(nn.Module):
                      and pallas_mlp.supported(
                          x.shape[0] * x.shape[1], self.dim, hidden, tt)
                      and jax.devices()[0].platform == "tpu")
+        # round 5: fold LN2 + residual (+ the per-sample stochastic-depth
+        # scale when it comes from the stack's vectorized dp_masks) into
+        # the same kernel — the (R, C) branch tensor and the LN round-trip
+        # leave HBM entirely. Requires f32 residual stream (the default)
+        # and a vectorized (or inert) droppath draw.
+        dp1_inert = deterministic or self.drop_path_rate == 0.0
+        use_fused_ln = (use_fused
+                        and os.environ.get("PDAE_FUSED_MLP_LN", "auto") != "0"
+                        and x.dtype == jnp.float32
+                        and (dp1_inert or dp_masks is not None))
+        if use_fused_ln:
+            gm, bt = _LNParams(self.dim, name="norm2")()
+            row_scale = None
+            if not dp1_inert:
+                keep = 1.0 - self.drop_path_rate
+                sc = jnp.where(dp_masks[1], 1.0 / keep, 0.0)       # (B,)
+                row_scale = jnp.repeat(sc, x.shape[1])             # (B*T,)
+            return pallas_mlp.fused_mlp_ln(x, gm, bt, k1, b1, k2, b2,
+                                           row_scale=row_scale, tt=tt)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         if use_fused:
             # hidden stays VMEM-resident fwd+bwd (ops/pallas_mlp.py);
             # f32 output, tighter rounding than the bf16 chain below

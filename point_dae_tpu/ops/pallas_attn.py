@@ -1,0 +1,237 @@
+"""Fused ViT self-attention at tiny sequence length as one Pallas program.
+
+Role: the flagship stacks run attention at T=32 (packed encoder) and T=64
+(decoder) with head dim 64 (reference math: PointCAE_transformer.py:113-137
+``Attention``). As XLA batched matmuls these are (B*H, T, d) x (B*H, d, T)
+GEMMs with M=N<=64 — every one pads to a 128x128x128 MXU pass, so the
+systolic array runs at <6% occupancy and the (B, H, T, T) score tensor
+round-trips HBM between four dispatized ops (QK^T, softmax, AV, transpose).
+
+TPU-native layout: tile = ``bc`` clouds x the FULL sequence. Q/K/V blocks
+of shape (bc*T, d) turn the per-cloud score blocks into ONE (R, R) MXU
+matmul (R = bc*T = 256..512), with a *static block-diagonal mask* killing
+the cross-cloud entries (-1e9 before softmax). The softmax and the AV
+matmul fuse into the same program, and the backward recomputes the score
+tile in VMEM — the (R, R) probabilities never exist in HBM in either pass.
+The grid is (B/bc, H); every q/k/v block is owned by exactly one grid
+point, so all gradients are row-local (no cross-grid accumulation).
+
+Cost model: the block-diagonal trick wastes a factor ``bc`` of score-matmul
+FLOPs on masked entries, but those FLOPs are ~2 orders of magnitude cheaper
+than the occupancy lost to 32-row MXU passes — the whole fused encoder
+attention is <1 ms of roofline at flagship shapes vs 3.5 ms measured for
+the XLA path (evidence/PROFILE_DECOMPOSE_r04.txt attn1_fwd).
+
+Numerics: dot operands bf16, f32 accumulation (preferred_element_type),
+softmax in f32 with row-max subtraction — the same policy as the fused MLP
+kernel (ops/pallas_mlp.py). Key-mask semantics match layers.Attention
+exactly: masked tokens are excluded as KEYS only (queries at masked slots
+still attend valid keys, matching the packed static-capacity design).
+tests/test_pallas_attn.py bounds both paths against a full-f32 oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _dot(a: Array, b: Array) -> Array:
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_rows(a: Array, b: Array) -> Array:
+    """a (R, K) x b (R, N) -> (K, N) == a.T @ b, f32 accumulation."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_ll(a: Array, b: Array) -> Array:
+    """a (R, K) x b (N, K) -> (R, N) == a @ b.T (no explicit transpose)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _masked_scores(q, k, m, T, scale):
+    """(R, R) f32 scores: QK^T * scale with cross-cloud and invalid-key
+    entries at -1e9. m is the flattened (R,) f32 key-validity column."""
+    R = q.shape[0]
+    s = _dot_ll(q, k) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // T
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // T
+    ok = rows == cols
+    if m is not None:
+        ok = jnp.logical_and(ok, (m > 0.5)[None, :])
+    return jnp.where(ok, s, -1e9)
+
+
+def _softmax_rows(s):
+    mx = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - mx)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _reshape_in(ref, R, d):
+    return ref[...].reshape(R, d)
+
+
+def _fwd_kernel(T, scale, has_mask, *refs):
+    if has_mask:
+        q_ref, k_ref, v_ref, m_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        m_ref = None
+    bc, T_, _, d = q_ref.shape
+    R = bc * T_
+    q = _reshape_in(q_ref, R, d)
+    k = _reshape_in(k_ref, R, d)
+    v = _reshape_in(v_ref, R, d)
+    m = m_ref[...].reshape(R) if m_ref is not None else None
+    p = _softmax_rows(_masked_scores(q, k, m, T, scale))
+    o = _dot(p.astype(jnp.bfloat16), v)
+    o_ref[...] = o.reshape(bc, T_, 1, d)
+
+
+def _bwd_kernel(T, scale, has_mask, *refs):
+    if has_mask:
+        q_ref, k_ref, v_ref, m_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+    else:
+        q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+        m_ref = None
+    bc, T_, _, d = q_ref.shape
+    R = bc * T_
+    bf = jnp.bfloat16
+    q = _reshape_in(q_ref, R, d)
+    k = _reshape_in(k_ref, R, d)
+    v = _reshape_in(v_ref, R, d)
+    m = m_ref[...].reshape(R) if m_ref is not None else None
+    p = _softmax_rows(_masked_scores(q, k, m, T, scale))
+    pb = p.astype(bf)
+    g = _reshape_in(g_ref, R, d).astype(jnp.float32)
+    gb = g.astype(bf)
+    dv = _dot_rows(pb, gb)                          # (R, d) f32
+    dp = _dot_ll(gb, v)                             # (R, R) f32
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    dsb = (ds * scale).astype(bf)
+    dq = _dot(dsb, k)                               # (R, d) f32
+    dk = _dot_rows(dsb, q)                          # (R, d) f32
+    dq_ref[...] = dq.astype(bf).reshape(bc, T_, 1, d)
+    dk_ref[...] = dk.astype(bf).reshape(bc, T_, 1, d)
+    dv_ref[...] = dv.astype(bf).reshape(bc, T_, 1, d)
+
+
+def _specs(bc, T, H, d, with_mask, n_qkv=3):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    qkv = pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0),
+                       memory_space=pltpu.VMEM)
+    out = [qkv] * n_qkv
+    if with_mask:
+        out.append(pl.BlockSpec((bc, T), lambda i, h: (i, 0),
+                                memory_space=pltpu.VMEM))
+    return out
+
+
+def _fwd_call(q, k, v, mask, T, scale, bc, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T_, H, d = q.shape
+    has_mask = mask is not None
+    kern = functools.partial(_fwd_kernel, T, scale, has_mask)
+    args = (q, k, v) + ((mask,) if has_mask else ())
+    return pl.pallas_call(
+        kern,
+        grid=(B // bc, H),
+        in_specs=_specs(bc, T, H, d, has_mask),
+        out_specs=pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T_, H, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def _bwd_call(res, g, T, scale, bc, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v, mask = res
+    B, T_, H, d = q.shape
+    has_mask = mask is not None
+    kern = functools.partial(_bwd_kernel, T, scale, has_mask)
+    args = (q, k, v) + ((mask,) if has_mask else ()) + (g,)
+    blk = pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0))
+    bf = jnp.bfloat16
+    return pl.pallas_call(
+        kern,
+        grid=(B // bc, H),
+        in_specs=_specs(bc, T, H, d, has_mask) + [
+            pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((B, T_, H, d), bf)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _attn_core(q, k, v, mask, T, scale, bc, interpret):
+    return _fwd_call(q, k, v, mask, T, scale, bc, interpret)
+
+
+def _attn_core_fwd(q, k, v, mask, T, scale, bc, interpret):
+    return (_fwd_call(q, k, v, mask, T, scale, bc, interpret),
+            (q, k, v, mask))
+
+
+def _attn_core_bwd(T, scale, bc, interpret, res, g):
+    dq, dk, dv = _bwd_call(res, g.astype(jnp.float32), T, scale, bc,
+                           interpret)
+    return dq, dk, dv, None
+
+
+_attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
+
+
+def pick_bc(B: int, T: int, target_rows: int = 512) -> int:
+    """Largest clouds-per-tile with R = bc*T <= target_rows and B % bc == 0."""
+    for bc in (16, 8, 4, 2, 1):
+        if bc * T <= target_rows and B % bc == 0:
+            return bc
+    return 1
+
+
+def supported(B: int, T: int, H: int, d: int, bc: int) -> bool:
+    """Shapes the fused kernel handles: whole-sequence tiles, sublane-aligned
+    rows, lane-sized head dim, (bc*T)^2 score tile in VMEM."""
+    R = bc * T
+    return (B % bc == 0 and R % 8 == 0 and R <= 1024
+            and d % 8 == 0 and d <= 256 and T >= 2)
+
+
+def fused_attention(q: Array, k: Array, v: Array,
+                    key_mask=None, bc: int = 0,
+                    interpret: bool = False) -> Array:
+    """softmax(q @ k^T / sqrt(d) [+ key mask]) @ v, per cloud and head,
+    computed in block-diagonal (bc*T, bc*T) VMEM tiles.
+
+    q/k/v: (B, T, H, d) — the qkv Dense output's NATURAL layout, no
+    transpose (cast to bf16 here; cotangents carry bf16 back, the same
+    rounding the unfused bf16 einsum path applies). key_mask: optional
+    (B, T) bool, True = valid key. Returns (B, T, H, d) f32."""
+    B, T, H, d = q.shape
+    if bc <= 0:
+        bc = pick_bc(B, T)
+    scale = float(d) ** -0.5
+    bf = jnp.bfloat16
+    m = None if key_mask is None else key_mask.astype(jnp.float32)
+    return _attn_core(q.astype(bf), k.astype(bf), v.astype(bf), m,
+                      T, scale, bc, interpret)

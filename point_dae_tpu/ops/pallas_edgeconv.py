@@ -394,6 +394,14 @@ def _knn_aggregate_bwd(k, tn, interpret, value_passes, grad_passes,
 knn_aggregate.defvjp(_knn_aggregate_fwd, _knn_aggregate_bwd)
 
 
-def supported(N: int, k: int, tn: int = 128) -> bool:
-    """Shapes the fused kernel handles: full-row tiles + VMEM-resident U."""
-    return N % tn == 0 and 2 <= k <= 64 and N <= 4096
+def supported(N: int, k: int, tn: int = 256) -> bool:
+    """Shapes the fused kernel handles: full-row tiles + VMEM-resident U.
+
+    ``tn`` defaults to ``knn_aggregate``'s default (ADVICE r04: the two
+    contracts drifted 128 vs 256). The effective tile is ``min(tn, N)`` —
+    the same clamp every pallas_call site applies — and must stay
+    sublane-aligned (multiple of 8) so small clouds (N=100, 250, ...)
+    don't reach Mosaic as one unaligned tile."""
+    tn_eff = min(tn, N)
+    return (N % tn_eff == 0 and tn_eff % 8 == 0
+            and 2 <= k <= 64 and N <= 4096)

@@ -19,6 +19,7 @@ the unfused-bf16 baseline.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -200,6 +201,200 @@ def _mlp_core_bwd(tt, interpret, res, g):
 
 
 _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 rung: LayerNorm2 + residual (+ per-sample stochastic-depth scale)
+# folded into the same program — y = x + s * MLP(LN(x)). The LN is row-local
+# (mean/var over the lane dim), so both passes stay one grid sweep; folding
+# it removes the separate LN kernel, the residual-add round trip, and the
+# (R, C) branch tensor from HBM in BOTH passes. The stochastic-depth scale
+# rides as an optional (R, 1) per-row multiplier (drawn from the stack's
+# vectorized dp_masks — layers._stack_dp_masks), applied to the branch
+# before the residual add, exactly like drop_path_from_mask.
+# ---------------------------------------------------------------------------
+
+
+def _ln_fwd_f32(x, gm, bt, eps):
+    """flax LayerNorm math (use_fast_variance): f32 in, f32 out."""
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(x * x, axis=1, keepdims=True) - mu * mu
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * r
+    return xhat, r, xhat * gm + bt
+
+
+def _fwd_ln_kernel(eps, has_scale, x_ref, gm_ref, bt_ref, k1_ref, b1_ref,
+                   k2_ref, b2_ref, *rest):
+    if has_scale:
+        sc_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    bf = jnp.bfloat16
+    x = x_ref[...]                                        # (tt, C) f32
+    _, _, hin = _ln_fwd_f32(x, gm_ref[...], bt_ref[...], eps)
+    h = _dot(hin.astype(bf), k1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    a = _gelu_f32(h)
+    out = _dot(a.astype(bf), k2_ref[...]) + b2_ref[...].astype(jnp.float32)
+    if has_scale:
+        out = out * sc_ref[...]
+    o_ref[...] = x + out
+
+
+def _bwd_ln_kernel(eps, has_scale, x_ref, gm_ref, bt_ref, k1_ref, b1_ref,
+                   k2_ref, b2_ref, *rest):
+    from jax.experimental import pallas as pl
+
+    if has_scale:
+        sc_ref, g_ref, dx_ref, dk1_ref, dk2_ref, db_ref = rest
+    else:
+        g_ref, dx_ref, dk1_ref, dk2_ref, db_ref = rest
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dk1_ref[...] = jnp.zeros_like(dk1_ref[...])
+        dk2_ref[...] = jnp.zeros_like(dk2_ref[...])
+        db_ref[...] = jnp.zeros_like(db_ref[...])
+
+    bf = jnp.bfloat16
+    x = x_ref[...]                                        # (tt, C) f32
+    gm = gm_ref[...]
+    xhat, r, hin = _ln_fwd_f32(x, gm, bt_ref[...], eps)
+    hinb = hin.astype(bf)
+    h = _dot(hinb, k1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    a = _gelu_f32(h).astype(bf)
+    g = g_ref[...]                                        # (tt, C) f32
+    gbr = g * sc_ref[...] if has_scale else g             # branch cotangent
+    gbrb = gbr.astype(bf)
+
+    dk2_ref[...] += _dot_rows(a, gbrb)                    # (H, C)
+    da = _dot_ll(gbrb, k2_ref[...])                       # (tt, H) f32
+    dh = da * _gelu_grad_f32(h)
+    dhb = dh.astype(bf)
+    dk1_ref[...] += _dot_rows(hinb, dhb)                  # (C, H)
+    dxin = _dot_ll(dhb, k1_ref[...])                      # (tt, C) f32
+
+    # row-local LayerNorm backward
+    dgm = jnp.sum(dxin * xhat, axis=0, keepdims=True)     # (1, C)
+    dbt = jnp.sum(dxin, axis=0, keepdims=True)            # (1, C)
+    dxhat = dxin * gm
+    m1 = jnp.mean(dxhat, axis=1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=1, keepdims=True)
+    dx_ref[...] = g + r * (dxhat - m1 - xhat * m2)
+
+    H = dh.shape[1]
+    C = g.shape[1]
+
+    def padc(row):
+        return jnp.concatenate(
+            [row, jnp.zeros((1, H - C), jnp.float32)], axis=1)
+
+    db_ref[...] += jnp.concatenate(
+        [jnp.sum(dh, axis=0, keepdims=True),              # db1 (1, H)
+         padc(jnp.sum(gbr, axis=0, keepdims=True)),       # db2
+         padc(dgm),                                       # dgamma
+         padc(dbt)], axis=0)                              # dbeta -> (4, H)
+
+
+def _ln_core_call(kern_builder, x, gm, bt, k1, b1, k2, b2, sc, g,
+                  tt, eps, interpret, is_bwd):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R, C = x.shape
+    H = k1.shape[1]
+    has_scale = sc is not None
+    kern = functools.partial(kern_builder, eps, has_scale)
+    in_shapes = [(tt, C), (1, C), (1, C), (C, H), (1, H), (H, C), (1, C)]
+    tiled = {0}
+    args = [x, gm, bt, k1, b1, k2, b2]
+    if has_scale:
+        in_shapes.append((tt, 1))
+        tiled.add(len(in_shapes) - 1)
+        args.append(sc)
+    if is_bwd:
+        in_shapes.append((tt, C))
+        tiled.add(len(in_shapes) - 1)
+        args.append(g)
+        out_specs = [
+            pl.BlockSpec((tt, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, H), lambda i: (0, 0)),
+            pl.BlockSpec((H, C), lambda i: (0, 0)),
+            pl.BlockSpec((4, H), lambda i: (0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((R, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, C), jnp.float32),
+            jax.ShapeDtypeStruct((4, H), jnp.float32),
+        ]
+    else:
+        out_specs = pl.BlockSpec((tt, C), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((R, C), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        grid=(R // tt,),
+        in_specs=_specs(in_shapes, tiled),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _mlp_ln_core(x, gm, bt, k1, b1, k2, b2, sc, tt, eps, interpret):
+    return _ln_core_call(_fwd_ln_kernel, x, gm, bt, k1, b1, k2, b2, sc,
+                         None, tt, eps, interpret, is_bwd=False)
+
+
+def _mlp_ln_core_fwd(x, gm, bt, k1, b1, k2, b2, sc, tt, eps, interpret):
+    return (_ln_core_call(_fwd_ln_kernel, x, gm, bt, k1, b1, k2, b2, sc,
+                          None, tt, eps, interpret, is_bwd=False),
+            (x, gm, bt, k1, b1, k2, b2, sc))
+
+
+def _mlp_ln_core_bwd(tt, eps, interpret, res, g):
+    x, gm, bt, k1, b1, k2, b2, sc = res
+    dx, dk1, dk2, db = _ln_core_call(
+        _bwd_ln_kernel, x, gm, bt, k1, b1, k2, b2, sc,
+        g.astype(jnp.float32), tt, eps, interpret, is_bwd=True)
+    C = x.shape[1]
+    bf = jnp.bfloat16
+    # cotangent dtypes match the primals: residual stream f32, LN params
+    # f32, MLP weights bf16 (the outer astype restores f32 for flax)
+    return (dx, db[2:3, :C].reshape(C), db[3:4, :C].reshape(C),
+            dk1.astype(bf), db[0:1], dk2.astype(bf), db[1:2, :C],
+            None)
+
+
+_mlp_ln_core.defvjp(_mlp_ln_core_fwd, _mlp_ln_core_bwd)
+
+
+def fused_mlp_ln(x: Array, gamma: Array, beta: Array,
+                 k1: Array, b1: Array, k2: Array, b2: Array,
+                 row_scale: Optional[Array] = None, tt: int = 256,
+                 eps: float = 1e-6, interpret: bool = False) -> Array:
+    """y = x + s * (gelu_exact(LN(x; gamma, beta) @ k1 + b1) @ k2 + b2) —
+    the whole pre-norm MLP sub-block (TransformerBlock's norm2 branch,
+    PointCAE_transformer.py:152-158) in one program. x: (..., C) f32
+    residual stream; row_scale: optional per-row stochastic-depth scale
+    (flattened (R,)). Returns f32 (the new residual stream)."""
+    lead = x.shape[:-1]
+    C = x.shape[-1]
+    H = k1.shape[1]
+    x2 = x.reshape(-1, C).astype(jnp.float32)
+    bf = jnp.bfloat16
+    sc = None if row_scale is None \
+        else row_scale.reshape(-1, 1).astype(jnp.float32)
+    out = _mlp_ln_core(
+        x2, gamma.reshape(1, C).astype(jnp.float32),
+        beta.reshape(1, C).astype(jnp.float32),
+        k1.astype(bf), b1.reshape(1, H).astype(jnp.float32),
+        k2.astype(bf), b2.reshape(1, C).astype(jnp.float32),
+        sc, tt, eps, interpret)
+    return out.reshape(*lead, C)
 
 
 def supported(R: int, C: int, H: int, tt: int = 256) -> bool:

@@ -115,11 +115,42 @@ def main():
 
     flat = flatten_keys(jax.device_get(out["state"].params))
     digest = {k: float(abs(v).sum()) for k, v in flat.items()}
+
+    # --- Phase 3: device-resident cache path (round 5) --------------------
+    # Multi-host cache assembly: each process uploads only its devices'
+    # block (make_array_from_process_local_data), the epoch permutation is
+    # global, and batches are served by the shard_map psum_scatter gather —
+    # the SAME global program across layouts, so served batches must be
+    # bitwise layout-invariant and step losses follow the phase-1 contract.
+    from point_dae_tpu.data.device_cache import build_device_cache
+    from point_dae_tpu.engine.pretrain import make_train_step_multi_cached
+
+    cache = build_device_cache(ds, mesh=mesh, dtype=jnp.float32,
+                               num_hosts=jax.process_count(),
+                               host_id=jax.process_index(), seed=0)
+    cache.set_epoch(0)
+    data, perm = cache.epoch_arrays()
+    params3, bs3 = init_model(model, cfg, first["points"], seed=0)
+    tx3, _ = build_optimizer(cfg, params3, cache.steps_per_epoch(8), None)
+    state3 = replicate(mesh, TrainState.create(model.apply, params3, bs3,
+                                               tx3))
+    cstep = make_train_step_multi_cached(model, cfg, mesh, 1, 8)
+    cache_hashes, cache_losses = [], []
+    key3 = jax.random.key(1)
+    for i in range(2):
+        b = np.asarray(gather(cache.batch(i, 8)))
+        cache_hashes.append(hashlib.sha1(b.tobytes()).hexdigest())
+        key3, sub = jax.random.split(key3)
+        state3, m = cstep(state3, data, perm, jnp.int32(i * 8), sub, gw)
+        cache_losses.append(float(jax.device_get(m)["loss_xyz"]))
+
     with open(outfile, "w") as f:
         json.dump({"pid": pid, "n": n, "best_acc": float(out["best_acc"]),
                    "step": int(out["state"].step), "digest": digest,
                    "batch_hashes": batch_hashes,
-                   "probe_losses": probe_losses}, f)
+                   "probe_losses": probe_losses,
+                   "cache_hashes": cache_hashes,
+                   "cache_losses": cache_losses}, f)
 
 
 if __name__ == "__main__":

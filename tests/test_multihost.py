@@ -99,6 +99,17 @@ def test_two_process_run_matches_single_process(tmp_path):
     np.testing.assert_allclose(duo[0]["probe_losses"][1:],
                                single["probe_losses"][1:], rtol=5e-3)
 
+    # (2b) device-cache path (round 5): per-host shard assembly + global
+    # permutation + psum_scatter gather serve BITWISE layout-invariant
+    # batches, and the scan-staged cached step follows the same tiered
+    # loss contract as the streaming step
+    assert single["cache_hashes"] == duo[0]["cache_hashes"] \
+        == duo[1]["cache_hashes"]
+    np.testing.assert_allclose(duo[0]["cache_losses"][:1],
+                               single["cache_losses"][:1], rtol=2e-5)
+    np.testing.assert_allclose(duo[0]["cache_losses"][1:],
+                               single["cache_losses"][1:], rtol=5e-3)
+
     # (3) the real engine completes identically: same steps, same SVM
     # probe accuracy, params within the measured chaotic-drift envelope
     assert single["step"] == duo[0]["step"] > 0

@@ -79,6 +79,83 @@ class TestFusedMLP:
                                  interpret=True)))
 
 
+class TestFusedMLPLN:
+    """fused_mlp_ln: the whole pre-norm MLP sub-block (LN2 -> MLP ->
+    droppath scale -> residual) in one program."""
+
+    def _ln_setup(self, R=512, C=128, H=256, seed=0):
+        x, k1, b1, k2, b2 = _setup(R, C, H, seed)
+        rng = np.random.default_rng(seed + 10)
+        gm = jnp.asarray(1.0 + 0.1 * rng.normal(size=(C,)).astype(np.float32))
+        bt = jnp.asarray(0.05 * rng.normal(size=(C,)).astype(np.float32))
+        return x, gm, bt, k1, b1, k2, b2
+
+    @staticmethod
+    def _ref(x, gm, bt, k1, b1, k2, b2, sc, dt):
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.mean(x * x, -1, keepdims=True) - mu * mu
+        h = ((x - mu) * jax.lax.rsqrt(var + 1e-6)) * gm + bt
+        out = _unfused(h, k1, b1, k2, b2, dt)
+        if sc is not None:
+            out = out * sc[:, None]
+        return x + out
+
+    def test_forward_no_worse_than_unfused_bf16(self):
+        from point_dae_tpu.ops.pallas_mlp import fused_mlp_ln
+
+        x, gm, bt, k1, b1, k2, b2 = self._ln_setup()
+        sc = jnp.asarray((np.random.default_rng(2).uniform(size=(512,))
+                          < 0.9) / 0.9, jnp.float32)
+        for s in (None, sc):
+            oracle = self._ref(x, gm, bt, k1, b1, k2, b2, s, jnp.float32)
+            unf = self._ref(x, gm, bt, k1, b1, k2, b2, s, jnp.bfloat16)
+            fused = fused_mlp_ln(x, gm, bt, k1, b1, k2, b2, row_scale=s,
+                                 tt=256, interpret=True)
+            scale = jnp.maximum(jnp.abs(oracle), 1e-3)
+            err_f = float(jnp.max(jnp.abs(fused - oracle) / scale))
+            err_u = float(jnp.max(jnp.abs(unf - oracle) / scale))
+            assert err_f <= 2 * err_u + 1e-6, (s is None, err_f, err_u)
+
+    def test_gradients_no_worse_than_unfused_bf16(self):
+        from point_dae_tpu.ops.pallas_mlp import fused_mlp_ln
+
+        x, gm, bt, k1, b1, k2, b2 = self._ln_setup()
+        sc = jnp.asarray((np.random.default_rng(3).uniform(size=(512,))
+                          < 0.9) / 0.9, jnp.float32)
+        cot = jnp.asarray(np.random.default_rng(1).normal(
+            size=(512, 128)).astype(np.float32))
+
+        def loss(fn, *args):
+            return jnp.vdot(fn(*args).astype(jnp.float32), cot)
+
+        names = ("dx", "dgamma", "dbeta", "dk1", "db1", "dk2", "db2")
+        go = jax.grad(lambda *a: loss(
+            lambda *b: self._ref(*b, sc, jnp.float32), *a),
+            argnums=tuple(range(7)))(x, gm, bt, k1, b1, k2, b2)
+        gu = jax.grad(lambda *a: loss(
+            lambda *b: self._ref(*b, sc, jnp.bfloat16), *a),
+            argnums=tuple(range(7)))(x, gm, bt, k1, b1, k2, b2)
+        gf = jax.grad(lambda *a: loss(
+            lambda *b: fused_mlp_ln(*b, row_scale=sc, tt=256,
+                                    interpret=True), *a),
+            argnums=tuple(range(7)))(x, gm, bt, k1, b1, k2, b2)
+        for name, o, u, f in zip(names, go, gu, gf):
+            scale = float(jnp.max(jnp.abs(o))) + 1e-6
+            eu = float(jnp.max(jnp.abs(u - o))) / scale
+            ef = float(jnp.max(jnp.abs(f - o))) / scale
+            assert ef <= 2 * eu + 1e-4, (name, ef, eu)
+
+    def test_dropped_rows_keep_residual_only(self):
+        from point_dae_tpu.ops.pallas_mlp import fused_mlp_ln
+
+        x, gm, bt, k1, b1, k2, b2 = self._ln_setup(R=256)
+        sc = jnp.zeros((256,), jnp.float32)   # every row dropped
+        out = fused_mlp_ln(x, gm, bt, k1, b1, k2, b2, row_scale=sc,
+                           tt=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x),
+                                   rtol=0, atol=1e-6)
+
+
 class TestBlockDispatch:
     def test_param_tree_unchanged(self):
         from point_dae_tpu.models.layers import TransformerBlock

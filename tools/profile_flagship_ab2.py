@@ -35,6 +35,12 @@ VARIANTS = {
     "mlp_xla": {"_MLP": "0"},
     "mlp_tt512": {"_MLP_TT": "512"},
     "mlp_tt1024": {"_MLP_TT": "1024"},
+    # round-5 kernels (both default auto=on): fused block-diagonal
+    # attention (ops/pallas_attn.py) and the LN2+residual fold into the
+    # MLP kernel (ops/pallas_mlp.fused_mlp_ln)
+    "attn_off": {"_ATTN_FUSED": "0"},
+    "mlp_ln_off": {"_MLP_LN": "0"},
+    "r04_base": {"_ATTN_FUSED": "0", "_MLP_LN": "0"},
 }
 
 
@@ -77,6 +83,8 @@ def main():
         os.environ["PDAE_ATTN_LAYOUT"] = over.pop("_ATTN", "bhnd")
         os.environ["PDAE_FUSED_MLP"] = over.pop("_MLP", "auto")
         os.environ["PDAE_MLP_TT"] = over.pop("_MLP_TT", "256")
+        os.environ["PDAE_FUSED_ATTN"] = over.pop("_ATTN_FUSED", "auto")
+        os.environ["PDAE_FUSED_MLP_LN"] = over.pop("_MLP_LN", "auto")
         config = ConfigDict(FLAGSHIP_CONFIG)
         config["total_bs"] = B
         config["model"]["transformer_config"].update(over)
@@ -95,6 +103,8 @@ def main():
         os.environ["PDAE_ATTN_LAYOUT"] = "bhnd"
         os.environ["PDAE_FUSED_MLP"] = "auto"
         os.environ["PDAE_MLP_TT"] = "256"
+        os.environ["PDAE_FUSED_ATTN"] = "auto"
+        os.environ["PDAE_FUSED_MLP_LN"] = "auto"
 
     best = {n: float("inf") for n in names}
     for r in range(args.rounds):
