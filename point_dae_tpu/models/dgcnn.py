@@ -174,11 +174,20 @@ class FusedEdgeConv(nn.Module):
             passes = 1 if U.dtype == jnp.bfloat16 else 3
             gpasses = 3 if self.exact_grads else passes
             gmode = "split" if self.exact_grads else self.grad_mode
+            # Selection-value implementation. 'dot' (default): one-hot MXU
+            # matmuls. 'gather' (PDAE_EDGECONV_SEL=gather): Mosaic native
+            # dynamic gather — exact f32 and MXU-free, but the current
+            # Mosaic backend rejects it for N > one vreg ("Multiple source
+            # vregs along gather dimension", r05 hardware finding), so it
+            # stays opt-in for future toolchains / small-N shapes.
+            import os as _os
+            sel = _os.environ.get("PDAE_EDGECONV_SEL", "dot")
             M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k, tn=tn_eff,
                                             interpret=self.interpret,
                                             value_passes=passes,
                                             grad_passes=gpasses,
-                                            grad_mode=gmode)
+                                            grad_mode=gmode,
+                                            sel_impl=sel)
         else:
             if idx is None:
                 idx = jax.lax.stop_gradient(knn(xf, xf, self.k)[1])

@@ -223,7 +223,12 @@ class Attention(nn.Module):
 
         drop_inert = self.attn_drop == 0.0 or deterministic
         bc = pallas_attn.pick_bc(B, N)
-        use_fused = (os.environ.get("PDAE_FUSED_ATTN", "auto") != "0"
+        # OPT-IN (PDAE_FUSED_ATTN=1): the r05 scan-marginal A/B measured
+        # XLA's tiny-T attention at 0.234 ms/block fwd+bwd vs the fused
+        # kernel's 0.349 (evidence/PROFILE_ATTN_AB_r05.txt) — the r04
+        # decompose number that motivated the kernel was dispatch-bound.
+        # The kernel stays for shapes/backends where XLA regresses.
+        use_fused = (os.environ.get("PDAE_FUSED_ATTN", "0") == "1"
                      and self.dtype == jnp.bfloat16
                      and attn_mask is None and drop_inert
                      and pallas_attn.supported(B, N, H, head, bc)
@@ -512,8 +517,19 @@ class PatchEncoder(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(256, dtype=self.dtype, name="conv2")(h)
         g = masked_max(h, keepdims=True)                       # (BG, 1, 256)
-        h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
-        h = nn.Dense(512, dtype=self.dtype, name="conv3")(h)
+        # conv3 consumes concat([global, per-point]) — the global half is
+        # identical across the S in-patch points, so SplitDense factorizes
+        # it by linearity: the (BG, S, 512) concat (the step's largest
+        # activation, ~0.5 GB bf16 at flagship shapes) never materializes
+        # and the global half's matmul runs once per PATCH instead of once
+        # per point (~48% of conv3 FLOPs). Param path/shape/init identical
+        # to nn.Dense on the concat (kernel (512, 512)).
+        # PDAE_SPLIT_PE=0 restores the concat path for A/B.
+        if os.environ.get("PDAE_SPLIT_PE", "1") != "0":
+            h = SplitDense(512, dtype=self.dtype, name="conv3")(g[:, 0], h)
+        else:
+            h = jnp.concatenate([jnp.broadcast_to(g, h.shape), h], axis=-1)
+            h = nn.Dense(512, dtype=self.dtype, name="conv3")(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn2")(h)
         h = nn.relu(h)

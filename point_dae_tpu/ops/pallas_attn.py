@@ -58,14 +58,15 @@ def _dot_ll(a: Array, b: Array) -> Array:
 
 def _masked_scores(q, k, m, T, scale):
     """(R, R) f32 scores: QK^T * scale with cross-cloud and invalid-key
-    entries at -1e9. m is the flattened (R,) f32 key-validity column."""
+    entries at -1e9. m is the (1, R) f32 key-validity row (pre-flattened
+    OUTSIDE the kernel — Mosaic cannot lane-reshape (bc, T) -> (R,))."""
     R = q.shape[0]
     s = _dot_ll(q, k) * scale
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // T
     cols = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // T
     ok = rows == cols
     if m is not None:
-        ok = jnp.logical_and(ok, (m > 0.5)[None, :])
+        ok = jnp.logical_and(ok, m > 0.5)
     return jnp.where(ok, s, -1e9)
 
 
@@ -75,25 +76,20 @@ def _softmax_rows(s):
     return e / jnp.sum(e, axis=1, keepdims=True)
 
 
-def _reshape_in(ref, R, d):
-    return ref[...].reshape(R, d)
-
-
 def _fwd_kernel(T, scale, has_mask, *refs):
+    # grid (batch-group i, head h); blocks are effectively 2-D (1, R, d)
+    # slices of the (H, B*T, d) layout — Mosaic-friendly (no lane reshapes)
     if has_mask:
         q_ref, k_ref, v_ref, m_ref, o_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref = refs
         m_ref = None
-    bc, T_, _, d = q_ref.shape
-    R = bc * T_
-    q = _reshape_in(q_ref, R, d)
-    k = _reshape_in(k_ref, R, d)
-    v = _reshape_in(v_ref, R, d)
-    m = m_ref[...].reshape(R) if m_ref is not None else None
+    m = m_ref[0, 0:1, :] if m_ref is not None else None      # (1, R)
+    q = q_ref[0]                                             # (R, d) bf16
+    k = k_ref[0]
+    v = v_ref[0]
     p = _softmax_rows(_masked_scores(q, k, m, T, scale))
-    o = _dot(p.astype(jnp.bfloat16), v)
-    o_ref[...] = o.reshape(bc, T_, 1, d)
+    o_ref[0] = _dot(p.astype(jnp.bfloat16), v)
 
 
 def _bwd_kernel(T, scale, has_mask, *refs):
@@ -102,37 +98,36 @@ def _bwd_kernel(T, scale, has_mask, *refs):
     else:
         q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
         m_ref = None
-    bc, T_, _, d = q_ref.shape
-    R = bc * T_
     bf = jnp.bfloat16
-    q = _reshape_in(q_ref, R, d)
-    k = _reshape_in(k_ref, R, d)
-    v = _reshape_in(v_ref, R, d)
-    m = m_ref[...].reshape(R) if m_ref is not None else None
+    m = m_ref[0, 0:1, :] if m_ref is not None else None      # (1, R)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     p = _softmax_rows(_masked_scores(q, k, m, T, scale))
     pb = p.astype(bf)
-    g = _reshape_in(g_ref, R, d).astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
     gb = g.astype(bf)
     dv = _dot_rows(pb, gb)                          # (R, d) f32
     dp = _dot_ll(gb, v)                             # (R, R) f32
     ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
     dsb = (ds * scale).astype(bf)
-    dq = _dot(dsb, k)                               # (R, d) f32
-    dk = _dot_rows(dsb, q)                          # (R, d) f32
-    dq_ref[...] = dq.astype(bf).reshape(bc, T_, 1, d)
-    dk_ref[...] = dk.astype(bf).reshape(bc, T_, 1, d)
-    dv_ref[...] = dv.astype(bf).reshape(bc, T_, 1, d)
+    dq_ref[0] = _dot(dsb, k).astype(bf)             # (R, d)
+    dk_ref[0] = _dot_rows(dsb, q).astype(bf)        # (R, d)
+    dv_ref[0] = dv.astype(bf)
 
 
-def _specs(bc, T, H, d, with_mask, n_qkv=3):
+def _specs(bc, T, d, with_mask, n_qkv=3):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    qkv = pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0),
+    R = bc * T
+    qkv = pl.BlockSpec((1, R, d), lambda i, h: (h, i, 0),
                        memory_space=pltpu.VMEM)
     out = [qkv] * n_qkv
     if with_mask:
-        out.append(pl.BlockSpec((bc, T), lambda i, h: (i, 0),
+        # mask rides pre-flattened as (B/bc, 8, R) — sublane-tiled so the
+        # (8, R) trailing block dims satisfy Mosaic's alignment rules
+        out.append(pl.BlockSpec((1, 8, R), lambda i, h: (i, 0, 0),
                                 memory_space=pltpu.VMEM))
     return out
 
@@ -141,16 +136,17 @@ def _fwd_call(q, k, v, mask, T, scale, bc, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, T_, H, d = q.shape
+    H, BT, d = q.shape
+    R = bc * T
     has_mask = mask is not None
     kern = functools.partial(_fwd_kernel, T, scale, has_mask)
     args = (q, k, v) + ((mask,) if has_mask else ())
     return pl.pallas_call(
         kern,
-        grid=(B // bc, H),
-        in_specs=_specs(bc, T, H, d, has_mask),
-        out_specs=pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, T_, H, d), jnp.float32),
+        grid=(BT // R, H),
+        in_specs=_specs(bc, T, d, has_mask),
+        out_specs=pl.BlockSpec((1, R, d), lambda i, h: (h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, BT, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -162,20 +158,21 @@ def _bwd_call(res, g, T, scale, bc, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     q, k, v, mask = res
-    B, T_, H, d = q.shape
+    H, BT, d = q.shape
+    R = bc * T
     has_mask = mask is not None
     kern = functools.partial(_bwd_kernel, T, scale, has_mask)
     args = (q, k, v) + ((mask,) if has_mask else ()) + (g,)
-    blk = pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0))
+    blk = pl.BlockSpec((1, R, d), lambda i, h: (h, i, 0))
     bf = jnp.bfloat16
     return pl.pallas_call(
         kern,
-        grid=(B // bc, H),
-        in_specs=_specs(bc, T, H, d, has_mask) + [
-            pl.BlockSpec((bc, T, 1, d), lambda i, h: (i, 0, h, 0),
+        grid=(BT // R, H),
+        in_specs=_specs(bc, T, d, has_mask) + [
+            pl.BlockSpec((1, R, d), lambda i, h: (h, i, 0),
                          memory_space=pltpu.VMEM)],
         out_specs=[blk, blk, blk],
-        out_shape=[jax.ShapeDtypeStruct((B, T_, H, d), bf)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((H, BT, d), bf)] * 3,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -223,15 +220,27 @@ def fused_attention(q: Array, k: Array, v: Array,
     """softmax(q @ k^T / sqrt(d) [+ key mask]) @ v, per cloud and head,
     computed in block-diagonal (bc*T, bc*T) VMEM tiles.
 
-    q/k/v: (B, T, H, d) — the qkv Dense output's NATURAL layout, no
-    transpose (cast to bf16 here; cotangents carry bf16 back, the same
-    rounding the unfused bf16 einsum path applies). key_mask: optional
-    (B, T) bool, True = valid key. Returns (B, T, H, d) f32."""
+    q/k/v: (B, T, H, d). The kernel consumes the (H, B*T, d) layout; the
+    transposes in/out are plain XLA ops OUTSIDE the custom-VJP core (their
+    gradients are exact transposes). Operands cast to bf16 here; cotangents
+    carry bf16 back — the same rounding the unfused bf16 einsum applies.
+    key_mask: optional (B, T) bool, True = valid key. Returns
+    (B, T, H, d) f32."""
     B, T, H, d = q.shape
     if bc <= 0:
         bc = pick_bc(B, T)
     scale = float(d) ** -0.5
     bf = jnp.bfloat16
-    m = None if key_mask is None else key_mask.astype(jnp.float32)
-    return _attn_core(q.astype(bf), k.astype(bf), v.astype(bf), m,
-                      T, scale, bc, interpret)
+
+    def to_h(a):
+        return a.astype(bf).transpose(2, 0, 1, 3).reshape(H, B * T, d)
+
+    if key_mask is None:
+        m = None
+    else:
+        # pre-flatten per tile ((bc, T) -> row of R) and tile 8x in the
+        # sublane dim; Mosaic cannot reshape across the lane dim in-kernel
+        mf = key_mask.astype(jnp.float32).reshape(B // bc, 1, bc * T)
+        m = jnp.broadcast_to(mf, (B // bc, 8, bc * T))
+    o = _attn_core(to_h(q), to_h(k), to_h(v), m, T, scale, bc, interpret)
+    return o.reshape(H, B, T, d).transpose(1, 2, 0, 3)

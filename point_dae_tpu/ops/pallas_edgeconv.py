@@ -75,9 +75,28 @@ def knn_aggregate_xla(U: Array, idx: Array) -> Tuple[Array, ...]:
             jnp.sum(g, axis=2), jnp.sum(g * g, axis=2))
 
 
-def _fwd_kernel(k, tn, n, value_passes, track_rounds, xt_ref, xf_ref, u_ref,
-                M_ref, m_ref, s1_ref, s2_ref, idx_ref, rM_ref=None,
-                rm_ref=None):
+def _gather_rows(u: Array, jstar: Array, tn: int) -> Array:
+    """sel[i] = u[jstar[i]] via Mosaic's native dynamic gather
+    (tpu.dynamic_gather, a VPU shuffle — no MXU pass, exact f32).
+
+    The lowering requires operand/indices/output shapes to MATCH
+    (take_along_axis form), so the (tn, 1) round indices are wrap-padded to
+    the full (n, C) and the result row-sliced back — the padding rows cost
+    VPU shuffle work only (~n x C elements), orders of magnitude below the
+    (tn, n) x (n, C) one-hot MXU dot this replaces."""
+    n, C = u.shape
+    if tn < n:
+        jfull = jnp.concatenate(
+            [jstar, jnp.zeros((n - tn, 1), jnp.int32)], axis=0)
+    else:
+        jfull = jstar
+    sel = jnp.take_along_axis(u, jnp.broadcast_to(jfull, (n, C)), axis=0)
+    return sel[:tn]
+
+
+def _fwd_kernel(k, tn, n, value_passes, track_rounds, use_gather, xt_ref,
+                xf_ref, u_ref, M_ref, m_ref, s1_ref, s2_ref, idx_ref,
+                rM_ref=None, rm_ref=None):
     from jax.experimental import pallas as pl  # noqa: F401
 
     q = xt_ref[0].astype(jnp.float32)                          # (tn, Cf)
@@ -93,13 +112,20 @@ def _fwd_kernel(k, tn, n, value_passes, track_rounds, xt_ref, xf_ref, u_ref,
 
     def step(r, carry):
         d, M, m, s1, s2, idx, rM, rm = carry
-        # first-match argmin one-hot (ties -> lowest column, like top_k)
-        dmin = jnp.min(d, axis=1, keepdims=True)
-        jstar = jnp.min(jnp.where(d == dmin, cols, n), axis=1,
-                        keepdims=True)                         # (tn, 1)
+        # first-match argmin (ties -> lowest column, like top_k). Native
+        # argmin lowers to ONE fused index-tracking reduction on this
+        # Mosaic backend (r05) — the old min + where + min emulation cost
+        # ~4 full-width VPU passes per round, the dominant cost of the
+        # whole selection loop (evidence/PROFILE_DGCNN_STAGES_r05.txt).
+        jstar = jnp.argmin(d, axis=1, keepdims=True).astype(jnp.int32)
         onehot = (cols == jstar)
-        sel = _sel_dot(onehot.astype(jnp.float32), u,
-                       value_passes)                           # (tn, C)
+        if use_gather:
+            # exact f32 row gather on the VPU — the selection value never
+            # rides the MXU, so no mantissa-split passes are needed at all
+            sel = _gather_rows(u, jstar, tn)                   # (tn, C)
+        else:
+            sel = _sel_dot(onehot.astype(jnp.float32), u,
+                           value_passes)                       # (tn, C)
         if track_rounds:
             # which k-round first attains the running max/min: the whole
             # max/min cotangent routes to that round's neighbor in the
@@ -130,8 +156,9 @@ def _fwd_kernel(k, tn, n, value_passes, track_rounds, xt_ref, xf_ref, u_ref,
         rm_ref[0] = rm
 
 
-def _bwd_kernel(k, tn, n, value_passes, grad_passes, u_ref, idx_ref, M_ref,
-                m_ref, gM_ref, gm_ref, gs1_ref, gs2_ref, du_ref, sel_scratch):
+def _bwd_kernel(k, tn, n, value_passes, grad_passes, use_gather, u_ref,
+                idx_ref, M_ref, m_ref, gM_ref, gm_ref, gs1_ref, gs2_ref,
+                du_ref, sel_scratch):
     from jax.experimental import pallas as pl
 
     i = pl.program_id(1)
@@ -159,7 +186,10 @@ def _bwd_kernel(k, tn, n, value_passes, grad_passes, u_ref, idx_ref, M_ref,
     def count(r, carry):
         cM, cm = carry
         onehot = (cols == idx_col(r)[:, None])
-        sel = _sel_dot(onehot.astype(jnp.float32), u, value_passes)
+        if use_gather:
+            sel = _gather_rows(u, idx_col(r)[:, None], tn)
+        else:
+            sel = _sel_dot(onehot.astype(jnp.float32), u, value_passes)
         sel_scratch[pl.ds(r, 1)] = sel[None]
         return cM + (sel == M).astype(jnp.float32), \
             cm + (sel == m).astype(jnp.float32)
@@ -187,7 +217,7 @@ def _bwd_kernel(k, tn, n, value_passes, grad_passes, u_ref, idx_ref, M_ref,
 
 
 def _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
-                   track_rounds=False):
+                   track_rounds=False, use_gather=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -196,7 +226,7 @@ def _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
     tn = min(tn, N)
     assert N % tn == 0, (N, tn)
     kern = functools.partial(_fwd_kernel, k, tn, N, value_passes,
-                             track_rounds)
+                             track_rounds, use_gather)
     tile_c = pl.BlockSpec((1, tn, C), lambda b, i: (b, i, 0),
                           memory_space=pltpu.VMEM)
     n_out = 7 if track_rounds else 5
@@ -297,13 +327,14 @@ def _aggregate_bwd_first(U, idx, rM, rm, gM, gm, gs1, gs2, k, tn, interpret,
 
 
 def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
-                   value_passes, grad_passes):
+                   value_passes, grad_passes, use_gather=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, C = U.shape
     tn = min(tn, N)
-    kern = functools.partial(_bwd_kernel, k, tn, N, value_passes, grad_passes)
+    kern = functools.partial(_bwd_kernel, k, tn, N, value_passes,
+                             grad_passes, use_gather)
     tile = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)
     du = pl.pallas_call(
@@ -322,10 +353,11 @@ def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
     return du
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 256,
                   interpret: bool = False, value_passes: int = 3,
-                  grad_passes: int = 3, grad_mode: str = "split"):
+                  grad_passes: int = 3, grad_mode: str = "split",
+                  sel_impl: str = "dot"):
     """Fused kNN + neighbor aggregates of U. xf is the (non-differentiable)
     feature basis for the kNN selection; U the values being aggregated.
     Returns (M, m, S1, S2, idx).
@@ -358,16 +390,28 @@ def knn_aggregate(U: Array, xf: Array, k: int, tn: int = 256,
       (_bwd_kernel_first) — ~2x less backward MXU work. The two modes
       produce identical PARAMETER gradients whenever ties come from
       duplicated points (the common case under resampling: equal rows
-      contribute the same outer products either way)."""
+      contribute the same outer products either way).
+
+    ``sel_impl``:
+    - 'dot': selection values gathered via one-hot MXU matmuls (the
+      original design; ``value_passes`` controls their rounding).
+    - 'gather': selection values gathered via Mosaic's native dynamic
+      gather (tpu.dynamic_gather) — EXACT f32 always, no MXU pass. This
+      removes the k forward selection dots AND the split-mode backward's
+      k recompute dots, the step's dominant MXU cost; ``value_passes``
+      becomes irrelevant for those values. Requires a TPU Mosaic backend
+      (interpret mode supports it too)."""
     out = _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
-                         track_rounds=grad_mode == "first")
+                         track_rounds=grad_mode == "first",
+                         use_gather=sel_impl == "gather")
     return out[:5]
 
 
 def _knn_aggregate_fwd(U, xf, k, tn, interpret, value_passes, grad_passes,
-                       grad_mode):
+                       grad_mode, sel_impl):
     out = _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
-                         track_rounds=grad_mode == "first")
+                         track_rounds=grad_mode == "first",
+                         use_gather=sel_impl == "gather")
     if grad_mode == "first":
         M, m, s1, s2, idx, rM, rm = out
         return out[:5], (U, idx, rM, rm)
@@ -376,7 +420,7 @@ def _knn_aggregate_fwd(U, xf, k, tn, interpret, value_passes, grad_passes,
 
 
 def _knn_aggregate_bwd(k, tn, interpret, value_passes, grad_passes,
-                       grad_mode, res, g):
+                       grad_mode, sel_impl, res, g):
     gM, gm, gs1, gs2, _ = g
     if grad_mode == "first":
         U, idx, rM, rm = res
@@ -385,7 +429,8 @@ def _knn_aggregate_bwd(k, tn, interpret, value_passes, grad_passes,
     else:
         U, idx, M, m = res
         du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
-                            value_passes, grad_passes)
+                            value_passes, grad_passes,
+                            use_gather=sel_impl == "gather")
     # the kNN selection is non-differentiable (CUDA-knn parity): zero
     # cotangent for xf
     return du.astype(U.dtype), None

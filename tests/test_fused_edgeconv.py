@@ -62,6 +62,75 @@ class TestAggregateKernel:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestGatherSelImpl:
+    """sel_impl='gather' (native dynamic gather, round 5): bit-exact f32
+    selection — forward aggregates match the XLA oracle EXACTLY, both
+    grad modes agree with the dot path, and the model dispatch honors
+    PDAE_EDGECONV_SEL."""
+
+    def test_forward_exact_vs_oracle(self):
+        B, N, C, Cf, k = 2, 128, 16, 8, 5
+        U = _rand((B, N, C), 1)
+        xf = _rand((B, N, Cf), 2)
+        M, m, S1, S2, idx = knn_aggregate(U, xf, k, interpret=True,
+                                          sel_impl="gather")
+        _, idx_ref = knn(xf, xf, k)
+        np.testing.assert_array_equal(np.sort(np.asarray(idx), -1),
+                                      np.sort(np.asarray(idx_ref), -1))
+        Mr, mr, S1r, S2r = knn_aggregate_xla(U, idx_ref)
+        # gather selection is exact f32: max/min match BITWISE; sums agree
+        # to f32 accumulation-order noise
+        np.testing.assert_array_equal(np.asarray(M), np.asarray(Mr))
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(mr))
+        np.testing.assert_allclose(np.asarray(S1), np.asarray(S1r),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(S2), np.asarray(S2r),
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("grad_mode", ["split", "first"])
+    def test_gradients_match_dot_path(self, grad_mode):
+        B, N, C, Cf, k = 2, 128, 8, 4, 4
+        U = _rand((B, N, C), 3)
+        xf = _rand((B, N, Cf), 4)
+        w = [_rand((B, N, C), 20 + i) for i in range(4)]
+
+        def loss(U, impl):
+            M, m, S1, S2, _ = knn_aggregate(U, xf, k, interpret=True,
+                                            grad_mode=grad_mode,
+                                            sel_impl=impl)
+            return (jnp.sum(w[0] * M) + jnp.sum(w[1] * m)
+                    + jnp.sum(w[2] * S1) + jnp.sum(w[3] * S2))
+
+        gg = jax.grad(lambda u: loss(u, "gather"))(U)
+        gd = jax.grad(lambda u: loss(u, "dot"))(U)
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gd),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_model_env_knob(self, monkeypatch):
+        from point_dae_tpu.ops import pallas_edgeconv as pe
+
+        seen = {}
+        orig = pe.knn_aggregate
+
+        def spy(*a, **kw):
+            seen["sel_impl"] = kw.get("sel_impl", "dot")
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pe, "knn_aggregate", spy)
+        x = _rand((1, 128, 8), 36)
+        mod = FusedEdgeConv(12, 4, use_pallas=True, interpret=True)
+        v = mod.init({"params": jax.random.key(5)}, x, train=True)
+        mod.apply({"params": v["params"], "batch_stats": v["batch_stats"]},
+                  x, train=False)
+        # default is 'dot': Mosaic's dynamic_gather rejects N > one vreg
+        # on current hardware toolchains (r05 finding)
+        assert seen["sel_impl"] == "dot"
+        monkeypatch.setenv("PDAE_EDGECONV_SEL", "gather")
+        mod.apply({"params": v["params"], "batch_stats": v["batch_stats"]},
+                  x, train=False)
+        assert seen["sel_impl"] == "gather"
+
+
 class TestFusedEdgeConv:
     def _pair(self, out_dim=24, k=6, interpret=False):
         ref = EdgeConv(out_dim, k)
@@ -187,13 +256,14 @@ class TestValuePasses:
         orig = pe.knn_aggregate
 
         def spy(U, xf, k, tn=128, interpret=False, value_passes=3,
-                grad_passes=3, grad_mode="split"):
+                grad_passes=3, grad_mode="split", sel_impl="dot"):
             seen["passes"] = value_passes
             seen["grad_passes"] = grad_passes
             seen["grad_mode"] = grad_mode
+            seen["sel_impl"] = sel_impl
             return orig(U, xf, k, tn=tn, interpret=interpret,
                         value_passes=value_passes, grad_passes=grad_passes,
-                        grad_mode=grad_mode)
+                        grad_mode=grad_mode, sel_impl=sel_impl)
 
         monkeypatch.setattr(pe, "knn_aggregate", spy)
         x = _rand((1, 128, 8), 35)

@@ -19,6 +19,16 @@ VARIANTS = {
     "first_tn256": {"edgeconv_grad_mode": "first", "edgeconv_tn": 256},
     "first_tn512": {"edgeconv_grad_mode": "first", "edgeconv_tn": 512},
     "reference": {"edgeconv_impl": "reference"},
+    # round 5: selection-value implementation (PDAE_EDGECONV_SEL) —
+    # native dynamic gather (default) vs the one-hot MXU dots
+    "gather_tn256": {"_SEL": "gather", "edgeconv_grad_mode": "first",
+                     "edgeconv_tn": 256},
+    "dot_tn256": {"_SEL": "dot", "edgeconv_grad_mode": "first",
+                  "edgeconv_tn": 256},
+    "gather_tn512": {"_SEL": "gather", "edgeconv_grad_mode": "first",
+                     "edgeconv_tn": 512},
+    "gather_tn1024": {"_SEL": "gather", "edgeconv_grad_mode": "first",
+                      "edgeconv_tn": 1024},
 }
 
 
@@ -32,6 +42,8 @@ def build(name, over, B, raw):
     from point_dae_tpu.models import build_model_from_cfg
     from point_dae_tpu.utils.config import ConfigDict
 
+    over = dict(over)
+    os.environ["PDAE_EDGECONV_SEL"] = over.pop("_SEL", "gather")
     config = ConfigDict({
         "optimizer": {"type": "AdamW", "part": "all",
                       "kwargs": {"lr": 0.001, "weight_decay": 0.05}},

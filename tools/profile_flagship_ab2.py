@@ -35,12 +35,15 @@ VARIANTS = {
     "mlp_xla": {"_MLP": "0"},
     "mlp_tt512": {"_MLP_TT": "512"},
     "mlp_tt1024": {"_MLP_TT": "1024"},
-    # round-5 kernels (both default auto=on): fused block-diagonal
-    # attention (ops/pallas_attn.py) and the LN2+residual fold into the
-    # MLP kernel (ops/pallas_mlp.fused_mlp_ln)
+    # round-5 kernels: fused block-diagonal attention (ops/pallas_attn.py,
+    # opt-IN after the r05 A/B measured it slower than XLA) and the
+    # LN2+residual fold into the MLP kernel (default on)
+    "attn_on": {"_ATTN_FUSED": "1"},
     "attn_off": {"_ATTN_FUSED": "0"},
     "mlp_ln_off": {"_MLP_LN": "0"},
-    "r04_base": {"_ATTN_FUSED": "0", "_MLP_LN": "0"},
+    "r04_base": {"_ATTN_FUSED": "0", "_MLP_LN": "0", "_SPLIT_PE": "0"},
+    # patch-embed conv3 SplitDense factorization (default on, round 5)
+    "split_pe_off": {"_SPLIT_PE": "0"},
 }
 
 
@@ -83,8 +86,9 @@ def main():
         os.environ["PDAE_ATTN_LAYOUT"] = over.pop("_ATTN", "bhnd")
         os.environ["PDAE_FUSED_MLP"] = over.pop("_MLP", "auto")
         os.environ["PDAE_MLP_TT"] = over.pop("_MLP_TT", "256")
-        os.environ["PDAE_FUSED_ATTN"] = over.pop("_ATTN_FUSED", "auto")
+        os.environ["PDAE_FUSED_ATTN"] = over.pop("_ATTN_FUSED", "0")
         os.environ["PDAE_FUSED_MLP_LN"] = over.pop("_MLP_LN", "auto")
+        os.environ["PDAE_SPLIT_PE"] = over.pop("_SPLIT_PE", "1")
         config = ConfigDict(FLAGSHIP_CONFIG)
         config["total_bs"] = B
         config["model"]["transformer_config"].update(over)
@@ -103,8 +107,9 @@ def main():
         os.environ["PDAE_ATTN_LAYOUT"] = "bhnd"
         os.environ["PDAE_FUSED_MLP"] = "auto"
         os.environ["PDAE_MLP_TT"] = "256"
-        os.environ["PDAE_FUSED_ATTN"] = "auto"
+        os.environ["PDAE_FUSED_ATTN"] = "0"
         os.environ["PDAE_FUSED_MLP_LN"] = "auto"
+        os.environ["PDAE_SPLIT_PE"] = "1"
 
     best = {n: float("inf") for n in names}
     for r in range(args.rounds):

@@ -25,9 +25,13 @@ R1, R2 = 4, 20
 
 
 def marginal(name, make_scan, b=256, n=3, r1=R1, r2=R2):
-    """make_scan(R) -> jitted zero-arg callable running R rounds."""
+    """make_scan(R) -> jitted zero-arg callable running R rounds.
+    PM_ONLY=<substr>[,<substr>...] filters pieces by name."""
     import jax
 
+    only = os.environ.get("PM_ONLY")
+    if only and not any(s in name for s in only.split(",")):
+        return
     try:
         f1, f2 = make_scan(r1), make_scan(r2)
         outs = [f1(), f2()]
@@ -47,7 +51,9 @@ def marginal(name, make_scan, b=256, n=3, r1=R1, r2=R2):
             _ = float(jax.numpy.ravel(jax.tree_util.tree_leaves(o)[0])[0])
             best = min(best, time.perf_counter() - t0)
         times.append(best)
-    per_iter = (times[1] - times[0]) / (R2 - R1) * 1e3
+    # denominator must use the CALLER's round counts (r04 bug: the module
+    # globals were used, silently scaling externally-passed r1/r2)
+    per_iter = (times[1] - times[0]) / (r2 - r1) * 1e3
     print(json.dumps({"name": name, "marginal_ms": round(per_iter, 3),
                       "per_item_us": round(per_iter * 1e3 / b, 2),
                       "t_r1_ms": round(times[0] * 1e3, 1),
@@ -309,6 +315,69 @@ def main():
         marginal("patch_chamfer_36v32", make_cd, b=B)
     except Exception:
         pass
+
+    # ---- fwd+bwd marginals per sub-module (round 5: the backward is ~2/3
+    # of the step; map it before any further kernel work) -----------------
+    def grad_piece(name, apply_fn, variables, *xs):
+        """Time value_and_grad wrt PARAMS of apply_fn(variables, *xs)."""
+        ps = variables["params"]
+
+        def make(R):
+            def loss(p, c):
+                out = apply_fn({**variables, "params": p},
+                               *[x + c if x.dtype == jnp.float32 else x
+                                 for x in xs])
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return jnp.sum(leaf.astype(jnp.float32) ** 2) * 1e-6
+
+            g = jax.grad(loss, argnums=(0, 1))
+
+            def run():
+                def f(c, i):
+                    gp, gc = g(ps, c)
+                    return 1e-6 * gc + 1e-6 * jnp.sum(
+                        jax.tree_util.tree_leaves(gp)[0]), ()
+                out, _ = jax.lax.scan(f, jnp.float32(0.0),
+                                      jnp.arange(R, dtype=jnp.uint32))
+                return out
+            return jax.jit(run)
+
+        marginal(name, make, b=B)
+
+    grad_piece("patch_embed_V32_fwd_bwd",
+               lambda v, x: pe_mod.apply(v, x, train=True,
+                                         mutable=["batch_stats"])[0],
+               pv, vis32)
+    grad_piece("encoder_fwd_bwd_masked",
+               lambda v, n, c: enc.apply(
+                   v, n, c, train=True,
+                   rngs={"mask": key, "droppath": key},
+                   mutable=["batch_stats"])[0][0],
+               ev, neigh, center)
+    grad_piece("decoder_fwd_bwd_G64",
+               lambda v, x, p: dec.apply(v, x, p, deterministic=False,
+                                         rngs={"droppath": key}),
+               dv, xfull, xfull)
+    grad_piece("folding_head_fwd_bwd_M51",
+               lambda v, x: fold.apply(v, x), fv, xloc)
+    grad_piece("pos_embed_fwd_bwd_G64",
+               lambda v, x: pe2.apply(v, x), pv2, center)
+
+    def make_cd_bwd(R):
+        def loss(a):
+            return chamfer_l2(a, gt)
+
+        g = jax.grad(loss)
+
+        def run():
+            def f(c, i):
+                gr = g(reb + c)
+                return c + 1e-6 * jnp.sum(gr[0, 0]), ()
+            out, _ = jax.lax.scan(f, jnp.float32(0.0),
+                                  jnp.arange(R, dtype=jnp.uint32))
+            return out
+        return jax.jit(run)
+    marginal("patch_chamfer_fwd_bwd", make_cd_bwd, b=B)
 
     def make_mask_pack(R):
         def run():
