@@ -153,6 +153,8 @@ class FusedEdgeConv(nn.Module):
         from ..ops.pallas_edgeconv import (knn_aggregate, knn_aggregate_xla,
                                            supported)
 
+        from ..ops.pallas_edgeconv import aggregate_from_idx
+
         B, N, C = x.shape
         U, V = _EdgeDense(self.out_dim, dtype=self.dtype, name="conv")(x)
         Uf = U.astype(jnp.float32)
@@ -162,6 +164,15 @@ class FusedEdgeConv(nn.Module):
         use_kernel = self.interpret or (
             self.use_pallas and idx is None and supported(N, self.k, tn_eff)
             and jax.devices()[0].platform == "tpu")
+        # kNN implementation for the kernel path (PDAE_EDGECONV_KNN):
+        # 'kernel' = in-kernel distance tile + k-round argmin extraction;
+        # 'xla' = hybrid — XLA computes the kNN (matmul + top_k, fully
+        # parallel over rows) and the lean aggregate-from-idx kernel skips
+        # the distance matrix and the per-round masking chain (the r05
+        # stage marginals showed that chain's VPU passes, not the MXU
+        # dots, dominate the step).
+        import os as _os
+        knn_impl = _os.environ.get("PDAE_EDGECONV_KNN", "kernel")
         if use_kernel:
             # bf16 edge projection => Uf's f32 values carry only bf16
             # mantissas => the kernel's selection dots are exact in a
@@ -180,14 +191,20 @@ class FusedEdgeConv(nn.Module):
             # Mosaic backend rejects it for N > one vreg ("Multiple source
             # vregs along gather dimension", r05 hardware finding), so it
             # stays opt-in for future toolchains / small-N shapes.
-            import os as _os
             sel = _os.environ.get("PDAE_EDGECONV_SEL", "dot")
-            M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k, tn=tn_eff,
-                                            interpret=self.interpret,
-                                            value_passes=passes,
-                                            grad_passes=gpasses,
-                                            grad_mode=gmode,
-                                            sel_impl=sel)
+            if knn_impl == "xla":
+                kidx = jax.lax.stop_gradient(knn(xf, xf, self.k)[1])
+                M, m, S1, S2 = aggregate_from_idx(
+                    Uf, kidx, self.k, tn=tn_eff, interpret=self.interpret,
+                    value_passes=passes, grad_passes=gpasses,
+                    grad_mode=gmode, sel_impl=sel)
+            else:
+                M, m, S1, S2, _ = knn_aggregate(Uf, xf, self.k, tn=tn_eff,
+                                                interpret=self.interpret,
+                                                value_passes=passes,
+                                                grad_passes=gpasses,
+                                                grad_mode=gmode,
+                                                sel_impl=sel)
         else:
             if idx is None:
                 idx = jax.lax.stop_gradient(knn(xf, xf, self.k)[1])

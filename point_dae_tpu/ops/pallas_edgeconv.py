@@ -156,6 +156,157 @@ def _fwd_kernel(k, tn, n, value_passes, track_rounds, use_gather, xt_ref,
         rm_ref[0] = rm
 
 
+def _fwd_idx_kernel(k, kc, tn, n, value_passes, track_rounds, use_gather,
+                    u_ref, idx_ref, M_ref, m_ref, s1_ref, s2_ref,
+                    rM_ref=None, rm_ref=None):
+    """Aggregate-from-idx forward: the kNN indices are given (computed by
+    XLA top_k outside the kernel), so the distance matrix, the k-round
+    argmin chain, and the per-round d-masking pass all disappear.
+
+    Rounds are batched ``kc`` at a time: the kc one-hot builds are
+    INDEPENDENT compare+cast passes (no serial dependency for the
+    scheduler to stall on) feeding ONE (kc*tn, N) x (N, C) MXU dot —
+    vs the in-kernel-selection forward's ~6 serially-dependent full-width
+    VPU passes per round. idx must be distance-ordered (ops.knn
+    convention) so the 'first' grad mode's rM/rm round semantics match
+    torch."""
+    idx = idx_ref[0]                                           # (tn, k)
+    u = u_ref[0].astype(jnp.float32)                           # (N, C)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tn, n), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
+    C = u.shape[-1]
+
+    def idx_col(r):
+        return jnp.sum(jnp.where(colk == r, idx, 0), axis=1)   # (tn,)
+
+    def chunk(c, carry):
+        M, m, s1, s2, rM, rm = carry
+        base = c * kc
+        if use_gather:
+            sels = [_gather_rows(u, idx_col(base + j)[:, None], tn)
+                    for j in range(kc)]
+        else:
+            oh = jnp.concatenate(
+                [(cols == idx_col(base + j)[:, None]).astype(jnp.float32)
+                 for j in range(kc)], axis=0)                  # (kc*tn, n)
+            selc = _sel_dot(oh, u, value_passes)               # (kc*tn, C)
+            sels = [selc[j * tn:(j + 1) * tn] for j in range(kc)]
+        for j in range(kc):
+            sel = sels[j]
+            if track_rounds:
+                rM = jnp.where(sel > M, base + j, rM)
+                rm = jnp.where(sel < m, base + j, rm)
+            M = jnp.maximum(M, sel)
+            m = jnp.minimum(m, sel)
+            s1 = s1 + sel
+            s2 = s2 + sel * sel
+        return M, m, s1, s2, rM, rm
+
+    assert k % kc == 0, (k, kc)
+    init = (jnp.full((tn, C), -_INF, jnp.float32),
+            jnp.full((tn, C), _INF, jnp.float32),
+            jnp.zeros((tn, C), jnp.float32), jnp.zeros((tn, C), jnp.float32),
+            jnp.zeros((tn, C), jnp.int32), jnp.zeros((tn, C), jnp.int32))
+    M, m, s1, s2, rM, rm = jax.lax.fori_loop(0, k // kc, chunk, init)
+    M_ref[0] = M
+    m_ref[0] = m
+    s1_ref[0] = s1
+    s2_ref[0] = s2
+    if track_rounds:
+        rM_ref[0] = rM
+        rm_ref[0] = rm
+
+
+def _pick_kc(k: int, kc: int = 0) -> int:
+    """Largest chunk size <= 5 dividing k (or the caller's explicit kc)."""
+    if kc > 0:
+        return kc if k % kc == 0 else 1
+    for c in (5, 4, 3, 2):
+        if k % c == 0:
+            return c
+    return 1
+
+
+def _aggregate_fwd_idx(U, idx, k, tn, interpret, value_passes,
+                       track_rounds=False, use_gather=False):
+    import os as _os
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, C = U.shape
+    tn = min(tn, N)
+    assert N % tn == 0, (N, tn)
+    kc = _pick_kc(k, int(_os.environ.get("PDAE_EDGECONV_KC", "0")))
+    kern = functools.partial(_fwd_idx_kernel, k, kc, tn, N, value_passes,
+                             track_rounds, use_gather)
+    tile_c = pl.BlockSpec((1, tn, C), lambda b, i: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    n_out = 6 if track_rounds else 4
+    out = pl.pallas_call(
+        kern,
+        grid=(B, N // tn),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, k), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[tile_c] * 4 +
+                  [tile_c] * (n_out - 4),
+        out_shape=[jax.ShapeDtypeStruct((B, N, C), jnp.float32)] * 4 +
+                  [jax.ShapeDtypeStruct((B, N, C), jnp.int32)] * (n_out - 4),
+        interpret=interpret,
+    )(U, idx)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def aggregate_from_idx(U: Array, idx: Array, k: int, tn: int = 256,
+                       interpret: bool = False, value_passes: int = 3,
+                       grad_passes: int = 3, grad_mode: str = "first",
+                       sel_impl: str = "dot"):
+    """Neighbor aggregates of U over GIVEN distance-ordered indices
+    (B, N, k) — the hybrid EdgeConv path: XLA computes the kNN (one
+    matmul + top_k, fully parallel) and this kernel reduces to
+    (M, m, S1, S2) with the same custom VJP as ``knn_aggregate``. idx is
+    non-differentiable. See ``knn_aggregate`` for the knob docs."""
+    out = _aggregate_fwd_idx(U, idx, k, tn, interpret, value_passes,
+                             track_rounds=grad_mode == "first",
+                             use_gather=sel_impl == "gather")
+    return out[:4]
+
+
+def _aggregate_from_idx_fwd(U, idx, k, tn, interpret, value_passes,
+                            grad_passes, grad_mode, sel_impl):
+    out = _aggregate_fwd_idx(U, idx, k, tn, interpret, value_passes,
+                             track_rounds=grad_mode == "first",
+                             use_gather=sel_impl == "gather")
+    if grad_mode == "first":
+        M, m, s1, s2, rM, rm = out
+        return out[:4], (U, idx, rM, rm)
+    M, m, s1, s2 = out
+    return out, (U, idx, M, m)
+
+
+def _aggregate_from_idx_bwd(k, tn, interpret, value_passes, grad_passes,
+                            grad_mode, sel_impl, res, g):
+    gM, gm, gs1, gs2 = g
+    if grad_mode == "first":
+        U, idx, rM, rm = res
+        du = _aggregate_bwd_first(U, idx, rM, rm, gM, gm, gs1, gs2, k, tn,
+                                  interpret, grad_passes)
+    else:
+        U, idx, M, m = res
+        du = _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
+                            value_passes, grad_passes,
+                            use_gather=sel_impl == "gather")
+    return du.astype(U.dtype), None
+
+
+aggregate_from_idx.defvjp(_aggregate_from_idx_fwd, _aggregate_from_idx_bwd)
+
+
 def _bwd_kernel(k, tn, n, value_passes, grad_passes, use_gather, u_ref,
                 idx_ref, M_ref, m_ref, gM_ref, gm_ref, gs1_ref, gs2_ref,
                 du_ref, sel_scratch):
@@ -210,7 +361,8 @@ def _bwd_kernel(k, tn, n, value_passes, grad_passes, use_gather, u_ref,
         sel = sel_scratch[pl.ds(r, 1)][0]
         w = gs1 + 2.0 * sel * gs2 + (sel == M) * wM + (sel == m) * wm
         onehot = (cols == idx_col(r)[:, None]).astype(jnp.float32)
-        return du + _sel_dot(onehot.T, w, grad_passes)         # (N, C)
+        # dim-0 contraction: no materialized (N, tn) transpose
+        return du + _scatter_dot(onehot, w, grad_passes)       # (N, C)
 
     du_ref[0] = du_ref[0] + jax.lax.fori_loop(
         0, k, scatter, jnp.zeros((n, C), jnp.float32))
@@ -253,10 +405,27 @@ def _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
     return out
 
 
-def _bwd_kernel_first(k, tn, n, grad_passes, u_ref, idx_ref, rM_ref, rm_ref,
-                      gM_ref, gm_ref, gs1_ref, gs2_ref, du_ref):
-    """'first'-tie backward: k scatter dots + 2 membership dots (vs the
-    split mode's k recompute dots + k scatter dots).
+def _scatter_dot(oh: Array, w: Array, passes: int = 3) -> Array:
+    """oh (R, N) one-hot rows, w (R, C) -> (N, C) == oh^T @ w, contracted
+    over dim 0 directly (no materialized transpose — Mosaic lowers the
+    explicit .T as a real vector shuffle). Mantissa-split semantics as
+    _sel_dot."""
+    d = functools.partial(jax.lax.dot_general,
+                          dimension_numbers=(((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    if passes == 1:
+        return d(oh, w)
+    hi = w.astype(jnp.bfloat16).astype(jnp.float32)
+    r = w - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r - mid
+    return d(oh, hi) + d(oh, mid) + d(oh, lo)
+
+
+def _bwd_kernel_first(k, kc, tn, n, grad_passes, u_ref, idx_ref, rM_ref,
+                      rm_ref, gM_ref, gm_ref, gs1_ref, gs2_ref, du_ref):
+    """'first'-tie backward: chunked scatter dots + 2 membership dots (vs
+    the split mode's k recompute dots + k scatter dots).
 
     The sum/sumsq cotangents factor through the 0/1 membership matrix:
         du_j += (member^T @ gs1)_j + 2 U_j (member^T @ gs2)_j
@@ -264,7 +433,9 @@ def _bwd_kernel_first(k, tn, n, grad_passes, u_ref, idx_ref, rM_ref, rm_ref,
     forward (rM/rm, first tie in distance order — torch max-backward
     semantics), so no per-round value recompute is needed:
         w_r = (rM == r) gM + (rm == r) gm;   du += onehot_r^T @ w_r.
-    """
+    Rounds batch ``kc`` at a time: independent one-hot builds feed ONE
+    (kc*tn, N)^T x (kc*tn, C) scatter dot per chunk (round 5 — the serial
+    per-round VPU chain, not the MXU, bounds this kernel)."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(1)
@@ -285,30 +456,40 @@ def _bwd_kernel_first(k, tn, n, grad_passes, u_ref, idx_ref, rM_ref, rm_ref,
     def idx_col(r):
         return jnp.sum(jnp.where(colk == r, idx, 0), axis=1)   # (tn,)
 
-    def scatter(r, carry):
+    def chunk(c, carry):
         du, member = carry
-        onehot = (cols == idx_col(r)[:, None])
-        w = jnp.where(rM == r, gM, 0.0) + jnp.where(rm == r, gm, 0.0)
-        du = du + _sel_dot(onehot.astype(jnp.float32).T, w, grad_passes)
-        return du, member + onehot.astype(jnp.float32)
+        base = c * kc
+        ohs = [(cols == idx_col(base + j)[:, None]).astype(jnp.float32)
+               for j in range(kc)]
+        ws = [jnp.where(rM == base + j, gM, 0.0)
+              + jnp.where(rm == base + j, gm, 0.0) for j in range(kc)]
+        du = du + _scatter_dot(jnp.concatenate(ohs, axis=0),
+                               jnp.concatenate(ws, axis=0), grad_passes)
+        for oh in ohs:
+            member = member + oh
+        return du, member
 
+    assert k % kc == 0, (k, kc)
     C = u.shape[-1]
     du, member = jax.lax.fori_loop(
-        0, k, scatter,
+        0, k // kc, chunk,
         (jnp.zeros((n, C), jnp.float32), jnp.zeros((tn, n), jnp.float32)))
-    du = du + _sel_dot(member.T, gs1_ref[0], grad_passes)
-    du = du + 2.0 * u * _sel_dot(member.T, gs2_ref[0], grad_passes)
+    du = du + _scatter_dot(member, gs1_ref[0], grad_passes)
+    du = du + 2.0 * u * _scatter_dot(member, gs2_ref[0], grad_passes)
     du_ref[0] = du_ref[0] + du
 
 
 def _aggregate_bwd_first(U, idx, rM, rm, gM, gm, gs1, gs2, k, tn, interpret,
                          grad_passes):
+    import os as _os
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, C = U.shape
     tn = min(tn, N)
-    kern = functools.partial(_bwd_kernel_first, k, tn, N, grad_passes)
+    kc = _pick_kc(k, int(_os.environ.get("PDAE_EDGECONV_KC", "0")))
+    kern = functools.partial(_bwd_kernel_first, k, kc, tn, N, grad_passes)
     tile = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)
     du = pl.pallas_call(

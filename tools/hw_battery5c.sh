@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-5 battery, wave 3: hybrid-kNN EdgeConv A/B + stages, flagship
+# batch-512 probe. Health gate before every item.
+set -u
+cd "$(dirname "$0")/.."
+LOG=evidence/hw_battery5c.log
+
+probe() {
+    timeout 180 python - <<'EOF' 2>/dev/null
+import sys; sys.path.insert(0, ".")
+from bench import probe_tflops
+t = probe_tflops(iters=5)
+print(f"{t:.1f}")
+sys.exit(0 if t >= 15.0 else 1)
+EOF
+}
+
+wait_healthy() {
+    for i in $(seq 1 "$1"); do
+        if out=$(probe); then
+            echo "# healthy (${out} TFLOP/s) probe $i $(date -u +%H:%M:%S)" \
+                | tee -a "$LOG"
+            return 0
+        fi
+        echo "# probe $i: wedged/degraded ($(date -u +%H:%M:%S))" >> "$LOG"
+        sleep 45
+    done
+    echo "# gave up waiting $(date -u +%H:%M:%S)" | tee -a "$LOG"
+    return 1
+}
+
+run() {
+    local tag=$1 to=$2; shift 2
+    wait_healthy 30 || return 1
+    echo "# [$tag] start $(date -u +%H:%M:%S)" | tee -a "$LOG"
+    timeout "$to" "$@" > "evidence/${tag}.txt" 2> "evidence/${tag}.err"
+    echo "rc=$?" >> "evidence/${tag}.txt"
+    echo "# [$tag] done  $(date -u +%H:%M:%S)" | tee -a "$LOG"
+}
+
+echo "# battery5c start $(date -u +%H:%M:%S)" | tee -a "$LOG"
+run PROFILE_DGCNN_AB_r05c 2700 env PF_SKIP_GATE=1 python \
+        tools/profile_dgcnn_ab2.py dot_tn256 hybrid_tn256 hybrid_tn512 \
+        hybrid_tn1024 --iters 8 --rounds 3
+run PROFILE_DGCNN_STAGES_r05c 2700 env PF_SKIP_GATE=1 \
+        PDAE_EDGECONV_KNN=xla PM_ONLY=knn_xla,ec,train_step python \
+        tools/profile_dgcnn_stages.py
+run PROFILE_FLAGSHIP_B512_r05 2400 env PF_SKIP_GATE=1 python \
+        tools/profile_flagship_ab2.py base --iters 8 --rounds 3 --batch 512
+echo "# battery5c end $(date -u +%H:%M:%S)" | tee -a "$LOG"

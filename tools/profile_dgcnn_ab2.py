@@ -29,6 +29,14 @@ VARIANTS = {
                      "edgeconv_tn": 512},
     "gather_tn1024": {"_SEL": "gather", "edgeconv_grad_mode": "first",
                       "edgeconv_tn": 1024},
+    # round 5: hybrid kNN — XLA matmul+top_k indices feeding the lean
+    # aggregate-from-idx kernel (PDAE_EDGECONV_KNN=xla)
+    "hybrid_tn256": {"_KNN": "xla", "edgeconv_grad_mode": "first",
+                     "edgeconv_tn": 256},
+    "hybrid_tn512": {"_KNN": "xla", "edgeconv_grad_mode": "first",
+                     "edgeconv_tn": 512},
+    "hybrid_tn1024": {"_KNN": "xla", "edgeconv_grad_mode": "first",
+                      "edgeconv_tn": 1024},
 }
 
 
@@ -43,7 +51,8 @@ def build(name, over, B, raw):
     from point_dae_tpu.utils.config import ConfigDict
 
     over = dict(over)
-    os.environ["PDAE_EDGECONV_SEL"] = over.pop("_SEL", "gather")
+    os.environ["PDAE_EDGECONV_SEL"] = over.pop("_SEL", "dot")
+    os.environ["PDAE_EDGECONV_KNN"] = over.pop("_KNN", "kernel")
     config = ConfigDict({
         "optimizer": {"type": "AdamW", "part": "all",
                       "kwargs": {"lr": 0.001, "weight_decay": 0.05}},

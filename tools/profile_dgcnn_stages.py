@@ -111,9 +111,25 @@ def main():
 
     marginal("device_pipeline", make_pipe_scan, b=B, r1=R1, r2=R2)
 
-    # ---- per-stage EdgeConv fwd / fwd+bwd --------------------------------
+    # ---- XLA kNN alone (matmul + top_k) in-dispatch ----------------------
+    from point_dae_tpu.ops import knn as _knn
+
+    for cf in (3, 64, 128):
+        xq = jnp.asarray(rng.normal(size=(B, N, cf)).astype(np.float32))
+
+        def make_knn_scan(R, xq=xq):
+            def body(c, r):
+                _, idx = _knn(xq + c * 1e-6, xq + c * 1e-6, args.k)
+                return jnp.sum(idx[:, 0, 0]).astype(jnp.float32) * 1e-9, None
+            return jax.jit(lambda: jax.lax.scan(body, jnp.float32(0),
+                                                jnp.arange(R))[0])
+
+        marginal(f"knn_xla_C{cf}", make_knn_scan, b=B, r1=R1, r2=R2)
+
+    # ---- per-stage EdgeConv fwd / fwd+bwd, both kNN impls ----------------
     stages = [("ec1", 3, 64), ("ec2", 64, 64), ("ec3", 64, 128),
               ("ec4", 128, 256)]
+    knn_impl = os.environ.get("PDAE_EDGECONV_KNN", "kernel")
     for name, cin, cout in stages:
         x = jnp.asarray(rng.normal(size=(B, N, cin)).astype(np.float32))
         cot = jnp.asarray(rng.normal(size=(B, N, cout)).astype(np.float32))
@@ -145,10 +161,10 @@ def main():
             return jax.jit(lambda: jax.lax.scan(body, jnp.float32(0),
                                                 jnp.arange(R))[0])
 
-        marginal(f"{name}_fwd[{cin}->{cout}]", make_fwd_scan, b=B,
-                 r1=R1, r2=R2)
-        marginal(f"{name}_fwd_bwd[{cin}->{cout}]", make_bwd_scan, b=B,
-                 r1=R1, r2=R2)
+        marginal(f"{name}_fwd[{cin}->{cout}]{knn_impl}", make_fwd_scan,
+                 b=B, r1=R1, r2=R2)
+        marginal(f"{name}_fwd_bwd[{cin}->{cout}]{knn_impl}", make_bwd_scan,
+                 b=B, r1=R1, r2=R2)
 
     # ---- conv5 1024-d head (Dense+BN+leaky+max over N) -------------------
     import flax.linen as nn
