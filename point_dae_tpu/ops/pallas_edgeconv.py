@@ -256,6 +256,8 @@ def _aggregate_fwd_idx(U, idx, k, tn, interpret, value_passes,
                   [tile_c] * (n_out - 4),
         out_shape=[jax.ShapeDtypeStruct((B, N, C), jnp.float32)] * 4 +
                   [jax.ShapeDtypeStruct((B, N, C), jnp.int32)] * (n_out - 4),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(U, idx)
     return out
@@ -400,6 +402,8 @@ def _aggregate_fwd(U, xf, k, tn, interpret, value_passes,
         out_shape=[jax.ShapeDtypeStruct((B, N, C), jnp.float32)] * 4 +
                   [jax.ShapeDtypeStruct((B, N, k), jnp.int32)] +
                   [jax.ShapeDtypeStruct((B, N, C), jnp.int32)] * (n_out - 5),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xf, xf, U)
     return out
@@ -502,6 +506,8 @@ def _aggregate_bwd_first(U, idx, rM, rm, gM, gm, gs1, gs2, k, tn, interpret,
                           memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec((1, N, C), full, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(U, idx, rM, rm, gM, gm, gs1, gs2)
     return du
@@ -529,6 +535,8 @@ def _aggregate_bwd(U, idx, M, m, gM, gm, gs1, gs2, k, tn, interpret,
         out_specs=pl.BlockSpec((1, N, C), full, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((k, tn, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(U, idx, M, m, gM, gm, gs1, gs2)
     return du

@@ -131,6 +131,12 @@ def fused_patchify_pallas(points: jax.Array, num_group: int, group_size: int,
         scratch_shapes=[
             pltpu.VMEM((R, N), jnp.float32),
         ],
+        # raise the default 16M scoped-vmem cap (like every other kernel
+        # here): at finetune shapes (N=2048, G=128) the D scratch plus the
+        # extraction state totals ~18M, which is fine on v5e but tripped
+        # the default limit (r05 downstream-bench finding)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(coords)
     return fps_idx, jnp.transpose(knn_gmajor, (1, 0, 2))

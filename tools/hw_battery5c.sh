@@ -45,6 +45,13 @@ run PROFILE_DGCNN_AB_r05c 2700 env PF_SKIP_GATE=1 python \
 run PROFILE_DGCNN_STAGES_r05c 2700 env PF_SKIP_GATE=1 \
         PDAE_EDGECONV_KNN=xla PM_ONLY=knn_xla,ec,train_step python \
         tools/profile_dgcnn_stages.py
+run PROFILE_FLAGSHIP_FOLD_r05 2700 env PF_SKIP_GATE=1 python \
+        tools/profile_flagship_ab2.py base fold_xla --iters 16 --rounds 4
 run PROFILE_FLAGSHIP_B512_r05 2400 env PF_SKIP_GATE=1 python \
         tools/profile_flagship_ab2.py base --iters 8 --rounds 3 --batch 512
+run PROFILE_MARGINAL_r05b 2700 env PF_SKIP_GATE=1 PM_ONLY=fwd_bwd python \
+        tools/profile_marginal.py
+run BENCH_DOWNSTREAM_r05b 2700 env PF_SKIP_GATE=1 python \
+        tools/bench_downstream.py
+run BENCH_r05b_local 1800 python bench.py
 echo "# battery5c end $(date -u +%H:%M:%S)" | tee -a "$LOG"

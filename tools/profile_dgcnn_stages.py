@@ -156,8 +156,9 @@ def main():
 
             def body(c, r):
                 gp, gx = g(v["params"], x + c * 1e-6)
-                return jnp.mean(gx) + jnp.mean(
-                    gp["conv"]["kernel"]), None
+                tot = sum(jnp.sum(l)
+                          for l in jax.tree_util.tree_leaves(gp))
+                return jnp.mean(gx) + 1e-6 * tot, None
             return jax.jit(lambda: jax.lax.scan(body, jnp.float32(0),
                                                 jnp.arange(R))[0])
 

@@ -188,8 +188,11 @@ def main():
             def f(c, i):
                 k = jax.random.fold_in(key, i)
                 g = jax.grad(loss_fn)(params, corrupted + c, clean, k)
-                leaf = jax.tree_util.tree_leaves(g)[0]
-                return c + 1e-6 * jnp.sum(leaf), ()
+                # consume EVERY grad leaf: summing only one leaf lets XLA
+                # dead-code-eliminate the other weight-grad dots (r05 bug —
+                # under-reported every fwd_bwd marginal)
+                tot = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g))
+                return c + 1e-6 * tot, ()
             out, _ = jax.lax.scan(f, jnp.float32(0.0),
                                   jnp.arange(R, dtype=jnp.uint32))
             return out
@@ -335,8 +338,9 @@ def main():
             def run():
                 def f(c, i):
                     gp, gc = g(ps, c)
-                    return 1e-6 * gc + 1e-6 * jnp.sum(
-                        jax.tree_util.tree_leaves(gp)[0]), ()
+                    tot = sum(jnp.sum(l)
+                              for l in jax.tree_util.tree_leaves(gp))
+                    return 1e-6 * gc + 1e-6 * tot, ()
                 out, _ = jax.lax.scan(f, jnp.float32(0.0),
                                       jnp.arange(R, dtype=jnp.uint32))
                 return out
