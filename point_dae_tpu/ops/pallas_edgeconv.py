@@ -28,6 +28,7 @@ gather/scatter primitives, everything rides the MXU.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -110,15 +111,32 @@ def _fwd_kernel(k, tn, n, value_passes, track_rounds, use_gather, xt_ref,
     colk = jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
     C = u.shape[-1]
 
+    # PDAE_EDGECONV_ARGMIN=packed (opt-in, approximate): pack the column
+    # index into the low ceil(log2 n) mantissa bits of the (positive,
+    # bitcast-monotonic) f32 distances, so each round's argmin+tiebreak is
+    # ONE min-reduction over int32 keys instead of the fused-argmin's
+    # multi-pass index tracking. Quantizes distances at 2^-(23-log2 n)
+    # relative (~1.2e-4 at n=1024): near-ties inside that band re-order
+    # (still deterministic lowest-col). The selection loop's serial VPU
+    # chain dominates the whole DGCNN step
+    # (evidence/PROFILE_DGCNN_STAGES_r05b.txt), hence this trade.
+    packed = os.environ.get("PDAE_EDGECONV_ARGMIN", "exact") == "packed"
+    if packed:
+        nbits = max((n - 1).bit_length(), 1)
+        lowmask = (1 << nbits) - 1
+
     def step(r, carry):
         d, M, m, s1, s2, idx, rM, rm = carry
-        # first-match argmin (ties -> lowest column, like top_k). Native
-        # argmin lowers to ONE fused index-tracking reduction on this
-        # Mosaic backend (r05) — the old min + where + min emulation cost
-        # ~4 full-width VPU passes per round, the dominant cost of the
-        # whole selection loop (evidence/PROFILE_DGCNN_STAGES_r05.txt).
-        jstar = jnp.argmin(d, axis=1, keepdims=True).astype(jnp.int32)
-        onehot = (cols == jstar)
+        if packed:
+            # d here carries PACKED int32 keys (bitcast outside the loop)
+            kmin = jnp.min(d, axis=1, keepdims=True)           # (tn, 1)
+            jstar = jnp.bitwise_and(kmin, lowmask)
+            onehot = (d == kmin)
+        else:
+            # first-match argmin (ties -> lowest column, like top_k);
+            # native argmin = one fused index-tracking reduction
+            jstar = jnp.argmin(d, axis=1, keepdims=True).astype(jnp.int32)
+            onehot = (cols == jstar)
         if use_gather:
             # exact f32 row gather on the VPU — the selection value never
             # rides the MXU, so no mantissa-split passes are needed at all
@@ -137,9 +155,21 @@ def _fwd_kernel(k, tn, n, value_passes, track_rounds, use_gather, xt_ref,
         s1 = s1 + sel
         s2 = s2 + sel * sel
         idx = jnp.where(colk == r, jstar, idx)
-        d = jnp.where(onehot, _INF, d)
+        taken = jnp.int32(2 ** 31 - 1) if packed else _INF
+        d = jnp.where(onehot, taken, d)
         return d, M, m, s1, s2, idx, rM, rm
 
+    if packed:
+        # squared distances can round slightly negative; clamp so the
+        # f32 bit pattern stays monotonic, then splice the column index
+        # into the low bits (packed keys are unique per row, so the
+        # onehot equality above has exactly one hit)
+        d = jnp.bitwise_or(
+            jnp.bitwise_and(
+                jax.lax.bitcast_convert_type(jnp.maximum(d, 0.0),
+                                             jnp.int32),
+                jnp.int32(~lowmask)),
+            cols)
     init = (d, jnp.full((tn, C), -_INF, jnp.float32),
             jnp.full((tn, C), _INF, jnp.float32),
             jnp.zeros((tn, C), jnp.float32), jnp.zeros((tn, C), jnp.float32),
@@ -229,15 +259,13 @@ def _pick_kc(k: int, kc: int = 0) -> int:
 
 def _aggregate_fwd_idx(U, idx, k, tn, interpret, value_passes,
                        track_rounds=False, use_gather=False):
-    import os as _os
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, C = U.shape
     tn = min(tn, N)
     assert N % tn == 0, (N, tn)
-    kc = _pick_kc(k, int(_os.environ.get("PDAE_EDGECONV_KC", "0")))
+    kc = _pick_kc(k, int(os.environ.get("PDAE_EDGECONV_KC", "0")))
     kern = functools.partial(_fwd_idx_kernel, k, kc, tn, N, value_passes,
                              track_rounds, use_gather)
     tile_c = pl.BlockSpec((1, tn, C), lambda b, i: (b, i, 0),
@@ -485,14 +513,12 @@ def _bwd_kernel_first(k, kc, tn, n, grad_passes, u_ref, idx_ref, rM_ref,
 
 def _aggregate_bwd_first(U, idx, rM, rm, gM, gm, gs1, gs2, k, tn, interpret,
                          grad_passes):
-    import os as _os
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, C = U.shape
     tn = min(tn, N)
-    kc = _pick_kc(k, int(_os.environ.get("PDAE_EDGECONV_KC", "0")))
+    kc = _pick_kc(k, int(os.environ.get("PDAE_EDGECONV_KC", "0")))
     kern = functools.partial(_bwd_kernel_first, k, kc, tn, N, grad_passes)
     tile = lambda b, i: (b, i, 0)
     full = lambda b, i: (b, 0, 0)

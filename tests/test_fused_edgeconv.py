@@ -131,6 +131,36 @@ class TestGatherSelImpl:
         assert seen["sel_impl"] == "gather"
 
 
+class TestPackedArgmin:
+    """PDAE_EDGECONV_ARGMIN=packed (opt-in): the column index rides the
+    low mantissa bits of the distance keys, making each round's
+    argmin+tiebreak one min-reduction. On data without near-ties inside
+    the 2^-(23-log2 N) quantization band it must match the exact path
+    bitwise, including exact-duplicate tie-breaking (lowest col)."""
+
+    def test_matches_exact_away_from_ties(self, monkeypatch):
+        B, N, C, Cf, k = 2, 128, 16, 8, 5
+        U = _rand((B, N, C), 11)
+        xf = _rand((B, N, Cf), 12)
+        exact = knn_aggregate(U, xf, k, interpret=True)
+        monkeypatch.setenv("PDAE_EDGECONV_ARGMIN", "packed")
+        packed = knn_aggregate(U, xf, k, interpret=True)
+        for e, p, name in zip(exact, packed, ("M", "m", "S1", "S2", "idx")):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p),
+                                          err_msg=name)
+
+    def test_duplicate_points_tiebreak(self, monkeypatch):
+        # exact duplicates: distance 0 ties -> both paths pick lowest col
+        rng = np.random.default_rng(13)
+        base = rng.normal(size=(1, 64, 4)).astype(np.float32)
+        xf = jnp.asarray(np.concatenate([base, base], axis=1))  # dup rows
+        U = _rand((1, 128, 8), 14)
+        exact_idx = np.asarray(knn_aggregate(U, xf, 4, interpret=True)[4])
+        monkeypatch.setenv("PDAE_EDGECONV_ARGMIN", "packed")
+        packed_idx = np.asarray(knn_aggregate(U, xf, 4, interpret=True)[4])
+        np.testing.assert_array_equal(exact_idx, packed_idx)
+
+
 class TestAggregateFromIdx:
     """Hybrid path (round 5): XLA kNN + the lean aggregate-from-idx
     kernel must reproduce knn_aggregate exactly (same idx convention,

@@ -29,6 +29,12 @@ VARIANTS = {
                      "edgeconv_tn": 512},
     "gather_tn1024": {"_SEL": "gather", "edgeconv_grad_mode": "first",
                       "edgeconv_tn": 1024},
+    # round 5: packed-key selection (opt-in approximate argmin; column
+    # index in the low mantissa bits -> one min-reduction per round)
+    "packed_tn256": {"_ARGMIN": "packed", "edgeconv_grad_mode": "first",
+                     "edgeconv_tn": 256},
+    "packed_tn512": {"_ARGMIN": "packed", "edgeconv_grad_mode": "first",
+                     "edgeconv_tn": 512},
     # round 5: hybrid kNN — XLA matmul+top_k indices feeding the lean
     # aggregate-from-idx kernel (PDAE_EDGECONV_KNN=xla)
     "hybrid_tn256": {"_KNN": "xla", "edgeconv_grad_mode": "first",
@@ -53,6 +59,7 @@ def build(name, over, B, raw):
     over = dict(over)
     os.environ["PDAE_EDGECONV_SEL"] = over.pop("_SEL", "dot")
     os.environ["PDAE_EDGECONV_KNN"] = over.pop("_KNN", "kernel")
+    os.environ["PDAE_EDGECONV_ARGMIN"] = over.pop("_ARGMIN", "exact")
     config = ConfigDict({
         "optimizer": {"type": "AdamW", "part": "all",
                       "kwargs": {"lr": 0.001, "weight_decay": 0.05}},
